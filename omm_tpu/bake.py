@@ -1,0 +1,754 @@
+"""The bake pipeline: work-item setup -> classify -> dedup -> pack.
+
+TPU-native rebuild of the reference CPU baker's 11-stage pipeline
+(`/root/reference/libraries/omm-lib/src/bake_cpu_impl.cpp`, BakeImpl
+:1923-1985).  Host stages (setup, dedup, packing) are numpy; the
+classification stages dispatch to an engine backend ('numpy' oracle, 'jax',
+or 'pallas' — see omm_tpu.engine / omm_tpu.kernels.pallas_classify).
+
+Output is bit-exact with the reference: the acceptance gate is equality of
+Debug::Stats against the reference test suite's hard-coded expectations
+(support/tests/test_omm_bake_cpu.cpp).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import xxhash
+
+from . import engine, geom
+from .bit_tricks import xy_to_morton
+from .mt19937 import MT19937
+from .texture import Texture, get_tex_coord
+from .types import (BakeError, BakeFlags, BakeInputDesc, BakeResult, Format,
+                    IndexFormat, MicromapDesc, OpacityState, Result,
+                    SpecialIndex, TextureAddressMode, TextureFilterMode,
+                    UsageCount, get_bit_count, get_num_micro_triangles,
+                    is_compatible, is_known, MAX_NUM_SUBDIV_LEVELS,
+                    MAX_SUBDIV_LEVEL)
+
+UO = int(OpacityState.UnknownOpaque)
+UT = int(OpacityState.UnknownTransparent)
+
+NO_SPECIAL_INDEX = 0  # OmmWorkItem::kNoSpecialIndex (bake_cpu_impl.cpp:456)
+
+
+@dataclass
+class WorkItem:
+    """OmmWorkItem (bake_cpu_impl.cpp:436-462)."""
+
+    subdivision_level: int
+    vm_format: Format
+    uv_tri: np.ndarray              # (3, 2) fp32
+    primitive_indices: list[int]
+    states: np.ndarray = None       # (4^N,) uint8; init UnknownOpaque
+    special_index: int = NO_SPECIAL_INDEX
+    desc_offset: int = 0xFFFFFFFF
+
+    def __post_init__(self):
+        if self.states is None:
+            self.states = np.full(
+                get_num_micro_triangles(self.subdivision_level), UO,
+                dtype=np.uint8)
+
+    def has_special_index(self) -> bool:
+        return self.special_index != NO_SPECIAL_INDEX
+
+    def states3(self) -> np.ndarray:
+        """3-state view: UT==UO (OmmArrayDataView, bake_cpu_impl.cpp:374-377)."""
+        return np.where(self.states == UT, np.uint8(UO), self.states)
+
+
+# ---------------------------------------------------------------------------
+# Subdivision-level heuristics (bake_cpu_impl.cpp:470-560)
+# ---------------------------------------------------------------------------
+
+def _next_pow2_u32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    v = (v - 1) & 0xFFFFFFFF
+    v |= v >> 1
+    v |= v >> 2
+    v |= v >> 4
+    v |= v >> 8
+    v |= v >> 16
+    return (v + 1) & 0xFFFFFFFF
+
+
+def _log2_u32(v: int) -> int:
+    return max(v.bit_length() - 1, 0)
+
+
+def compute_area_heuristic(desc: BakeInputDesc, uv_tri: np.ndarray,
+                           tex_size) -> int:
+    """bake_cpu_impl.cpp:470-509."""
+    sizef = np.array(tex_size, dtype=np.float32)
+    scaled = uv_tri.astype(np.float32) * sizef
+    pixel_uv_area = float(geom.uv_area(scaled))
+    target = np.float32(desc.dynamic_subdivision_scale) * np.float32(
+        desc.dynamic_subdivision_scale)
+    ratio_f = np.float32(pixel_uv_area) / target
+    if not np.isfinite(ratio_f) or ratio_f < 0:
+        ratio = 0
+    else:
+        ratio = int(ratio_f) & 0xFFFFFFFF
+    log2_ratio = _log2_u32(_next_pow2_u32(ratio))
+    level = log2_ratio >> 1
+    return min(level, desc.max_subdivision_level)
+
+
+def compute_edge_heuristic(desc: BakeInputDesc, uv_tri: np.ndarray,
+                           tex_size) -> int:
+    """bake_cpu_impl.cpp:511-528."""
+    sizef = np.array(tex_size, dtype=np.float32)
+    t = uv_tri.astype(np.float32)
+    ve0 = sizef * (t[1] - t[0])
+    ve1 = sizef * (t[2] - t[0])
+    ve2 = sizef * (t[2] - t[1])
+    le = [np.float32(np.dot(v, v)) for v in (ve0, ve1, ve2)]
+    e_max = max(le)
+    if float(e_max) < 1e-6:
+        n = 0.0
+    else:
+        n = float(np.log2(np.float32(e_max)) / np.float32(2.0)
+                  - np.log2(np.float32(desc.dynamic_subdivision_scale)))
+    level = int(math.ceil(n))
+    return min(max(level, 0), desc.max_subdivision_level)
+
+
+def get_subdivision_level(desc: BakeInputDesc, opts, i: int,
+                          uv_tri: np.ndarray, tex_size) -> int:
+    """bake_cpu_impl.cpp:542-560."""
+    if desc.subdivision_levels is not None and int(desc.subdivision_levels[i]) <= 12:
+        return int(desc.subdivision_levels[i])
+    if desc.dynamic_subdivision_scale > 0:
+        if bool(geom.is_degenerate(uv_tri)) or opts.enable_edge_heuristic:
+            return compute_edge_heuristic(desc, uv_tri, tex_size)
+        return compute_area_heuristic(desc, uv_tri, tex_size)
+    return desc.max_subdivision_level
+
+
+# ---------------------------------------------------------------------------
+# Options
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Options:
+    """Decoded bake flags (bake_cpu_impl.cpp:61-85)."""
+
+    enable_internal_threads: bool = False
+    disable_special_indices: bool = False
+    disable_duplicate_detection: bool = False
+    enable_near_duplicate_detection: bool = False
+    enable_near_duplicate_detection_brute_force: bool = False
+    enable_validation: bool = False
+    enable_aabb_testing: bool = False
+    disable_level_line_intersection: bool = False
+    disable_fine_classification: bool = False
+    enable_edge_heuristic: bool = False
+
+    @staticmethod
+    def from_flags(flags: BakeFlags) -> "Options":
+        f = BakeFlags(flags)
+        return Options(
+            enable_internal_threads=bool(f & BakeFlags.EnableInternalThreads),
+            disable_special_indices=bool(f & BakeFlags.DisableSpecialIndices),
+            disable_duplicate_detection=bool(f & BakeFlags.DisableDuplicateDetection),
+            enable_near_duplicate_detection=bool(f & BakeFlags.EnableNearDuplicateDetection),
+            enable_near_duplicate_detection_brute_force=bool(
+                f & BakeFlags.EnableNearDuplicateDetectionBruteForce),
+            enable_validation=bool(f & BakeFlags.EnableValidation),
+            enable_aabb_testing=bool(f & BakeFlags.EnableAABBTesting),
+            disable_level_line_intersection=bool(
+                f & BakeFlags.DisableLevelLineIntersection),
+            disable_fine_classification=bool(
+                f & BakeFlags.DisableFineClassification),
+            enable_edge_heuristic=bool(f & BakeFlags.EnableEdgeHeuristic),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Validation (bake_cpu_impl.cpp:235-290)
+# ---------------------------------------------------------------------------
+
+def validate_desc(desc: BakeInputDesc, opts: Options):
+    if desc.texture is None:
+        raise BakeError(Result.INVALID_ARGUMENT, "texture is not set")
+    if desc.tex_coords is None:
+        raise BakeError(Result.INVALID_ARGUMENT, "texCoords is not set")
+    if desc.index_buffer is None:
+        raise BakeError(Result.INVALID_ARGUMENT, "indexBuffer is not set")
+    if desc.index_count == 0:
+        raise BakeError(Result.INVALID_ARGUMENT, "indexCount is not set")
+    if desc.max_subdivision_level > MAX_SUBDIV_LEVEL:
+        raise BakeError(Result.INVALID_ARGUMENT,
+                        f"maxSubdivisionLevel ({desc.max_subdivision_level}) "
+                        f"is greater than maximum supported ({MAX_SUBDIV_LEVEL})")
+    if ((opts.enable_near_duplicate_detection
+         or opts.enable_near_duplicate_detection_brute_force)
+            and opts.disable_duplicate_detection):
+        raise BakeError(Result.INVALID_ARGUMENT,
+                        "near-duplicate detection used with "
+                        "DisableDuplicateDetection")
+    tex: Texture = desc.texture
+    if tex.has_alpha_cutoff() and tex.alpha_cutoff != desc.alpha_cutoff:
+        raise BakeError(Result.INVALID_ARGUMENT,
+                        "texture alpha cutoff differs from bake input")
+    if not is_compatible(desc.alpha_cutoff_greater, desc.format):
+        raise BakeError(Result.INVALID_ARGUMENT,
+                        "alphaCutoffGreater incompatible with format")
+    if not is_compatible(desc.alpha_cutoff_less_equal, desc.format):
+        raise BakeError(Result.INVALID_ARGUMENT,
+                        "alphaCutoffLessEqual incompatible with format")
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: SetupWorkItems (bake_cpu_impl.cpp:589-660)
+# ---------------------------------------------------------------------------
+
+DISABLED_PRIMITIVE = 0xE
+
+
+def setup_work_items(desc: BakeInputDesc, opts: Options) -> list[WorkItem]:
+    tex: Texture = desc.texture
+    tris = geom.triangles_from_indices(
+        np.asarray(desc.index_buffer)[:desc.index_count], desc.tex_coords,
+        desc.tex_coord_format, desc.tex_coord_stride_in_bytes)
+    tri_count = desc.index_count // 3
+    tris = tris[:tri_count]
+
+    items: list[WorkItem] = []
+    key_to_item: dict = {}
+    tex_size = tex.size(0)
+
+    for i in range(tri_count):
+        uv_tri = tris[i]
+        subdiv = get_subdivision_level(desc, opts, i, uv_tri, tex_size)
+        disabled = subdiv == DISABLED_PRIMITIVE
+        invalid = bool(geom.is_invalid(uv_tri)) or (
+            opts.disable_level_line_intersection
+            and bool(geom.is_degenerate(uv_tri)))
+        if disabled or invalid:
+            continue  # resolved to unresolvedTriState at serialize time
+        fmt = desc.format
+        if desc.formats is not None and int(desc.formats[i]) != int(Format.INVALID):
+            fmt = Format(int(desc.formats[i]))
+        key = (uv_tri.tobytes(), subdiv, int(fmt))
+        hit = key_to_item.get(key)
+        if hit is None or opts.disable_duplicate_detection:
+            if subdiv > MAX_SUBDIV_LEVEL:
+                raise BakeError(Result.INVALID_ARGUMENT,
+                                "subdivisionLevel exceeds kMaxSubdivLevel")
+            key_to_item[key] = len(items)
+            items.append(WorkItem(subdivision_level=subdiv, vm_format=fmt,
+                                  uv_tri=uv_tri, primitive_indices=[i]))
+        else:
+            items[hit].primitive_indices.append(i)
+    return items
+
+
+def validate_workload_size(desc: BakeInputDesc, opts: Options,
+                           items: list[WorkItem]):
+    """bake_cpu_impl.cpp:662-713."""
+    limit = desc.max_workload_size != 0xFFFFFFFFFFFFFFFF
+    if not opts.enable_validation and not limit:
+        return
+    tex: Texture = desc.texture
+    sizef = np.array(tex.size(0), dtype=np.float32)
+    workload = 0
+    for it in items:
+        s, e = geom.tri_aabb(it.uv_tri)
+        aabb = ((e - s) * sizef).astype(np.int32)
+        # uint64_t(int32 * int32): int32 wrap then sign-extend to uint64.
+        with np.errstate(over="ignore"):
+            v = int(np.int32(aabb[0] * aabb[1]))
+        workload += v % (1 << 64)
+    if limit and workload > desc.max_workload_size:
+        raise BakeError(Result.WORKLOAD_TOO_BIG, "workload too big")
+
+
+# ---------------------------------------------------------------------------
+# Stage: special-index promotion (bake_cpu_impl.cpp:1432-1472)
+# ---------------------------------------------------------------------------
+
+def promote_special_indices(desc: BakeInputDesc, opts: Options,
+                            items: list[WorkItem]):
+    for it in items:
+        if it.has_special_index():
+            continue
+        st = it.states
+        all_equal = bool((st == st[0]).all())
+        common = int(st[0])
+        if not all_equal and desc.rejection_threshold > 0.0:
+            known = int(np.count_nonzero((st == 0) | (st == 1)))
+            if known / float(len(st)) < desc.rejection_threshold:
+                all_equal = True
+                common = UT
+        if all_equal and not opts.disable_special_indices:
+            it.special_index = -common - 1
+
+
+# ---------------------------------------------------------------------------
+# Stage: exact dedup (bake_cpu_impl.cpp:1031-1066)
+# ---------------------------------------------------------------------------
+
+def deduplicate_exact(opts: Options, items: list[WorkItem]):
+    if opts.disable_duplicate_detection:
+        return
+    digest_to_idx: dict[bytes, int] = {}
+    for i, it in enumerate(items):
+        digest = it.states3().tobytes()
+        j = digest_to_idx.get(digest)
+        if j is None:
+            digest_to_idx[digest] = i
+        else:
+            items[j].primitive_indices.extend(it.primitive_indices)
+            it.primitive_indices = []
+            it.special_index = -1
+
+
+# ---------------------------------------------------------------------------
+# Stage: near-duplicate merges (bake_cpu_impl.cpp:1093-1430)
+# ---------------------------------------------------------------------------
+
+def _merge_work_items(to: WorkItem, frm: WorkItem):
+    """MergeWorkItems (bake_cpu_impl.cpp:1093-1132)."""
+    to.primitive_indices.extend(frm.primitive_indices)
+    frm.primitive_indices = []
+    frm.special_index = -1
+    ts = to.states
+    fs = frm.states
+    diff = ts != fs
+    t_known = ts <= 1
+    f_known = fs <= 1
+    both_known = diff & t_known & f_known
+    to_known_from_unknown = diff & t_known & ~f_known
+    new = ts.copy()
+    new[both_known] = UO
+    new[to_known_from_unknown] = fs[to_known_from_unknown]
+    to.states = new
+
+
+def deduplicate_similar_lsh(desc: BakeInputDesc, opts: Options,
+                            items: list[WorkItem], iterations: int):
+    """LSH hamming bit-sampling merge (bake_cpu_impl.cpp:1134-1352);
+    reproduces the reference's std::mt19937(42) draw sequence exactly."""
+    if opts.disable_duplicate_detection:
+        return
+    if (not opts.enable_near_duplicate_detection
+            or opts.enable_near_duplicate_detection_brute_force):
+        return
+
+    mt = MT19937(42)
+
+    for _attempt in range(iterations):
+        for subdiv in range(1, MAX_SUBDIV_LEVEL + 1):
+            batch = [i for i, it in enumerate(items)
+                     if it.special_index == NO_SPECIAL_INDEX
+                     and it.vm_format == Format.OC1_4_State
+                     and it.subdivision_level == subdiv]
+            if not batch:
+                continue
+
+            M = get_num_micro_triangles(subdiv)
+            n = len(batch)
+            d = M
+            r = np.float32(desc.near_duplicate_deduplication_factor) * np.float32(d)
+            c = 4.0
+            L = int(np.ceil(np.float32(n) ** np.float32(1.0 / c)))
+            if L == 0:
+                continue
+            k = int(np.ceil((np.float32(np.log(np.float32(n))) * np.float32(d))
+                            / (np.float32(c) * r)))
+            if k == 0:
+                continue
+
+            tables = []
+            for _t in range(L):
+                bit_indices = [mt() & (M - 1) for _ in range(k)]
+                tables.append({"bits": bit_indices, "hashes": {},
+                               "buckets": {}})
+
+            for wi in batch:
+                s3 = items[wi].states3()
+                for tab in tables:
+                    samples = np.array([s3[b] for b in tab["bits"]],
+                                       dtype=np.uint32)
+                    h = xxhash.xxh64(samples.tobytes(), seed=42).intdigest()
+                    tab["hashes"][wi] = h
+                    tab["buckets"].setdefault(h, []).append(wi)
+
+            for wi in batch:
+                it = items[wi]
+                if it.has_special_index():
+                    continue
+                potential: set[int] = set()
+                for tab in tables:
+                    h = tab["hashes"][wi]
+                    for cand in tab["buckets"][h]:
+                        if cand == wi:
+                            continue
+                        if items[cand].has_special_index():
+                            continue
+                        if len(potential) > 3 * L:
+                            break
+                        potential.add(cand)
+                min_dist = np.inf
+                nearest = -1
+                for cand in sorted(potential):
+                    dist = float(np.count_nonzero(
+                        it.states3() != items[cand].states3()))
+                    if dist < float(r) and dist < min_dist:
+                        min_dist = dist
+                        nearest = cand
+                if nearest >= 0:
+                    _merge_work_items(it, items[nearest])
+
+
+def deduplicate_similar_brute_force(opts: Options, items: list[WorkItem]):
+    """bake_cpu_impl.cpp:1354-1430."""
+    if opts.disable_duplicate_detection:
+        return
+    if (not opts.enable_near_duplicate_detection
+            or not opts.enable_near_duplicate_detection_brute_force):
+        return
+    if not items:
+        return
+
+    MERGE_THRESHOLD = 0.1
+    MAX_COMPARISONS = 2048
+    merged: set[int] = set()
+    for a in range(len(items) - 1):
+        ia = items[a]
+        if ia.special_index != NO_SPECIAL_INDEX:
+            continue
+        if ia.vm_format != Format.OC1_4_State:
+            continue
+        start = a + 1
+        end = min(MAX_COMPARISONS + start, len(items))
+        min_dist = np.inf
+        nearest = -1
+        for b in range(start, end):
+            ib = items[b]
+            if ib.special_index != NO_SPECIAL_INDEX:
+                continue
+            if ib.vm_format != Format.OC1_4_State:
+                continue
+            if not ib.primitive_indices:
+                continue
+            if ia.subdivision_level != ib.subdivision_level:
+                continue
+            if b in merged:
+                continue
+            M = get_num_micro_triangles(ia.subdivision_level)
+            dist = float(np.count_nonzero(ia.states3() != ib.states3())) / M
+            if dist < MERGE_THRESHOLD and dist < min_dist:
+                min_dist = dist
+                nearest = b
+        if nearest >= 0:
+            merged.add(a)
+            merged.add(nearest)
+            _merge_work_items(ia, items[nearest])
+
+
+# ---------------------------------------------------------------------------
+# Stage: memory-budget downsampling (bake_cpu_impl.cpp:1557-1688)
+# ---------------------------------------------------------------------------
+
+def _known_ratio(it: WorkItem) -> float:
+    s3 = it.states3()
+    known = int(np.count_nonzero(s3 <= 1))
+    return known / float(len(s3))
+
+
+def _downsample_known_ratio(it: WorkItem) -> float:
+    """DownsampleOneLevel const-variant (bake_cpu_impl.cpp:1531-1555)."""
+    s3 = it.states3().reshape(-1, 4)
+    ok = (s3[:, 0] <= 1) & (s3[:, 0] == s3[:, 1]) & (s3[:, 0] == s3[:, 2]) \
+        & (s3[:, 0] == s3[:, 3])
+    return int(np.count_nonzero(ok)) / float(s3.shape[0])
+
+
+def _downsample_one_level(it: WorkItem):
+    """bake_cpu_impl.cpp:1499-1529."""
+    if it.subdivision_level == 0:
+        raise BakeError(Result.FAILURE, "cannot downsample level 0")
+    it.subdivision_level -= 1
+    s3 = it.states3().reshape(-1, 4)
+    ok = (s3[:, 0] <= 1) & (s3[:, 0] == s3[:, 1]) & (s3[:, 0] == s3[:, 2]) \
+        & (s3[:, 0] == s3[:, 3])
+    new = np.where(ok, s3[:, 0], np.uint8(UO)).astype(np.uint8)
+    it.states = new
+
+
+def _item_info(desc: BakeInputDesc, it: WorkItem) -> dict:
+    """ComputeWorkItemInfo (bake_cpu_impl.cpp:1572-1595)."""
+    known = np.float32(_known_ratio(it))
+    known_ds = np.float32(_downsample_known_ratio(it))
+    area = np.float32(geom.uv_area(it.uv_tri))
+    total_area = np.float32(0.0)
+    for _ in it.primitive_indices:
+        total_area = np.float32(total_area + area)
+    mem = max(1, (get_num_micro_triangles(it.subdivision_level) * 2) // 8)
+    mem_ds = max(1, (get_num_micro_triangles(it.subdivision_level - 1) * 2) // 8)
+    delta = mem - mem_ds
+    cov_delta = np.float32(known - known_ds)
+    cpb = float(np.float32(total_area * cov_delta) / np.float32(delta))
+    return {"mem": mem, "mem_ds": mem_ds, "cpb": cpb}
+
+
+def compress(desc: BakeInputDesc, opts: Options, items: list[WorkItem]):
+    if desc.max_array_data_size == 0xFFFFFFFF:
+        return
+    active = []
+    for i, it in enumerate(items):
+        if it.subdivision_level == 0 or not it.primitive_indices \
+                or it.has_special_index():
+            continue
+        active.append([i, _item_info(desc, it)])
+
+    total = sum(a[1]["mem"] for a in active)
+    if total < desc.max_array_data_size:
+        return
+
+    active.sort(key=lambda a: a[1]["cpb"])
+    while total >= desc.max_array_data_size and active:
+        n = len(active)
+        i = 0
+        while i < n:
+            idx = active[i][0]
+            it = items[idx]
+            total -= active[i][1]["mem"]
+            _downsample_one_level(it)
+            total += active[i][1]["mem_ds"]
+            if it.subdivision_level == 0:
+                active[i][0] = -1
+                i += 1
+                continue
+            active[i][1] = _item_info(desc, it)
+            if total < desc.max_array_data_size:
+                break
+            if i + 1 != n and active[i][1]["cpb"] < active[i + 1][1]["cpb"]:
+                continue  # redo same item (i-- then i++ in the reference)
+            i += 1
+        # swap-remove dead entries then resort (bake_cpu_impl.cpp:1668-1684)
+        j = 0
+        while j < len(active):
+            if active[j][0] == -1:
+                active[j], active[-1] = active[-1], active[j]
+                active.pop()
+            else:
+                j += 1
+        active.sort(key=lambda a: a[1]["cpb"])
+
+
+# ---------------------------------------------------------------------------
+# Stages: histograms, spatial sort, serialize (bake_cpu_impl.cpp:1690-1920)
+# ---------------------------------------------------------------------------
+
+def create_usage_histograms(items: list[WorkItem]):
+    arr = np.zeros((3, MAX_NUM_SUBDIV_LEVELS), dtype=np.uint64)
+    idxh = np.zeros((3, MAX_NUM_SUBDIV_LEVELS), dtype=np.uint64)
+    for it in items:
+        if it.special_index == NO_SPECIAL_INDEX:
+            arr[int(it.vm_format) - 1, it.subdivision_level] += 1
+            idxh[int(it.vm_format) - 1, it.subdivision_level] += len(
+                it.primitive_indices)
+    return arr, idxh
+
+
+def micromap_spatial_sort(items: list[WorkItem]) -> list[int]:
+    """bake_cpu_impl.cpp:1707-1754: descending (key, index) order;
+    special-index items first, regular items by (subdiv, morton) desc."""
+    keys = []
+    for i, it in enumerate(items):
+        if it.special_index != NO_SPECIAL_INDEX:
+            key = (1 << 63) | i
+        else:
+            K = 13
+            q_size = np.array([1 << K, 1 << K], dtype=np.int32)
+            t = it.uv_tri.astype(np.float32)
+            centroid = (t[0] + t[1] + t[2]) / np.float32(3.0)
+            q_uv = (q_size.astype(np.float32) * centroid).astype(np.int32)
+            q_pos = get_tex_coord(TextureAddressMode.MirrorOnce, q_uv,
+                                  q_size, np.array([0, 0], np.int32), False)
+            mcode = int(xy_to_morton(np.uint32(q_pos[0]), np.uint32(q_pos[1])))
+            key = (it.subdivision_level << 60) | mcode
+        keys.append((key, i))
+    keys.sort(reverse=True)
+    return [i for _, i in keys]
+
+
+def pack_states(states: np.ndarray, fmt: Format) -> np.ndarray:
+    """Bit-pack a (M,) state array into OC1 bytes
+    (bake_cpu_impl.cpp:1802-1819)."""
+    M = len(states)
+    s = states.astype(np.uint8)
+    if fmt == Format.OC1_2_State:
+        nbytes = max(M >> 3, 1)
+        out = np.zeros(nbytes, dtype=np.uint8)
+        idx = np.arange(M)
+        np.bitwise_or.at(out, idx >> 3, (s & 1) << (idx & 7))
+    else:
+        nbytes = max(M >> 2, 1)
+        out = np.zeros(nbytes, dtype=np.uint8)
+        idx = np.arange(M)
+        np.bitwise_or.at(out, idx >> 2, (s & 3) << ((idx & 3) << 1))
+    return out
+
+
+def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
+                     arr_hist: np.ndarray, idx_hist: np.ndarray,
+                     order: list[int]) -> BakeResult:
+    """bake_cpu_impl.cpp:1756-1920."""
+    bit_count = get_bit_count(desc.format)
+
+    desc_count = 0
+    array_size = 0
+    for lvl in range(MAX_NUM_SUBDIV_LEVELS):
+        cnt = int(arr_hist[int(desc.format) - 1, lvl])
+        desc_count += cnt
+        nbits = get_num_micro_triangles(lvl) * bit_count
+        array_size += cnt * max(nbits >> 3, 1)
+    if array_size > 0xFFFFFFFF:
+        raise BakeError(Result.FAILURE, "array data > 4GB")
+
+    array_data = np.zeros(array_size, dtype=np.uint8)
+    desc_array: list[MicromapDesc] = []
+    if desc_count != 0:
+        offset = 0
+        for vm_index in order:
+            it = items[vm_index]
+            if it.special_index != NO_SPECIAL_INDEX:
+                continue
+            if offset >= array_size:
+                raise BakeError(Result.FAILURE, "array data overflow")
+            desc_array.append(MicromapDesc(offset=offset,
+                                           subdivision_level=it.subdivision_level,
+                                           format=int(it.vm_format)))
+            it.desc_offset = len(desc_array) - 1
+            M = get_num_micro_triangles(it.subdivision_level)
+            packed = pack_states(it.states, it.vm_format)
+            array_data[offset:offset + len(packed)] |= packed
+            offset += max((M * bit_count) >> 3, 1)
+
+    def hist_list(h):
+        out = []
+        for fmt in (Format.OC1_2_State, Format.OC1_4_State):
+            for lvl in range(MAX_NUM_SUBDIV_LEVELS):
+                cnt = int(h[int(fmt) - 1, lvl])
+                if cnt:
+                    out.append(UsageCount(count=cnt, subdivision_level=lvl,
+                                          format=int(fmt)))
+        return out
+
+    tri_count = desc.index_count // 3
+    index_buffer = np.full(tri_count, int(desc.unresolved_tri_state),
+                           dtype=np.int32)
+    for it in items:
+        for prim in it.primitive_indices:
+            if it.special_index != NO_SPECIAL_INDEX:
+                index_buffer[prim] = it.special_index
+            else:
+                index_buffer[prim] = it.desc_offset
+
+    flags = BakeFlags(desc.bake_flags)
+    allow8 = bool(flags & BakeFlags.Allow8BitIndices)
+    force32 = bool(flags & BakeFlags.Force32BitIndices)
+    if allow8 and tri_count <= 127 and not force32:
+        fmt = IndexFormat.UINT_8
+    elif tri_count <= 32767 and not force32:
+        fmt = IndexFormat.UINT_16
+    else:
+        fmt = IndexFormat.UINT_32
+
+    tri_area = np.zeros(tri_count, dtype=np.float32)
+    tris = geom.triangles_from_indices(
+        np.asarray(desc.index_buffer)[:desc.index_count], desc.tex_coords,
+        desc.tex_coord_format, desc.tex_coord_stride_in_bytes)
+    for it in items:
+        for prim in it.primitive_indices:
+            tri_area[prim] = geom.uv_area(tris[prim])
+
+    return BakeResult(array_data=array_data, desc_array=desc_array,
+                      desc_array_histogram=hist_list(arr_hist),
+                      index_buffer=index_buffer, index_format=fmt,
+                      index_histogram=hist_list(idx_hist),
+                      triangle_area=tri_area)
+
+
+# ---------------------------------------------------------------------------
+# Top-level bake
+# ---------------------------------------------------------------------------
+
+def bake(desc: BakeInputDesc, backend: str = "numpy") -> BakeResult:
+    """Full CPU-parity bake (BakeImpl, bake_cpu_impl.cpp:1923-1985).
+
+    backend: 'numpy' (oracle), 'jax' (jit on default device), or 'pallas'
+    (TPU kernel for the classification hot loop).
+    """
+    opts = Options.from_flags(desc.bake_flags)
+    validate_desc(desc, opts)
+    tex: Texture = desc.texture
+
+    items = setup_work_items(desc, opts)
+    validate_workload_size(desc, opts, items)
+
+    cfg = engine.ResampleConfig(
+        addr_mode=desc.runtime_sampler.addressing_mode,
+        filter=desc.runtime_sampler.filter,
+        alpha_cutoff=desc.alpha_cutoff,
+        border_alpha=desc.runtime_sampler.border_alpha,
+        fmt=desc.format,
+        promotion=desc.unknown_state_promotion,
+        cutoff_gt=desc.alpha_cutoff_greater,
+        cutoff_le=desc.alpha_cutoff_less_equal,
+        disable_level_line=opts.disable_level_line_intersection,
+        enable_aabb_testing=opts.enable_aabb_testing,
+        disable_fine=opts.disable_fine_classification,
+    )
+    if opts.enable_aabb_testing and not opts.disable_level_line_intersection:
+        raise BakeError(Result.INVALID_ARGUMENT,
+                        "EnableAABBTesting requires DisableLevelLineIntersection")
+
+    if backend == "numpy":
+        xp = np
+        classify = None
+    elif backend == "jax":
+        import jax.numpy as jnp
+        xp = jnp
+        classify = None
+    elif backend == "pallas":
+        from .kernels.pallas_classify import classify_work_item_pallas
+        xp = np
+        classify = classify_work_item_pallas
+    else:
+        raise ValueError(f"unknown backend {backend}")
+
+    for it in items:
+        it.states = engine.resample_coarse_item(tex, cfg, it.uv_tri,
+                                                it.subdivision_level, it.states)
+    for it in items:
+        if classify is not None and not bool(geom.is_degenerate(it.uv_tri)) \
+                and cfg.filter == TextureFilterMode.Linear \
+                and not cfg.disable_level_line:
+            it.states = classify(tex, cfg, it.uv_tri, it.subdivision_level,
+                                 it.states)
+        else:
+            it.states = engine.resample_fine_item(tex, cfg, it.uv_tri,
+                                                  it.subdivision_level,
+                                                  it.states, xp=xp)
+
+    promote_special_indices(desc, opts, items)
+    deduplicate_exact(opts, items)
+    deduplicate_similar_lsh(desc, opts, items, iterations=3)
+    deduplicate_similar_brute_force(opts, items)
+    promote_special_indices(desc, opts, items)
+    compress(desc, opts, items)
+    deduplicate_exact(opts, items)
+    promote_special_indices(desc, opts, items)
+
+    arr_hist, idx_hist = create_usage_histograms(items)
+    order = micromap_spatial_sort(items)
+    return serialize_result(desc, items, arr_hist, idx_hist, order)

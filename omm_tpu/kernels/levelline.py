@@ -1,0 +1,325 @@
+"""Micro-triangle classification kernels (the bake hot loop).
+
+This is the TPU-native formulation of the reference per-texel kernels:
+
+  LevelLineIntersectionKernel   bake_kernels_cpu.h:241-399
+  ConservativeBilinearKernel    bake_kernels_cpu.h:404-452
+  conservative raster accept    util/cpu_raster.h:277-383 (OverConservative)
+
+The reference walks texels with a scanline rasterizer and invokes a scalar
+callback per covered texel.  Because classification is a commutative integer
+reduction over covered texels, we instead evaluate ALL texels of each
+micro-triangle's padded AABB densely with a conservative-raster *mask* —
+identical visited set (the accept region per row is an interval, so the
+reference's early-out changes nothing) — which vectorizes over
+(micro-triangle, texel-row, texel-col) and runs unchanged under numpy and
+jax.numpy (pass xp=jnp inside jit).
+
+All arithmetic is fp32 with the reference's operation order preserved; the
+parity oracle is exact equality of Debug::Stats against the reference test
+suite's hard-coded values.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..texture import gather_tex_coord4, get_tex_coord
+from ..types import (Format, OpacityState, TextureAddressMode,
+                     UnknownStatePromotion)
+
+F32 = np.float32
+
+
+def _f32(xp, v):
+    return xp.float32(v)
+
+
+def is_zero(xp, v, eps=1e-6):
+    """IsZero (bake_kernels_cpu.h:135-137): |v| < eps via two compares."""
+    e = _f32(xp, eps)
+    return (v < e) & (v > -e)
+
+
+def _length(xp, dx, dy):
+    """glm::length of a float2 = sqrt(dot(v, v)) in fp32."""
+    return xp.sqrt(dx * dx + dy * dy)
+
+
+def edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, hb, hc, hd):
+    """TestEdgeHyperbolaIntersection (bake_kernels_cpu.h:144-238), vectorized.
+
+    Edge endpoints (p0, p1) in texel-local coordinates; hyperbola
+    f(x,y) = ha + hb*x + hc*y + hd*x*y = 0.  Returns bool array.
+    """
+    one = _f32(xp, 1.0)
+    half = _f32(xp, 0.5)
+
+    # Swap so p0.x <= p1.x.
+    swap = p0x > p1x
+    q0x = xp.where(swap, p1x, p0x)
+    q0y = xp.where(swap, p1y, p0y)
+    q1x = xp.where(swap, p0x, p1x)
+    q1y = xp.where(swap, p0y, p1y)
+
+    edge_len = _length(xp, q1x - q0x, q1y - q0y)
+
+    def on_edge(px, py):
+        l = _length(xp, px - q0x, py - q0y) + _length(xp, px - q1x, py - q1y) - edge_len
+        return is_zero(xp, l, 1e-5)
+
+    def in_unit_square(px, py):
+        zero = _f32(xp, 0.0)
+        return (px >= zero) & (px <= one) & (py >= zero) & (py <= one)
+
+    def point_hit(px, py):
+        return in_unit_square(px, py) & on_edge(px, py)
+
+    k_denum = q1x - q0x
+    vertical = is_zero(xp, k_denum)
+
+    # --- vertical edge branch (bake_kernels_cpu.h:161-180) ---
+    vx = q0x
+    v_c0 = hd * vx + hc
+    v_c1 = ha + hb * vx
+    v_c0_safe = xp.where(is_zero(xp, v_c0), one, v_c0)
+    vy = -v_c1 / v_c0_safe
+    v_hit = (~is_zero(xp, v_c0)) & point_hit(vx, vy)
+
+    # --- general branch (bake_kernels_cpu.h:181-234) ---
+    k_den_safe = xp.where(vertical, one, k_denum)
+    k = (q1y - q0y) / k_den_safe
+    m = q1y - q1x * k
+    c0 = hd * k
+    c1 = hc * k + hd * m + hb
+    c2 = ha + hc * m
+    c0_zero = is_zero(xp, c0)
+
+    # straight-line sub-branch
+    c1_safe = xp.where(is_zero(xp, c1), one, c1)
+    lx = -c2 / c1_safe
+    ly = k * lx + m
+    line_hit = (~is_zero(xp, c1)) & point_hit(lx, ly)
+
+    # hyperbola sub-branch
+    inner = c1 * c1 - (_f32(xp, 4.0) * c0) * c2
+    real = inner > _f32(xp, 0.0)
+    root = xp.sqrt(xp.where(real, inner, _f32(xp, 0.0)))
+    c0_safe = xp.where(c0_zero, one, c0)
+    hx0 = half * (-c1 + root) / c0_safe
+    hx1 = half * (-c1 - root) / c0_safe
+    hy0 = k * hx0 + m
+    hy1 = k * hx1 + m
+    hyp_hit = real & (point_hit(hx0, hy0) | point_hit(hx1, hy1))
+
+    general_hit = xp.where(c0_zero, line_hit, hyp_hit)
+    return xp.where(vertical, v_hit, general_hit)
+
+
+def point_in_tri_cached(xp, tp, px, py):
+    """Triangle::PointInTriangle (geometry.h:101-114).
+
+    tp: dict with keys p0x..p2y, cached edge diffs p0p2/p1p0/p2p1 (fp32
+    arrays broadcastable against px/py)."""
+    zero = _f32(xp, 0.0)
+    s = tp["p0p2x"] * (py - tp["p2y"]) - tp["p0p2y"] * (px - tp["p2x"])
+    t = tp["p1p0x"] * (py - tp["p0y"]) - tp["p1p0y"] * (px - tp["p0x"])
+    early_false = ((s < zero) != (t < zero)) & (s != zero) & (t != zero)
+    d = tp["p2p1x"] * (py - tp["p1y"]) - tp["p2p1y"] * (px - tp["p1x"])
+    ok = (d == zero) | ((d < zero) == ((s + t) <= zero))
+    return (~early_false) & ok
+
+
+def make_tri_params(xp, tri):
+    """Precompute cached point-in-triangle diffs for (..., 3, 2) fp32 tris,
+    broadcastable over trailing texel axes (adds two axes)."""
+    t = xp.asarray(tri, dtype=xp.float32)
+
+    def g(i, j):
+        return t[..., i, j][..., None, None]
+
+    p = {
+        "p0x": g(0, 0), "p0y": g(0, 1),
+        "p1x": g(1, 0), "p1y": g(1, 1),
+        "p2x": g(2, 0), "p2y": g(2, 1),
+    }
+    p["p0p2x"] = p["p0x"] - p["p2x"]
+    p["p0p2y"] = p["p0y"] - p["p2y"]
+    p["p1p0x"] = p["p1x"] - p["p0x"]
+    p["p1p0y"] = p["p1y"] - p["p0y"]
+    p["p2p1x"] = p["p2x"] - p["p1x"]
+    p["p2p1y"] = p["p2y"] - p["p1y"]
+    return p
+
+
+def conservative_raster_mask(xp, q, x, y):
+    """Over-conservative Pineda edge-test accept mask
+    (cpu_raster.h:102-124 SquareInTriangleSkipAABBTest via :304-333).
+
+    q: (..., 3, 2) fp32 CCW-normalized raster-space triangle.
+    x, y: int texel coords broadcastable to (..., H, W).
+    Returns bool mask of texels whose unit square passes the conservative
+    edge functions.
+    """
+    zero = _f32(xp, 0.0)
+    sx = x.astype(xp.float32)
+    sy = y.astype(xp.float32)
+    acc = None
+    for e in range(3):
+        px = q[..., e, 0][..., None, None]
+        py = q[..., e, 1][..., None, None]
+        qx = q[..., (e + 1) % 3, 0][..., None, None]
+        qy = q[..., (e + 1) % 3, 1][..., None, None]
+        nx = qy - py
+        ny = px - qx
+        c = -(nx * px + ny * py)
+        ev = (nx * sx + ny * sy) + c
+        bx = xp.where(nx > zero, zero, nx)
+        by = xp.where(ny > zero, zero, ny)
+        ok = (ev + bx + by) < zero
+        acc = ok if acc is None else (acc & ok)
+    return acc
+
+
+def level_line_texel_kernel(xp, tri_uv, tri_params, px_i, py_i, texture_planes,
+                            tex_size, tex_size_log2, tex_is_pow2,
+                            rcp_size, addr_mode, alpha_cutoff, border_alpha,
+                            degenerate: bool, aabb_s=None, aabb_e=None):
+    """Per-(micro-tri, texel) increments of the level-line kernel
+    (bake_kernels_cpu.h:241-399).
+
+    tri_uv: (..., 3, 2) fp32 micro-tri in UV space (unscaled).
+    px_i, py_i: int32 texel coords (..., H, W).
+    texture_planes: fp32 (h, w) alpha plane of this mip.
+    Returns (above_inc, below_inc) int32 arrays (values 0..2).
+    """
+    cutoff = _f32(xp, alpha_cutoff)
+    half = _f32(xp, 0.5)
+
+    sizef_x = _f32(xp, float(tex_size[0]))
+    sizef_y = _f32(xp, float(tex_size[1]))
+    inv_x = _f32(xp, float(rcp_size[0]))
+    inv_y = _f32(xp, float(rcp_size[1]))
+
+    pixelf_x = px_i.astype(xp.float32) + half
+    pixelf_y = py_i.astype(xp.float32) + half
+    invpix_x = pixelf_x * inv_x
+    invpix_y = pixelf_y * inv_y
+
+    coords = xp.stack([px_i, py_i], axis=-1)
+    c00, c10, c01, c11 = gather_tex_coord4(
+        addr_mode, coords, np.array(tex_size, np.int32),
+        np.array(tex_size_log2, np.int32), tex_is_pow2, xp)
+
+    plane = xp.asarray(texture_planes)
+    w_i = np.int32(tex_size[0])
+    h_i = np.int32(tex_size[1])
+
+    def load(cc):
+        cx = cc[..., 0]
+        cy = cc[..., 1]
+        if addr_mode == TextureAddressMode.Border:
+            is_border = (cx == np.int32(0x7FFFFFFE)) | (cy == np.int32(0x7FFFFFFE))
+            sx = xp.where(is_border, 0, xp.clip(cx, 0, w_i - 1))
+            sy = xp.where(is_border, 0, xp.clip(cy, 0, h_i - 1))
+            return xp.where(is_border, _f32(xp, border_alpha), plane[sy, sx])
+        return plane[cy, cx]
+
+    # Gather order matches the kernel: x=c00, y=c01, z=c11, w=c10
+    # (bake_kernels_cpu.h:259-273).
+    gx = load(c00)
+    gy = load(c01)
+    gz = load(c11)
+    gw = load(c10)
+
+    zero_i = xp.int32(0)
+    one_i = xp.int32(1)
+    above = zero_i
+    below = zero_i
+
+    if not degenerate:
+        # Corner-in-triangle extremum search (bake_kernels_cpu.h:276-331).
+        op0 = cutoff < gx
+        op1 = cutoff < gy
+        op2 = cutoff < gz
+        op3 = cutoff < gw
+        in0 = point_in_tri_cached(xp, tri_params, invpix_x, invpix_y)
+        in1 = point_in_tri_cached(xp, tri_params, invpix_x, invpix_y + inv_y)
+        in2 = point_in_tri_cached(xp, tri_params, invpix_x + inv_x, invpix_y + inv_y)
+        in3 = point_in_tri_cached(xp, tri_params, invpix_x + inv_x, invpix_y)
+        is_op = (in0 & op0) | (in1 & op1) | (in2 & op2) | (in3 & op3)
+        is_tr = (in0 & ~op0) | (in1 & ~op1) | (in2 & ~op2) | (in3 & ~op3)
+        above = above + xp.where(is_op, one_i, zero_i)
+        below = below + xp.where(is_tr, one_i, zero_i)
+        early_done = is_op & is_tr
+    else:
+        early_done = xp.zeros(gx.shape, dtype=bool)
+
+    # Level-line section (bake_kernels_cpu.h:333-398).
+    a = gx
+    b = gw - gx
+    c = gy - gx
+    d = gx + gz - gy - gw
+    uniform = is_zero(xp, b) & is_zero(xp, c) & is_zero(xp, d)
+    uni_above = uniform & (cutoff < a)
+    uni_below = uniform & ~(cutoff < a)
+
+    ha = a - cutoff
+    if degenerate:
+        # Degenerate path intersects the AABB diagonal segment
+        # (bake_kernels_cpu.h:358-374).
+        e0x = sizef_x * aabb_s[..., 0][..., None, None] - pixelf_x
+        e0y = sizef_y * aabb_s[..., 1][..., None, None] - pixelf_y
+        e1x = sizef_x * aabb_e[..., 0][..., None, None] - pixelf_x
+        e1y = sizef_y * aabb_e[..., 1][..., None, None] - pixelf_y
+        hit = edge_hyperbola_hit(xp, e0x, e0y, e1x, e1y, ha, b, c, d)
+    else:
+        hit = None
+        for e in range(3):
+            p0x = sizef_x * tri_uv[..., e, 0][..., None, None] - pixelf_x
+            p0y = sizef_y * tri_uv[..., e, 1][..., None, None] - pixelf_y
+            p1x = sizef_x * tri_uv[..., (e + 1) % 3, 0][..., None, None] - pixelf_x
+            p1y = sizef_y * tri_uv[..., (e + 1) % 3, 1][..., None, None] - pixelf_y
+            h = edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, b, c, d)
+            hit = h if hit is None else (hit | h)
+
+    ll_above = xp.where(uniform, uni_above, hit)
+    ll_below = xp.where(uniform, uni_below, hit)
+    skip_ll = early_done
+    above = above + xp.where(~skip_ll & ll_above, one_i, zero_i)
+    below = below + xp.where(~skip_ll & ll_below, one_i, zero_i)
+    return above, below
+
+
+def get_state_from_coverage(xp, fmt: Format, mode: UnknownStatePromotion,
+                            cutoff_gt: OpacityState, cutoff_le: OpacityState,
+                            above, below):
+    """GetStateFromCoverage (bake_kernels_cpu.h:25-61), vectorized over
+    (above, below) int arrays; returns int32 state array."""
+    def unknown_of(s: OpacityState) -> int:
+        # GetUnknownVersionOf: T->UT, O->UO; already-unknown stays.
+        if s == OpacityState.Transparent:
+            return int(OpacityState.UnknownTransparent)
+        if s == OpacityState.Opaque:
+            return int(OpacityState.UnknownOpaque)
+        return int(s)
+
+    is_unknown = (above != 0) & (below != 0)
+    if fmt == Format.OC1_4_State:
+        if mode == UnknownStatePromotion.ForceOpaque:
+            unk = xp.int32(int(OpacityState.UnknownOpaque))
+        elif mode == UnknownStatePromotion.ForceTransparent:
+            unk = xp.int32(int(OpacityState.UnknownTransparent))
+        else:  # Nearest
+            unk = xp.where(above >= below, xp.int32(unknown_of(cutoff_gt)),
+                           xp.int32(unknown_of(cutoff_le)))
+    else:
+        if mode == UnknownStatePromotion.ForceOpaque:
+            unk = xp.int32(int(OpacityState.Opaque))
+        elif mode == UnknownStatePromotion.ForceTransparent:
+            unk = xp.int32(int(OpacityState.Transparent))
+        else:
+            unk = xp.where(above >= below, xp.int32(int(cutoff_gt)),
+                           xp.int32(int(cutoff_le)))
+    known = xp.where(above == 0, xp.int32(int(cutoff_le)),
+                     xp.int32(int(cutoff_gt)))
+    return xp.where(is_unknown, unk, known)

@@ -1,0 +1,278 @@
+"""Bake parity oracles: expected stats are hard-coded values from the
+reference test suite (support/tests/test_omm_bake_cpu.cpp) — exact equality
+is the bit-exactness contract (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+import omm_tpu as omm
+
+from fixtures import (bake_stats, expect_stats, hexagons, julia, mandelbrot,
+                      sine_fp32, sine_unorm8, standard_circle)
+
+
+@pytest.fixture(scope="module")
+def circle1024():
+    return standard_circle(1024, 1024)
+
+
+@pytest.mark.parametrize("level", [0, 1, 2, 3, 4])
+def test_all_opaque(level):
+    tex = np.full((1024, 1024), 0.6, dtype=np.float32)
+    expect_stats(bake_stats(tex, 0.5, level), total_fully_opaque=2)
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 4])
+def test_all_transparent(level):
+    tex = np.full((1024, 1024), 0.4, dtype=np.float32)
+    expect_stats(bake_stats(tex, 0.5, level), total_fully_transparent=2)
+
+
+def test_all_unknown_transparent():
+    j, i = np.meshgrid(np.arange(1024), np.arange(1024), indexing="ij")
+    tex = np.where(i % 8 != j % 8, np.float32(0.0), np.float32(1.0))
+    expect_stats(bake_stats(tex.astype(np.float32), 0.5, 1),
+                 total_fully_unknown_transparent=2)
+
+
+def test_all_unknown_opaque():
+    j, i = np.meshgrid(np.arange(1024), np.arange(1024), indexing="ij")
+    tex = np.where(i % 8 != j % 8, np.float32(1.0), np.float32(0.0))
+    expect_stats(bake_stats(tex.astype(np.float32), 0.5, 1),
+                 total_fully_unknown_opaque=2)
+
+
+def test_all_transparent_opaque_corner4():
+    tex = np.full((1024, 1024), 0.4, dtype=np.float32)
+    tex[0, 0] = np.float32(0.6)
+    M = omm.get_num_micro_triangles(4)
+    expect_stats(bake_stats(tex, 0.5, 4),
+                 total_transparent=M - 1, total_unknown_transparent=1,
+                 total_fully_transparent=1)
+
+
+def test_circle(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 4),
+                 total_opaque=204, total_transparent=219,
+                 total_unknown_transparent=39, total_unknown_opaque=50)
+
+
+def test_circle_merge_similar(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 4, merge_similar=True),
+                 total_opaque=200, total_transparent=216,
+                 total_unknown_transparent=42, total_unknown_opaque=54)
+
+
+def test_circle_oc2(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 4, fmt=omm.Format.OC1_2_State),
+                 total_opaque=254, total_transparent=258)
+
+
+def test_sine():
+    expect_stats(bake_stats(sine_fp32(1024, 1024), 0.5, 4),
+                 total_opaque=224, total_transparent=128,
+                 total_unknown_transparent=96, total_unknown_opaque=64)
+
+
+def test_sine_oc2():
+    expect_stats(bake_stats(sine_fp32(1024, 1024), 0.5, 4,
+                            fmt=omm.Format.OC1_2_State),
+                 total_opaque=288, total_transparent=224)
+
+
+def test_sine_unorm8():
+    expect_stats(bake_stats(sine_unorm8(1024, 1024), 0.5, 4, unorm8=True),
+                 total_opaque=128, total_transparent=256,
+                 total_unknown_transparent=48, total_unknown_opaque=80)
+
+
+def test_mandelbrot():
+    expect_stats(bake_stats(mandelbrot(1024, 1024), 0.5, 5),
+                 total_opaque=1212, total_transparent=484,
+                 total_unknown_transparent=124, total_unknown_opaque=228)
+
+
+def test_mandelbrot2():
+    tc = np.array([[0.2, 0.0], [0.1, 0.8], [0.9, 0.1]], dtype=np.float32)
+    expect_stats(bake_stats(mandelbrot(1024, 1024), 0.5, 5, tex_coords=tc,
+                            indices=[0, 1, 2]),
+                 total_opaque=521, total_transparent=286,
+                 total_unknown_transparent=82, total_unknown_opaque=135)
+
+
+@pytest.mark.slow
+def test_mandelbrot3():
+    tc = np.array([[0.2, 0.0], [0.1, 0.8], [0.9, 0.1]], dtype=np.float32)
+    expect_stats(bake_stats(mandelbrot(1024, 1024), 0.5, 9, tex_coords=tc,
+                            indices=[0, 1, 2]),
+                 total_opaque=164040, total_transparent=91320,
+                 total_unknown_transparent=3039, total_unknown_opaque=3745)
+
+
+@pytest.mark.slow
+def test_julia():
+    tc = np.array([[0.2, 0.0], [0.1, 0.8], [0.9, 0.1]], dtype=np.float32)
+    expect_stats(bake_stats(julia(1024, 1024), 0.5, 9, tex_coords=tc,
+                            indices=[0, 1, 2]),
+                 total_opaque=254265, total_transparent=5055,
+                 total_unknown_transparent=1336, total_unknown_opaque=1488)
+
+
+def test_uniform_4x4():
+    vals = np.array([[0.9, 0.1], [0.1, 0.7]], dtype=np.float32)
+    j, i = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    tex = (np.float32(1.0) - vals[j % 2, i % 2]).astype(np.float32)
+    tc = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], dtype=np.float32)
+    expect_stats(bake_stats(tex, 0.5, 6, tex_coords=tc,
+                            indices=[0, 1, 2, 1, 2, 3]),
+                 total_opaque=5132, total_transparent=2393,
+                 total_unknown_transparent=357, total_unknown_opaque=310)
+
+
+def test_hexagons_lvl6():
+    tc = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], dtype=np.float32)
+    expect_stats(bake_stats(hexagons(1024, 1024), 0.5, 6, tex_coords=tc,
+                            indices=[0, 1, 2, 1, 2, 3]),
+                 total_opaque=902, total_transparent=0,
+                 total_unknown_transparent=3, total_unknown_opaque=7287)
+
+
+def _hex_reuse_geometry(N=32, M=32):
+    indices = []
+    tcs = []
+    for j in range(M):
+        for i in range(N):
+            off = 3 * (i + j * N)
+            indices += [off, off + 1, off + 2]
+            ox = np.float32(i) / np.float32(N)
+            oy = np.float32(j) / np.float32(M)
+            tcs.append([ox + np.float32(0.0) / N, oy + np.float32(0.0) / M])
+            tcs.append([ox + np.float32(0.0) / N, oy + np.float32(1.0) / M])
+            tcs.append([ox + np.float32(1.0) / N, oy + np.float32(1.0) / M])
+    return (np.array(indices, dtype=np.uint32),
+            np.array(tcs, dtype=np.float32))
+
+
+def test_hexagons_reuse_lvl2():
+    idx, tc = _hex_reuse_geometry()
+    expect_stats(bake_stats(hexagons(1024, 1024), 0.5, 2, tex_coords=tc,
+                            indices=idx),
+                 total_opaque=6933, total_unknown_transparent=1935,
+                 total_unknown_opaque=7516)
+
+
+def test_hexagons_reuse_lvl3():
+    idx, tc = _hex_reuse_geometry()
+    expect_stats(bake_stats(hexagons(1024, 1024), 0.5, 3, tex_coords=tc,
+                            indices=idx),
+                 total_opaque=40134, total_transparent=250,
+                 total_unknown_transparent=11939, total_unknown_opaque=13213)
+
+
+@pytest.mark.slow
+def test_hexagons_reuse_lsh():
+    idx, tc = _hex_reuse_geometry()
+    expect_stats(bake_stats(hexagons(1024, 1024), 0.5, 4, tex_coords=tc,
+                            indices=idx, merge_similar=True),
+                 total_opaque=170724, total_transparent=11380,
+                 total_unknown_transparent=37864, total_unknown_opaque=39104,
+                 total_fully_transparent=12)
+
+
+# --- degenerate triangles (test_omm_bake_cpu.cpp:2306-2534) ---
+
+DEGEN_TC = np.array([[0.2, 0.0], [0.2, 0.437582970], [0.2, 0.218791485]],
+                    dtype=np.float32)
+
+
+def test_degen_default_lvl1(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 1, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2]),
+                 total_opaque=1, total_unknown_transparent=1,
+                 total_unknown_opaque=2)
+
+
+def test_degen_default_lvl2(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 2, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2]),
+                 total_opaque=6, total_transparent=3,
+                 total_unknown_transparent=3, total_unknown_opaque=4)
+
+
+def test_degen_default_horizontal(circle1024):
+    tc = np.array([[0.2, 0.2], [0.3, 0.2], [0.41, 0.2]], dtype=np.float32)
+    expect_stats(bake_stats(circle1024, 0.5, 1, tex_coords=tc,
+                            indices=[0, 1, 2]),
+                 total_transparent=3, total_unknown_transparent=1)
+
+
+def test_degen_default_diagonal(circle1024):
+    tc = np.array([[0.2, 0.2], [0.3, 0.2], [0.4, 0.2]], dtype=np.float32)
+    expect_stats(bake_stats(circle1024, 0.5, 2, tex_coords=tc,
+                            indices=[0, 1, 2]),
+                 total_transparent=13, total_unknown_transparent=2,
+                 total_unknown_opaque=1)
+
+
+def test_degen_default_lvl3(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 3, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2]),
+                 total_opaque=28, total_transparent=21,
+                 total_unknown_transparent=7, total_unknown_opaque=8)
+
+
+def test_degen_default_lvl4(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 4, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2]),
+                 total_opaque=136, total_transparent=91,
+                 total_unknown_transparent=14, total_unknown_opaque=15)
+
+
+def test_degen_default_lvl4_wrap(circle1024):
+    tc = DEGEN_TC.copy()
+    tc[:, 0] = np.float32(-0.8)
+    expect_stats(bake_stats(circle1024, 0.5, 4, tex_coords=tc,
+                            indices=[0, 1, 2],
+                            addressing_mode=omm.TextureAddressMode.Wrap),
+                 total_opaque=136, total_transparent=91,
+                 total_unknown_transparent=14, total_unknown_opaque=15)
+
+
+def test_degen_dyn_lvl_2(circle1024):
+    expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2],
+                            dynamic_subdivision_scale=2.0),
+                 total_opaque=37333, total_transparent=27495,
+                 total_unknown_transparent=353, total_unknown_opaque=355)
+
+
+def test_degen_point_transparent(circle1024):
+    tc = np.array([[0.2, 0.437582970]] * 3, dtype=np.float32)
+    expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=tc,
+                            indices=[0, 1, 2],
+                            dynamic_subdivision_scale=2.0),
+                 total_fully_transparent=1)
+
+
+def test_degen_point_opaque(circle1024):
+    tc = np.array([[0.2, 0.1]] * 3, dtype=np.float32)
+    expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=tc,
+                            indices=[0, 1, 2],
+                            dynamic_subdivision_scale=2.0),
+                 total_fully_opaque=1)
+
+
+def test_invalid_fully_unknown_transparent(circle1024):
+    tc = np.array([[0.0, 0.0], [0.0, np.nan], [0.0, 0.221271083]],
+                  dtype=np.float32)
+    expect_stats(bake_stats(circle1024, 0.5, 4, tex_coords=tc,
+                            indices=[0, 1, 2],
+                            unresolved=omm.SpecialIndex.FullyUnknownTransparent),
+                 total_fully_unknown_transparent=1)
+
+
+def test_workload_too_big(circle1024):
+    with pytest.raises(omm.BakeError) as ei:
+        bake_stats(circle1024, 0.5, 9, tex_coords=np.array(
+            [[0.35, 0.1], [0.1, 0.9], [0.9, 0.8]], dtype=np.float32),
+            indices=[0, 1, 2], max_workload_size=512)
+    assert ei.value.result == omm.Result.WORKLOAD_TOO_BIG
