@@ -716,9 +716,9 @@ def bake(desc: BakeInputDesc, backend: str = "numpy") -> BakeResult:
         xp = np
         classify = None
     elif backend == "jax":
-        import jax.numpy as jnp
-        xp = jnp
-        classify = None
+        from .kernels.jax_classify import classify_work_item_jax
+        xp = np
+        classify = classify_work_item_jax
     elif backend == "pallas":
         from .kernels.pallas_classify import classify_work_item_pallas
         xp = np

@@ -1,0 +1,201 @@
+"""Jitted device classification path (jax backend).
+
+The classification of one work item is reformulated for XLA: micro-triangle
+corner generation (bird bit-math), conservative raster masks and the
+level-line kernel all evaluate densely over a static (block, H, W) texel
+grid; the per-texel 2x2 alpha fetches are XLA gathers from the mip plane.
+Identical fp32 op order to the numpy oracle (omm_tpu.engine) — outputs are
+bit-exact.
+
+Shapes are static per (subdivision level, texel window, mip chain); the jit
+cache is keyed accordingly.  Blocks of micro-triangles are processed with
+lax.map to bound peak memory at any subdivision level.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bird, geom
+from ..texture import Texture
+from ..types import OpacityState, TextureFilterMode, get_num_micro_triangles
+from .levelline import (conservative_raster_mask, get_state_from_coverage,
+                        level_line_texel_kernel, make_tri_params)
+
+UO = int(OpacityState.UnknownOpaque)
+BLOCK = 8192  # micro-triangles per lax.map block
+
+
+def _bilinear_seed(plane, p, size, size_log2, is_pow2, addr_mode,
+                   border_alpha):
+    """Runtime bilinear at UV p (..., 2) on device (texture_impl.cpp:261-278)."""
+    from ..texture import gather_tex_coord4
+    sizef = jnp.asarray(np.array(size, dtype=np.float32))
+    pixel = p * sizef - jnp.float32(0.5)
+    pf = jnp.floor(pixel)
+    c00, c10, c01, c11 = gather_tex_coord4(
+        addr_mode, pf.astype(jnp.int32), np.array(size, np.int32),
+        np.array(size_log2, np.int32), is_pow2, jnp)
+    w_i = np.int32(size[0])
+    h_i = np.int32(size[1])
+
+    def load(cc):
+        cx = jnp.clip(cc[..., 0], 0, w_i - 1)
+        cy = jnp.clip(cc[..., 1], 0, h_i - 1)
+        return plane[cy, cx]
+
+    a = load(c00)
+    b = load(c01)
+    c = load(c10)
+    d = load(c11)
+    w = pixel - jnp.floor(pixel)
+    one = jnp.float32(1.0)
+    ac = a * (one - w[..., 0]) + c * w[..., 0]
+    bd = b * (one - w[..., 0]) + d * w[..., 0]
+    return ac * (one - w[..., 1]) + bd * w[..., 1]
+
+
+@partial(jax.jit, static_argnames=(
+    "subdiv", "addr_mode", "alpha_cutoff", "border_alpha", "mip_meta",
+    "win_wh", "fmt", "promotion", "cutoff_gt", "cutoff_le"))
+def _classify_item(planes, uv_tri, ccw_flag, *, subdiv, addr_mode,
+                   alpha_cutoff, border_alpha, mip_meta, win_wh, fmt,
+                   promotion, cutoff_gt, cutoff_le):
+    """Level-line fine pass over all mips for one work item on device.
+
+    planes: tuple of (h, w) fp32 mip planes.
+    mip_meta: tuple of (size, size_log2, is_pow2, rcp) per mip (static).
+    win_wh: tuple of (W, H) texel window bounds per mip (static).
+    Returns (above, below) int32 (M,).
+    """
+    M = get_num_micro_triangles(subdiv)
+    idx = jnp.arange(M, dtype=jnp.uint32)
+    muvs = bird.micro_triangle_uvs(jnp.asarray(uv_tri, jnp.float32), idx,
+                                   subdiv, xp=jnp)  # (M, 3, 2)
+
+    above = jnp.zeros(M, dtype=jnp.int32)
+    below = jnp.zeros(M, dtype=jnp.int32)
+    alive = jnp.ones(M, dtype=bool)
+
+    for mip, (size, size_log2, is_pow2, rcp) in enumerate(mip_meta):
+        W, H = win_wh[mip]
+        plane = planes[mip]
+
+        def block_fn(args, _W=W, _H=H, _plane=plane, _size=size,
+                     _log2=size_log2, _pow2=is_pow2, _rcp=rcp):
+            muv = args  # (B, 3, 2)
+            seed = _bilinear_seed(_plane, muv[:, 0, :], _size, _log2, _pow2,
+                                  addr_mode, border_alpha)
+            seed_above = jnp.float32(alpha_cutoff) < seed
+
+            rf = jnp.asarray(np.array(_size, dtype=np.float32))
+            q = muv * rf + jnp.float32(-0.5)
+            qn = jnp.where(ccw_flag, q, q[:, ::-1, :])
+            amin = qn.min(axis=-2)
+            amax = qn.max(axis=-2)
+            ix0 = jnp.floor(amin[:, 0]).astype(jnp.int32)
+            iy0 = jnp.floor(amin[:, 1]).astype(jnp.int32)
+            ix1 = jnp.ceil(amax[:, 0]).astype(jnp.int32)
+            iy1 = jnp.ceil(amax[:, 1]).astype(jnp.int32)
+            x = ix0[:, None, None] + jnp.arange(_W, dtype=jnp.int32)[None, None, :]
+            y = iy0[:, None, None] + jnp.arange(_H, dtype=jnp.int32)[None, :, None]
+            inb = (x < ix1[:, None, None]) & (y < iy1[:, None, None])
+            B = muv.shape[0]
+            x = jnp.broadcast_to(x, (B, _H, _W))
+            y = jnp.broadcast_to(y, (B, _H, _W))
+            mask = inb & conservative_raster_mask(jnp, qn, x, y)
+
+            tp = make_tri_params(jnp, muv)
+            a_inc, b_inc = level_line_texel_kernel(
+                jnp, muv, tp, x, y, _plane, _size, _log2, _pow2,
+                rcp, addr_mode, alpha_cutoff, border_alpha, degenerate=False)
+            zero = jnp.int32(0)
+            a = jnp.where(mask, a_inc, zero).sum(axis=(-1, -2),
+                                                 dtype=jnp.int32)
+            b = jnp.where(mask, b_inc, zero).sum(axis=(-1, -2),
+                                                 dtype=jnp.int32)
+            a = a + seed_above.astype(jnp.int32)
+            b = b + (~seed_above).astype(jnp.int32)
+            return a, b
+
+        if M <= BLOCK:
+            a_inc, b_inc = block_fn(muvs)
+        else:
+            nblk = (M + BLOCK - 1) // BLOCK
+            pad = nblk * BLOCK - M
+            muvs_p = jnp.pad(muvs, ((0, pad), (0, 0), (0, 0)))
+            a_inc, b_inc = jax.lax.map(block_fn,
+                                       muvs_p.reshape(nblk, BLOCK, 3, 2))
+            a_inc = a_inc.reshape(-1)[:M]
+            b_inc = b_inc.reshape(-1)[:M]
+
+        above = above + jnp.where(alive, a_inc, 0)
+        below = below + jnp.where(alive, b_inc, 0)
+        if len(mip_meta) > 1:
+            st = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                         cutoff_le, above, below)
+            unknown = (st == UO) | (st == int(OpacityState.UnknownTransparent))
+            alive = alive & ~unknown
+    return above, below
+
+
+def _window_bounds(texture: Texture, uv_tri: np.ndarray, subdiv: int):
+    """Static per-mip (W, H) texel window bounds for a work item, from
+    host-side micro-triangle AABBs."""
+    M = get_num_micro_triangles(subdiv)
+    idx = np.arange(M, dtype=np.uint32)
+    muvs = bird.micro_triangle_uvs(uv_tri, idx, subdiv)
+    out = []
+    for mip in range(texture.mip_count):
+        rf = np.array(texture.size(mip), dtype=np.float32)
+        q = muvs * rf + np.float32(-0.5)
+        amin = q.min(axis=-2)
+        amax = q.max(axis=-2)
+        W = int(np.max(np.ceil(amax[:, 0]).astype(np.int64)
+                       - np.floor(amin[:, 0]).astype(np.int64)))
+        H = int(np.max(np.ceil(amax[:, 1]).astype(np.int64)
+                       - np.floor(amin[:, 1]).astype(np.int64)))
+        out.append((W, H))
+    return tuple(out)
+
+
+def classify_work_item_jax(texture: Texture, cfg, uv_tri: np.ndarray,
+                           subdiv: int, states: np.ndarray) -> np.ndarray:
+    """Drop-in fine-pass for the jax backend (linear filter,
+    non-degenerate).  Returns updated states."""
+    active = states == UO
+    if not active.any():
+        return states
+
+    ccw = bool(geom.is_ccw(uv_tri))
+    planes = tuple(jnp.asarray(texture.load_plane(m))
+                   for m in range(texture.mip_count))
+    mip_meta = tuple(
+        (texture.info[m].size, texture.info[m].size_log2,
+         texture.info[m].is_pow2,
+         (float(texture.info[m].rcp_size[0]),
+          float(texture.info[m].rcp_size[1])))
+        for m in range(texture.mip_count))
+    win = _window_bounds(texture, uv_tri, subdiv)
+
+    above, below = _classify_item(
+        planes, jnp.asarray(uv_tri, jnp.float32), jnp.asarray(ccw),
+        subdiv=subdiv, addr_mode=cfg.addr_mode,
+        alpha_cutoff=float(cfg.alpha_cutoff),
+        border_alpha=float(cfg.border_alpha), mip_meta=mip_meta, win_wh=win,
+        fmt=cfg.fmt, promotion=cfg.promotion, cutoff_gt=cfg.cutoff_gt,
+        cutoff_le=cfg.cutoff_le)
+    above = np.asarray(above)
+    below = np.asarray(below)
+
+    # Multi-mip early-break parity: the device path accumulates with the
+    # same alive-masking as the reference per-mip loop.
+    from .levelline import get_state_from_coverage as gsc
+    final = gsc(np, cfg.fmt, cfg.promotion, cfg.cutoff_gt, cfg.cutoff_le,
+                above, below)
+    out = states.copy()
+    out[active] = final[active].astype(np.uint8)
+    return out

@@ -1,0 +1,267 @@
+// Native runtime support for omm_tpu: LZ4 block codec + XXH64.
+//
+// Clean-room implementations against the public LZ4 block format and
+// XXH64 specifications (the reference SDK links the upstream lz4/xxHash
+// libraries — serialize_impl.cpp:233-273).  Exposed through a C ABI and
+// loaded from Python via ctypes (no pybind11 in this environment).
+//
+// Build: g++ -O2 -shared -fPIC omm_native.cpp -o libomm_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// XXH64 (spec: https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md)
+// ---------------------------------------------------------------------------
+
+static const uint64_t P1 = 11400714785074694791ULL;
+static const uint64_t P2 = 14029467366897019727ULL;
+static const uint64_t P3 = 1609587929392839161ULL;
+static const uint64_t P4 = 9650029242287828579ULL;
+static const uint64_t P5 = 2870177450012600261ULL;
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t read64(const uint8_t* p) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return v;
+}
+
+static inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint64_t xxh_round(uint64_t acc, uint64_t input) {
+    acc += input * P2;
+    acc = rotl64(acc, 31);
+    acc *= P1;
+    return acc;
+}
+
+static inline uint64_t xxh_merge(uint64_t acc, uint64_t val) {
+    val = xxh_round(0, val);
+    acc ^= val;
+    acc = acc * P1 + P4;
+    return acc;
+}
+
+uint64_t omm_xxh64(const uint8_t* data, size_t len, uint64_t seed) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    uint64_t h;
+
+    if (len >= 32) {
+        uint64_t v1 = seed + P1 + P2;
+        uint64_t v2 = seed + P2;
+        uint64_t v3 = seed + 0;
+        uint64_t v4 = seed - P1;
+        const uint8_t* limit = end - 32;
+        do {
+            v1 = xxh_round(v1, read64(p)); p += 8;
+            v2 = xxh_round(v2, read64(p)); p += 8;
+            v3 = xxh_round(v3, read64(p)); p += 8;
+            v4 = xxh_round(v4, read64(p)); p += 8;
+        } while (p <= limit);
+        h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+        h = xxh_merge(h, v1);
+        h = xxh_merge(h, v2);
+        h = xxh_merge(h, v3);
+        h = xxh_merge(h, v4);
+    } else {
+        h = seed + P5;
+    }
+
+    h += (uint64_t)len;
+
+    while (p + 8 <= end) {
+        h ^= xxh_round(0, read64(p));
+        h = rotl64(h, 27) * P1 + P4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h ^= (uint64_t)read32(p) * P1;
+        h = rotl64(h, 23) * P2 + P3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (*p) * P5;
+        h = rotl64(h, 11) * P1;
+        p++;
+    }
+
+    h ^= h >> 33;
+    h *= P2;
+    h ^= h >> 29;
+    h *= P3;
+    h ^= h >> 32;
+    return h;
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block format (spec: lz4_Block_format.md)
+// ---------------------------------------------------------------------------
+
+int omm_lz4_decompress_safe(const uint8_t* src, int src_size, uint8_t* dst,
+                            int dst_cap) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + src_size;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + dst_cap;
+
+    if (src_size <= 0) return -1;
+
+    for (;;) {
+        if (ip >= iend) return -1;
+        const uint8_t token = *ip++;
+
+        // literals
+        size_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+            } while (b == 255);
+        }
+        if ((size_t)(iend - ip) < lit || (size_t)(oend - op) < lit) return -1;
+        memcpy(op, ip, lit);
+        ip += lit;
+        op += lit;
+
+        if (ip == iend) break;  // block ends with literals
+
+        // match
+        if (iend - ip < 2) return -1;
+        size_t offset = (size_t)ip[0] | ((size_t)ip[1] << 8);
+        ip += 2;
+        if (offset == 0 || (size_t)(op - dst) < offset) return -1;
+
+        size_t mlen = (token & 0xF);
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += 4;
+        if ((size_t)(oend - op) < mlen) return -1;
+
+        const uint8_t* match = op - offset;
+        // overlapping copy must be byte-wise
+        for (size_t i = 0; i < mlen; ++i) op[i] = match[i];
+        op += mlen;
+    }
+    return (int)(op - dst);
+}
+
+int omm_lz4_compress_bound(int src_size) {
+    return src_size + src_size / 255 + 16;
+}
+
+// Greedy hash-table compressor (LZ4_compress_default-style fast mode).
+int omm_lz4_compress_default(const uint8_t* src, int src_size, uint8_t* dst,
+                             int dst_cap) {
+    if (src_size < 0 || dst_cap < omm_lz4_compress_bound(src_size))
+        return -1;
+
+    const int MINMATCH = 4;
+    const int MFLIMIT = 12;   // last match must start 12B before end
+    const int LASTLIT = 5;    // last 5 bytes always literals
+    uint8_t* op = dst;
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + src_size;
+    const uint8_t* anchor = src;
+
+    auto write_literals = [&](const uint8_t* from, size_t count,
+                              size_t match_len_code, bool has_match) {
+        uint8_t* token = op++;
+        size_t lit = count;
+        if (lit >= 15) {
+            *token = (uint8_t)(15 << 4);
+            size_t rem = lit - 15;
+            while (rem >= 255) { *op++ = 255; rem -= 255; }
+            *op++ = (uint8_t)rem;
+        } else {
+            *token = (uint8_t)(lit << 4);
+        }
+        memcpy(op, from, lit);
+        op += lit;
+        if (has_match) {
+            if (match_len_code >= 15) {
+                *token |= 15;
+            } else {
+                *token |= (uint8_t)match_len_code;
+            }
+        }
+        return token;
+    };
+
+    if (src_size >= MFLIMIT + 1) {
+        const int HASH_LOG = 16;
+        static uint32_t table_storage[1 << 16];
+        uint32_t* table = table_storage;
+        memset(table, 0, sizeof(uint32_t) * (1 << HASH_LOG));
+
+        const uint8_t* mflimit = iend - MFLIMIT;
+        ip++;  // first byte is always literal-ish start
+
+        while (ip <= mflimit) {
+            uint32_t seq = read32(ip);
+            uint32_t hsh = (seq * 2654435761u) >> (32 - HASH_LOG);
+            const uint8_t* match = src + table[hsh];
+            table[hsh] = (uint32_t)(ip - src);
+
+            if (match < ip && (size_t)(ip - match) <= 65535 &&
+                read32(match) == seq) {
+                // extend match forward
+                const uint8_t* limit = iend - LASTLIT;
+                size_t mlen = MINMATCH;
+                while (ip + mlen < limit && match[mlen] == ip[mlen]) mlen++;
+                // extend backwards
+                while (ip > anchor && match > src && ip[-1] == match[-1]) {
+                    ip--; match--; mlen++;
+                }
+
+                size_t lit = (size_t)(ip - anchor);
+                size_t mcode = mlen - MINMATCH;
+                uint8_t* token = write_literals(anchor, lit, mcode, true);
+                size_t offset = (size_t)(ip - match);
+                *op++ = (uint8_t)(offset & 0xFF);
+                *op++ = (uint8_t)(offset >> 8);
+                if (mcode >= 15) {
+                    size_t rem = mcode - 15;
+                    while (rem >= 255) { *op++ = 255; rem -= 255; }
+                    *op++ = (uint8_t)rem;
+                }
+                (void)token;
+                ip += mlen;
+                anchor = ip;
+                if (ip > mflimit) break;
+                // insert hash at ip-2 for better chains
+                uint32_t s2 = read32(ip - 2);
+                table[(s2 * 2654435761u) >> (32 - HASH_LOG)] =
+                    (uint32_t)(ip - 2 - src);
+            } else {
+                ip++;
+            }
+        }
+    }
+
+    // trailing literals
+    size_t lit = (size_t)(iend - anchor);
+    write_literals(anchor, lit, 0, false);
+    return (int)(op - dst);
+}
+
+}  // extern "C"

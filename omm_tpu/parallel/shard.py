@@ -1,0 +1,135 @@
+"""Multi-chip bake: shard the micro-triangle axis over a device mesh.
+
+The reference's only parallelism is OpenMP threads over work items
+(bake_cpu_impl.cpp:735,833) — the TPU-native equivalent is data parallelism
+over the micro-triangle axis via shard_map on a jax Mesh, with psum for the
+global histograms (SURVEY.md §2.9/§5.8).  Each chip holds a texture replica
+and classifies a contiguous bird-order slice of the micro-triangles; ICI
+collectives only fire at the final histogram/stats reduction.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import bird
+from ..kernels.jax_classify import _bilinear_seed
+from ..kernels.levelline import (conservative_raster_mask,
+                                 get_state_from_coverage,
+                                 level_line_texel_kernel, make_tri_params)
+from ..types import get_num_micro_triangles
+
+OMM_AXIS = "omm"
+
+
+def make_mesh(devices=None, axis: str = OMM_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _classify_block(plane, muv, ccw_flag, *, size, size_log2, is_pow2, rcp,
+                    W, H, addr_mode, alpha_cutoff, border_alpha):
+    """Level-line classify of a block of micro-tris (same math as
+    kernels.jax_classify.block_fn)."""
+    seed = _bilinear_seed(plane, muv[:, 0, :], size, size_log2, is_pow2,
+                          addr_mode, border_alpha)
+    seed_above = jnp.float32(alpha_cutoff) < seed
+
+    rf = jnp.asarray(np.array(size, dtype=np.float32))
+    q = muv * rf + jnp.float32(-0.5)
+    qn = jnp.where(ccw_flag, q, q[:, ::-1, :])
+    amin = qn.min(axis=-2)
+    amax = qn.max(axis=-2)
+    ix0 = jnp.floor(amin[:, 0]).astype(jnp.int32)
+    iy0 = jnp.floor(amin[:, 1]).astype(jnp.int32)
+    ix1 = jnp.ceil(amax[:, 0]).astype(jnp.int32)
+    iy1 = jnp.ceil(amax[:, 1]).astype(jnp.int32)
+    x = ix0[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    y = iy0[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    inb = (x < ix1[:, None, None]) & (y < iy1[:, None, None])
+    B = muv.shape[0]
+    x = jnp.broadcast_to(x, (B, H, W))
+    y = jnp.broadcast_to(y, (B, H, W))
+    mask = inb & conservative_raster_mask(jnp, qn, x, y)
+
+    a_inc, b_inc = level_line_texel_kernel(
+        jnp, muv, make_tri_params(jnp, muv), x, y, plane, size, size_log2,
+        is_pow2, rcp, addr_mode, alpha_cutoff, border_alpha, degenerate=False)
+    zero = jnp.int32(0)
+    above = jnp.where(mask, a_inc, zero).sum(axis=(-1, -2), dtype=jnp.int32)
+    below = jnp.where(mask, b_inc, zero).sum(axis=(-1, -2), dtype=jnp.int32)
+    return above + seed_above.astype(jnp.int32), below + (~seed_above).astype(jnp.int32)
+
+
+def classify_item_sharded(mesh: Mesh, plane, uv_tri, ccw: bool, *, subdiv,
+                          size, size_log2, is_pow2, rcp, W, H, addr_mode,
+                          alpha_cutoff, border_alpha, fmt, promotion,
+                          cutoff_gt, cutoff_le):
+    """Classify one work item with the micro-triangle axis sharded over the
+    mesh.  Returns (states (M,), histogram (4,)); the histogram is reduced
+    with psum over ICI."""
+    M = get_num_micro_triangles(subdiv)
+    n_dev = mesh.devices.size
+    assert M % n_dev == 0, "4^N must divide the mesh size"
+
+    def shard_fn(idx_shard, uv_tri_rep, ccw_rep, plane_rep):
+        muv = bird.micro_triangle_uvs(uv_tri_rep, idx_shard, subdiv, xp=jnp)
+        above, below = _classify_block(
+            plane_rep, muv, ccw_rep, size=size, size_log2=size_log2,
+            is_pow2=is_pow2, rcp=rcp, W=W, H=H, addr_mode=addr_mode,
+            alpha_cutoff=alpha_cutoff, border_alpha=border_alpha)
+        states = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                         cutoff_le, above, below)
+        hist = jnp.zeros(4, jnp.int32).at[states].add(1)
+        hist = jax.lax.psum(hist, OMM_AXIS)
+        return states, hist
+
+    idx = jnp.arange(M, dtype=jnp.uint32)
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(OMM_AXIS), P(), P(), P()),
+        out_specs=(P(OMM_AXIS), P()),
+    )
+    fn = jax.jit(mapped)
+    return fn(idx, jnp.asarray(uv_tri, jnp.float32), jnp.asarray(ccw), plane)
+
+
+def sharded_bake_step(mesh: Mesh, plane, uv_tris, ccws, *, subdiv, size,
+                      size_log2, is_pow2, rcp, W, H, addr_mode, alpha_cutoff,
+                      border_alpha, fmt, promotion, cutoff_gt, cutoff_le):
+    """Full multi-item bake step, jitted over the mesh: classifies a batch
+    of work items (T, 3, 2) with micro-tris sharded, producing per-item
+    states and a global state histogram.  This is the dryrun_multichip
+    entry's compiled step."""
+    M = get_num_micro_triangles(subdiv)
+    n_dev = mesh.devices.size
+    assert M % n_dev == 0
+
+    def shard_fn(idx_shard, uv_tris_rep, ccws_rep, plane_rep):
+        def one(uv_tri, ccw):
+            muv = bird.micro_triangle_uvs(uv_tri, idx_shard, subdiv, xp=jnp)
+            return _classify_block(
+                plane_rep, muv, ccw, size=size, size_log2=size_log2,
+                is_pow2=is_pow2, rcp=rcp, W=W, H=H, addr_mode=addr_mode,
+                alpha_cutoff=alpha_cutoff, border_alpha=border_alpha)
+
+        above, below = jax.vmap(one)(uv_tris_rep, ccws_rep)
+        states = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                         cutoff_le, above, below)
+        hist = jnp.zeros(4, jnp.int32).at[states.reshape(-1)].add(1)
+        hist = jax.lax.psum(hist, OMM_AXIS)
+        return states, hist
+
+    idx = jnp.arange(M, dtype=jnp.uint32)
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(OMM_AXIS), P(), P(), P()),
+        out_specs=(P(None, OMM_AXIS), P()),
+    )
+    return jax.jit(mapped)(idx, jnp.asarray(uv_tris, jnp.float32),
+                           jnp.asarray(ccws), plane)

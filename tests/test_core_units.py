@@ -1,0 +1,166 @@
+"""Unit tests for bird curve, morton codes, wrap modes, and state packing.
+
+Golden values ported from the reference unit suites
+(support/tests/test_texture.cpp, test_util.cpp) plus invariants from the
+DX/VK micromap spec."""
+import numpy as np
+import pytest
+
+from omm_tpu import bird, bit_tricks
+from omm_tpu.texture import (TEXCOORD_BORDER, Texture, get_tex_coord)
+from omm_tpu.types import TextureAddressMode as AM
+from omm_tpu.types import TextureFormat, get_num_micro_triangles
+from omm_tpu.bake import pack_states
+from omm_tpu.stats import decode_states
+from omm_tpu.types import Format
+
+
+def _tc(mode, coord, size, expected):
+    size = np.array(size, np.int32)
+    log2 = np.array([bit_tricks.ctz(int(size[0])), bit_tricks.ctz(int(size[1]))],
+                    np.int32)
+    pow2 = bit_tricks.is_pow2(int(size[0])) and bit_tricks.is_pow2(int(size[1]))
+    got = get_tex_coord(mode, np.array(coord, np.int32), size, log2, pow2)
+    assert tuple(got) == tuple(expected), \
+        f"{mode.name} {coord} {tuple(size)} -> {tuple(got)}, want {expected}"
+
+
+def test_wrap():
+    for coord, size, exp in [
+        ((512, 512), (1024, 1024), (512, 512)),
+        ((0, 512), (1024, 1024), (0, 512)),
+        ((-1, -1), (1024, 1024), (1023, 1023)),
+        ((-1024, -1), (1024, 1024), (0, 1023)),
+        ((-2048, -1), (1024, 1024), (0, 1023)),
+        ((1024, 1024), (1024, 1024), (0, 0)),
+        ((2048, 1024), (1024, 1024), (0, 0)),
+        ((512, 512), (512, 1024), (0, 512)),
+        ((-1, -1), (512, 1024), (511, 1023)),
+    ]:
+        _tc(AM.Wrap, coord, size, exp)
+
+
+def test_mirror():
+    # test_texture.cpp:63-145
+    exp_x = [0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 0, 0, 1, 2, 3,
+             4, 5, 6, 7, 7, 6]
+    for x in range(26):
+        _tc(AM.Mirror, (x, 4), (8, 8), (exp_x[x], 4))
+    exp_neg = [0, 0, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 0, 0, 1, 2,
+               3, 4, 5, 6, 7, 7]
+    for x in range(26):
+        _tc(AM.Mirror, (-x, 4), (8, 8), (exp_neg[x], 4))
+    _tc(AM.Mirror, (8, 8), (8, 8), (7, 7))
+    _tc(AM.Mirror, (16, 16), (8, 8), (0, 0))
+    _tc(AM.Mirror, (32, 32), (8, 8), (0, 0))
+    # non-pow2 size goes through the fp32 path
+    _tc(AM.Mirror, (6, 0), (6, 6), (5, 0))
+    _tc(AM.Mirror, (-1, 0), (6, 6), (0, 0))
+
+
+def test_clamp():
+    for coord, exp in [((512, 512), (512, 512)), ((-1, -1), (0, 0)),
+                       ((-2048, -1), (0, 0)), ((1024, 1024), (1023, 1023)),
+                       ((2048, 1024), (1023, 1023))]:
+        _tc(AM.Clamp, coord, (1024, 1024), exp)
+
+
+def test_border():
+    B = TEXCOORD_BORDER
+    for coord, exp in [((512, 512), (B, 512)), ((0, 512), (0, 512)),
+                       ((-1, -1), (B, B)), ((0, -1), (0, B)),
+                       ((1024, 1024), (B, B))]:
+        _tc(AM.Border, coord, (512, 1024), exp)
+
+
+def test_mirror_once():
+    exp = [0, 1, 2, 3, 4, 5, 6, 7] + [7] * 18
+    for x in range(26):
+        _tc(AM.MirrorOnce, (x, 4), (8, 8), (exp[x], 4))
+    # negative side mirrors once then clamps
+    _tc(AM.MirrorOnce, (-1, 4), (8, 8), (0, 4))
+    _tc(AM.MirrorOnce, (-8, 4), (8, 8), (7, 4))
+    _tc(AM.MirrorOnce, (-25, 4), (8, 8), (7, 4))
+
+
+def test_morton_roundtrip():
+    # test_util.cpp:16-26 over a subsampled grid + roundtrip
+    xs = np.arange(0, 1024, 7, dtype=np.uint32)
+    X, Y = np.meshgrid(xs, xs)
+    m = bit_tricks.xy_to_morton(X, Y)
+    rx, ry = bit_tricks.morton_to_xy(m)
+    assert (rx == X).all() and (ry == Y).all()
+
+
+@pytest.mark.parametrize("level", [0, 1, 2, 3, 4, 5])
+def test_num_micro_triangles(level):
+    assert get_num_micro_triangles(level) == 4 ** level
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 5])
+def test_bird_roundtrip(level):
+    """index2dbary -> dbary2index must be the identity (bird.h:57-156)."""
+    M = get_num_micro_triangles(level)
+    idx = np.arange(M, dtype=np.uint32)
+    u, v, w = bird.index2dbary(idx)
+    mask = np.uint32((1 << level) - 1)
+    got = bird.dbary2index(u & mask, v & mask, w & mask, level)
+    assert (got == idx).all()
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 4])
+def test_bird_partition(level):
+    """Micro-triangle corner UVs must exactly tile the unit triangle:
+    total area 0.5, each 0.5/4^level."""
+    M = get_num_micro_triangles(level)
+    uv0, uv1, uv2 = bird.index2bary(np.arange(M, dtype=np.uint32), level)
+    area = 0.5 * np.abs(
+        (uv1[:, 0] - uv0[:, 0]) * (uv2[:, 1] - uv0[:, 1])
+        - (uv1[:, 1] - uv0[:, 1]) * (uv2[:, 0] - uv0[:, 0]))
+    np.testing.assert_allclose(area, 0.5 / M, rtol=1e-6)
+    assert np.isclose(area.sum(), 0.5, rtol=1e-6)
+    # all corners inside the unit triangle
+    for uv in (uv0, uv1, uv2):
+        assert (uv >= 0).all() and (uv.sum(axis=-1) <= 1 + 1e-6).all()
+
+
+def test_bird_level0():
+    uv0, uv1, uv2 = bird.index2bary(np.array([0], np.uint32), 0)
+    assert tuple(uv0[0]) == (0, 0)
+    assert tuple(uv1[0]) == (1, 0)
+    assert tuple(uv2[0]) == (0, 1)
+
+
+def test_bird_level1_known():
+    """Level-1 bird order: center tri is index 1 (spec property: the
+    inverted triangle of a level-1 subdivision sits at curve index 1)."""
+    uv0, uv1, uv2 = bird.index2bary(np.arange(4, dtype=np.uint32), 1)
+    tris = np.stack([uv0, uv1, uv2], axis=1)
+    cents = tris.mean(axis=1)
+    # index 1 is the central (inverted) micro-triangle
+    np.testing.assert_allclose(cents[1], [1 / 3, 1 / 3], atol=1e-6)
+
+
+@pytest.mark.parametrize("fmt", [Format.OC1_2_State, Format.OC1_4_State])
+@pytest.mark.parametrize("level", [0, 1, 3])
+def test_pack_decode_roundtrip(fmt, level):
+    M = get_num_micro_triangles(level)
+    rng = np.random.RandomState(7)
+    hi = 2 if fmt == Format.OC1_2_State else 4
+    states = rng.randint(0, hi, M).astype(np.uint8)
+    packed = pack_states(states, fmt)
+    got = decode_states(packed, 0, level, int(fmt))
+    assert (got == states).all()
+
+
+def test_sat_query():
+    rng = np.random.RandomState(3)
+    plane = rng.rand(17, 23).astype(np.float32)
+    tex = Texture([plane], TextureFormat.FP32, alpha_cutoff=0.5)
+    binar = (plane > 0.5).astype(np.int64)
+    for _ in range(50):
+        x0, x1 = sorted(rng.randint(0, 23, 2))
+        y0, y1 = sorted(rng.randint(0, 17, 2))
+        got = tex.sat_query(np.array([x0, y0]), np.array([x1, y1]), 0)
+        want = binar[y0:y1 + 1, x0:x1 + 1].sum()
+        assert int(got) == int(want)
