@@ -33,6 +33,8 @@ from .types import (AlphaMode, BakeError, BakeFlags, BakeInputDesc,
 from .texture import Texture
 from .bake import bake
 from .stats import get_stats, collect_stats, decode_states
+from .baker import Baker
+from .log import Logger, MessageSeverity
 
 LIBRARY_VERSION = (1, 9, 0)  # capability parity target (omm.h:17-19)
 
@@ -44,4 +46,5 @@ __all__ = [
     "TextureFormat", "UnknownStatePromotion", "UsageCount", "Texture",
     "bake", "get_stats", "collect_stats", "decode_states", "get_bit_count",
     "get_num_micro_triangles", "MAX_SUBDIV_LEVEL", "LIBRARY_VERSION",
+    "Baker", "Logger", "MessageSeverity",
 ]

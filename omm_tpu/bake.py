@@ -172,35 +172,58 @@ class Options:
 # Validation (bake_cpu_impl.cpp:235-290)
 # ---------------------------------------------------------------------------
 
-def validate_desc(desc: BakeInputDesc, opts: Options):
+def validate_desc(desc: BakeInputDesc, opts: Options, log=None):
+    """ValidateDesc (bake_cpu_impl.cpp:235-290); message strings match the
+    reference exactly (they are contract-tested by test_omm_log.cpp)."""
+    from .log import Logger, format_name, opacity_state_name
+    log = log or Logger()
     if desc.texture is None:
-        raise BakeError(Result.INVALID_ARGUMENT, "texture is not set")
+        log.invalid_arg("[Invalid Argument] - texture is not set")
+    if desc.alpha_mode is None:
+        log.invalid_arg("[Invalid Argument] - alphaMode is not set")
+    if desc.runtime_sampler.addressing_mode is None:
+        log.invalid_arg("[Invalid Argument] - "
+                        "runtimeSamplerDesc.addressingMode is not set")
+    if desc.runtime_sampler.filter is None:
+        log.invalid_arg("[Invalid Argument] - runtimeSamplerDesc.filter "
+                        "is not set")
+    if desc.tex_coord_format is None:
+        log.invalid_arg("[Invalid Argument] - texCoordFormat is not set")
     if desc.tex_coords is None:
-        raise BakeError(Result.INVALID_ARGUMENT, "texCoords is not set")
+        log.invalid_arg("[Invalid Argument] - texCoords is not set")
+    if desc.index_format is None:
+        log.invalid_arg("[Invalid Argument] - indexFormat is not set")
     if desc.index_buffer is None:
-        raise BakeError(Result.INVALID_ARGUMENT, "indexBuffer is not set")
+        log.invalid_arg("[Invalid Argument] - indexBuffer is not set")
     if desc.index_count == 0:
-        raise BakeError(Result.INVALID_ARGUMENT, "indexCount is not set")
+        log.invalid_arg("[Invalid Argument] - indexCount is not set")
     if desc.max_subdivision_level > MAX_SUBDIV_LEVEL:
-        raise BakeError(Result.INVALID_ARGUMENT,
-                        f"maxSubdivisionLevel ({desc.max_subdivision_level}) "
-                        f"is greater than maximum supported ({MAX_SUBDIV_LEVEL})")
+        log.invalid_arg(f"[Invalid Argument] - maxSubdivisionLevel "
+                        f"({desc.max_subdivision_level}) is greater than "
+                        f"maximum supported ({MAX_SUBDIV_LEVEL})")
     if ((opts.enable_near_duplicate_detection
          or opts.enable_near_duplicate_detection_brute_force)
             and opts.disable_duplicate_detection):
-        raise BakeError(Result.INVALID_ARGUMENT,
-                        "near-duplicate detection used with "
-                        "DisableDuplicateDetection")
+        log.invalid_arg("[Invalid Argument] - EnableNearDuplicateDetection "
+                        "or EnableNearDuplicateDetectionBruteForce is used "
+                        "together with DisableDuplicateDetection")
+    if opts.enable_validation and not log.has_logger():
+        log.invalid_arg("[Invalid Argument] - EnableValidation is set but "
+                        "no message callback was provided")
     tex: Texture = desc.texture
     if tex.has_alpha_cutoff() and tex.alpha_cutoff != desc.alpha_cutoff:
-        raise BakeError(Result.INVALID_ARGUMENT,
-                        "texture alpha cutoff differs from bake input")
+        log.invalid_arg(f"[Invalid Argument] - Texture object alpha cutoff "
+                        f"threshold ({tex.alpha_cutoff:.6f}) is different "
+                        f"from alpha cutoff threshold in bake input "
+                        f"({desc.alpha_cutoff:.6f})")
     if not is_compatible(desc.alpha_cutoff_greater, desc.format):
-        raise BakeError(Result.INVALID_ARGUMENT,
-                        "alphaCutoffGreater incompatible with format")
+        log.invalid_arg(f"[Invalid Argument] - alphaCutoffGreater="
+                        f"{opacity_state_name(desc.alpha_cutoff_greater)} is "
+                        f"not compatible with {format_name(desc.format)}")
     if not is_compatible(desc.alpha_cutoff_less_equal, desc.format):
-        raise BakeError(Result.INVALID_ARGUMENT,
-                        "alphaCutoffLessEqual incompatible with format")
+        log.invalid_arg(f"[Invalid Argument] - alphaCutoffLessEqual="
+                        f"{opacity_state_name(desc.alpha_cutoff_less_equal)} "
+                        f"is not compatible with {format_name(desc.format)}")
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +233,8 @@ def validate_desc(desc: BakeInputDesc, opts: Options):
 DISABLED_PRIMITIVE = 0xE
 
 
-def setup_work_items(desc: BakeInputDesc, opts: Options) -> list[WorkItem]:
+def setup_work_items(desc: BakeInputDesc, opts: Options,
+                     log=None) -> list[WorkItem]:
     tex: Texture = desc.texture
     tris = geom.triangles_from_indices(
         np.asarray(desc.index_buffer)[:desc.index_count], desc.tex_coords,
@@ -221,6 +245,7 @@ def setup_work_items(desc: BakeInputDesc, opts: Options) -> list[WorkItem]:
     items: list[WorkItem] = []
     key_to_item: dict = {}
     tex_size = tex.size(0)
+    num_disabled = 0
 
     for i in range(tri_count):
         uv_tri = tris[i]
@@ -230,6 +255,7 @@ def setup_work_items(desc: BakeInputDesc, opts: Options) -> list[WorkItem]:
             opts.disable_level_line_intersection
             and bool(geom.is_degenerate(uv_tri)))
         if disabled or invalid:
+            num_disabled += 1
             continue  # resolved to unresolvedTriState at serialize time
         fmt = desc.format
         if desc.formats is not None and int(desc.formats[i]) != int(Format.INVALID):
@@ -245,11 +271,18 @@ def setup_work_items(desc: BakeInputDesc, opts: Options) -> list[WorkItem]:
                                   uv_tri=uv_tri, primitive_indices=[i]))
         else:
             items[hit].primitive_indices.append(i)
+
+    if opts.enable_validation and num_disabled != 0 and log is not None:
+        from .log import special_index_name
+        log.info(f"[Info] - The workload consists of {num_disabled} "
+                 f"unclassifiable triangles, these will be classified as "
+                 f"unresolvedTriState = "
+                 f"{special_index_name(desc.unresolved_tri_state)}.")
     return items
 
 
 def validate_workload_size(desc: BakeInputDesc, opts: Options,
-                           items: list[WorkItem]):
+                           items: list[WorkItem], log=None):
     """bake_cpu_impl.cpp:662-713."""
     limit = desc.max_workload_size != 0xFFFFFFFFFFFFFFFF
     if not opts.enable_validation and not limit:
@@ -266,6 +299,14 @@ def validate_workload_size(desc: BakeInputDesc, opts: Options,
         workload += v % (1 << 64)
     if limit and workload > desc.max_workload_size:
         raise BakeError(Result.WORKLOAD_TOO_BIG, "workload too big")
+
+    if opts.enable_validation and workload > (1 << 27) and log is not None:
+        num_1k = workload >> 20
+        log.perf_warn(
+            f"[Perf Warning] - The workload consists of {workload} work "
+            f"items (number of texels to classify), which corresponds to "
+            f"roughly {num_1k} 1024x1024 textures. This is unusually large "
+            f"and may result in long bake times.")
 
 
 # ---------------------------------------------------------------------------
@@ -651,7 +692,11 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
             if it.special_index != NO_SPECIAL_INDEX:
                 index_buffer[prim] = it.special_index
             else:
-                index_buffer[prim] = it.desc_offset
+                # desc_offset is uint32 (0xFFFFFFFF when never assigned,
+                # possible with mixed per-triangle formats — the reference
+                # stores it into the int32 buffer with wraparound).
+                v = it.desc_offset
+                index_buffer[prim] = v - (1 << 32) if v >= (1 << 31) else v
 
     flags = BakeFlags(desc.bake_flags)
     allow8 = bool(flags & BakeFlags.Allow8BitIndices)
@@ -682,18 +727,26 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
 # Top-level bake
 # ---------------------------------------------------------------------------
 
-def bake(desc: BakeInputDesc, backend: str = "numpy") -> BakeResult:
+def bake(desc: BakeInputDesc, backend: str = "numpy",
+         logger=None) -> BakeResult:
     """Full CPU-parity bake (BakeImpl, bake_cpu_impl.cpp:1923-1985).
 
     backend: 'numpy' (oracle), 'jax' (jit on default device), or 'pallas'
     (TPU kernel for the classification hot loop).
+    logger: optional omm_tpu.log.Logger routing validation messages to a
+    user message callback.
     """
+    from .log import Logger
+    log = logger or Logger()
     opts = Options.from_flags(desc.bake_flags)
-    validate_desc(desc, opts)
+    if desc.texture is None:
+        log.invalid_arg("[Invalid Argument] - ommCpuBakeInputDesc has no "
+                        "texture set")
+    validate_desc(desc, opts, log)
     tex: Texture = desc.texture
 
-    items = setup_work_items(desc, opts)
-    validate_workload_size(desc, opts, items)
+    items = setup_work_items(desc, opts, log)
+    validate_workload_size(desc, opts, items, log)
 
     cfg = engine.ResampleConfig(
         addr_mode=desc.runtime_sampler.addressing_mode,
@@ -716,9 +769,9 @@ def bake(desc: BakeInputDesc, backend: str = "numpy") -> BakeResult:
         xp = np
         classify = None
     elif backend == "jax":
-        from .kernels.jax_classify import classify_work_item_jax
+        from .kernels.jax_classify import classify_work_item_device
         xp = np
-        classify = classify_work_item_jax
+        classify = classify_work_item_device
     elif backend == "pallas":
         from .kernels.pallas_classify import classify_work_item_pallas
         xp = np

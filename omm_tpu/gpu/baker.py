@@ -1,0 +1,372 @@
+"""Deferred "GPU baker" pipeline: the dispatch-chain API re-designed for TPU.
+
+The reference GPU baker (bake_gpu_impl.{h,cpp} + 24 HLSL shaders) never
+touches the device itself: it emits a labeled command chain (clears, init,
+work-setup, per-level indirect rasterize, desc-patch, index-write) that the
+client's renderer executes, with scratch sub-allocated from transient pools
+and the workload split into batches bounded by maxScratchMemorySize
+(bake_gpu_impl.cpp:434-679, 788-1272).
+
+On TPU we own the device, so the chain is a plan of labeled passes over jax
+arrays executed by this module: indirect dispatch becomes per-level padded
+batches, the CAS hash-table dedup of work-setup (omm_work_setup_cs.cs.hlsl)
+becomes a sort/unique over UV keys, and atomics become segment reductions.
+The plan is still introspectable (pass labels mirror the reference's debug
+markers) and the setup/bake phases can run separately (PerformSetup /
+PerformBake, omm.h:696-710).
+
+GPU-baker semantic differences from the CPU baker are preserved: no
+post-bake dedup or near-duplicate merging (integration_guide.md:129-131),
+special-index promotion from the micro-triangle tally, conservative
+output-size estimates in the pre-dispatch info.
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .. import engine, geom
+from ..bake import (compute_area_heuristic, create_usage_histograms,
+                    micromap_spatial_sort, pack_states, serialize_result,
+                    Options, WorkItem)
+from ..texture import Texture
+from ..types import (BakeError, BakeInputDesc, BakeResult, Format,
+                     IndexFormat, OpacityState, Result, SamplerDesc,
+                     SpecialIndex, TextureFilterMode, UnknownStatePromotion,
+                     get_bit_count, get_num_micro_triangles,
+                     MAX_NUM_SUBDIV_LEVELS)
+
+UO = int(OpacityState.UnknownOpaque)
+
+
+class GpuBakeFlags(enum.IntFlag):
+    """ommGpuBakeFlags (omm.h:694-744)."""
+
+    Invalid = 0
+    PerformSetup = 1 << 0
+    PerformBake = 1 << 1
+    PerformSetupAndBake = 3
+    ComputeOnly = 1 << 2
+    EnablePostDispatchInfoStats = 1 << 3
+    DisableSpecialIndices = 1 << 4
+    DisableTexCoordDeduplication = 1 << 5
+    Force32BitIndices = 1 << 6
+    DisableLevelLineIntersection = 1 << 7
+    EnableNsightDebugMode = 1 << 8
+    Allow8BitIndices = 1 << 9
+
+
+class ScratchMemoryBudget(enum.IntEnum):
+    """ommGpuScratchMemoryBudget (omm.h:681-692)."""
+
+    MB_4 = 4 << 20
+    MB_32 = 32 << 20
+    MB_64 = 64 << 20
+    MB_128 = 128 << 20
+    MB_256 = 256 << 20
+    MB_512 = 512 << 20
+    MB_1024 = 1024 << 20
+    Default = 256 << 20
+
+
+@dataclass
+class DispatchConfigDesc:
+    """ommGpuDispatchConfigDesc (omm.h:997-1083), array-ified."""
+
+    bake_flags: GpuBakeFlags = GpuBakeFlags.PerformSetupAndBake
+    runtime_sampler: SamplerDesc = field(default_factory=SamplerDesc)
+    alpha_texture: Optional[Texture] = None
+    alpha_texture_channel: int = 3  # metadata; Texture is single-channel
+    tex_coords: Optional[np.ndarray] = None
+    index_buffer: Optional[np.ndarray] = None
+    index_count: int = 0
+    alpha_cutoff: float = 0.5
+    alpha_cutoff_less_equal: OpacityState = OpacityState.Transparent
+    alpha_cutoff_greater: OpacityState = OpacityState.Opaque
+    dynamic_subdivision_scale: float = 2.0
+    global_format: Format = Format.OC1_4_State
+    max_subdivision_level: int = 8
+    enable_subdivision_level_buffer: bool = False
+    subdivision_levels: Optional[np.ndarray] = None
+    max_out_omm_array_size: int = 0xFFFFFFFF
+    max_scratch_memory_size: ScratchMemoryBudget = ScratchMemoryBudget.Default
+    unknown_state_promotion: UnknownStatePromotion = UnknownStatePromotion.ForceOpaque
+
+
+@dataclass
+class PreDispatchInfo:
+    """ommGpuPreDispatchInfo (omm.h:958-995): conservative output sizes and
+    scratch plan."""
+
+    out_omm_index_buffer_format: IndexFormat = IndexFormat.UINT_32
+    out_omm_index_count: int = 0
+    out_omm_array_size_in_bytes: int = 0
+    out_omm_desc_size_in_bytes: int = 0
+    out_omm_index_buffer_size_in_bytes: int = 0
+    out_omm_array_histogram_size_in_bytes: int = 0
+    out_omm_index_histogram_size_in_bytes: int = 0
+    transient_pool_buffer_sizes: tuple = ()
+    max_batch_count: int = 1
+
+
+@dataclass
+class PostDispatchInfo:
+    """ommGpuPostDispatchInfo (omm.h:1098-1114)."""
+
+    out_omm_array_size_in_bytes: int = 0
+    out_omm_desc_size_in_bytes: int = 0
+    out_stats_total_opaque_count: int = 0
+    out_stats_total_transparent_count: int = 0
+    out_stats_total_unknown_count: int = 0
+    out_stats_total_fully_opaque_count: int = 0
+    out_stats_total_fully_transparent_count: int = 0
+    out_stats_total_fully_unknown_count: int = 0
+
+
+@dataclass
+class Pass:
+    """One labeled step of the dispatch chain (analog of
+    ommGpuDispatchDesc + Begin/EndLabel markers)."""
+
+    label: str
+    kind: str  # 'clear' | 'setup' | 'classify' | 'desc_patch' | 'index_write'
+    detail: dict = field(default_factory=dict)
+
+
+@dataclass
+class DispatchChain:
+    passes: list[Pass]
+    execute: callable  # () -> (BakeResult, PostDispatchInfo)
+
+
+# Pass registry names mirror the reference pipeline's shader inventory
+# (bake_gpu_impl.cpp:313-419) for tooling/marker parity.
+PIPELINE_PASS_NAMES = (
+    "omm_clear_buffer",
+    "omm_init_buffers_cs",
+    "omm_work_setup_cs",
+    "omm_work_setup_bake_only_cs",
+    "omm_post_build_info",
+    "omm_rasterize_cs",
+    "omm_desc_patch",
+    "omm_index_write",
+)
+
+
+class Pipeline:
+    """Analog of ommGpuPipeline: holds the pass registry and planner."""
+
+    def __init__(self, render_api: str = "xla"):
+        self.render_api = render_api
+
+    def get_pipeline_desc(self):
+        return {"passes": PIPELINE_PASS_NAMES,
+                "static_samplers": 8,  # 4 address modes x 2 filters
+                "render_api": self.render_api}
+
+    # -- Phase B: resource planning (bake_gpu_impl.cpp:434-679) -------------
+    def get_pre_dispatch_info(self, cfg: DispatchConfigDesc) -> PreDispatchInfo:
+        tri_count = cfg.index_count // 3
+        levels = self._subdiv_levels(cfg)
+        max_level = int(levels.max()) if len(levels) else 0
+
+        bit_count = get_bit_count(cfg.global_format)
+        # Conservative: every primitive unique at its own level.
+        array_size = 0
+        for lvl in np.bincount(levels, minlength=MAX_NUM_SUBDIV_LEVELS).nonzero()[0]:
+            cnt = int((levels == lvl).sum())
+            array_size += cnt * max((get_num_micro_triangles(int(lvl))
+                                     * bit_count) >> 3, 1)
+        array_size = min(array_size, cfg.max_out_omm_array_size)
+
+        force32 = bool(cfg.bake_flags & GpuBakeFlags.Force32BitIndices)
+        allow8 = bool(cfg.bake_flags & GpuBakeFlags.Allow8BitIndices)
+        if allow8 and tri_count <= 127 and not force32:
+            fmt = IndexFormat.UINT_8
+            idx_size = tri_count
+        elif tri_count <= 32767 and not force32:
+            fmt = IndexFormat.UINT_16
+            idx_size = tri_count * 2
+        else:
+            fmt = IndexFormat.UINT_32
+            idx_size = tri_count * 4
+
+        # Scratch: per-batch micro-tri state buffer; batch count bounds it
+        # under the budget (bake_gpu_impl.cpp:517-584).
+        per_tri_scratch = get_num_micro_triangles(max_level) * 8
+        budget = int(cfg.max_scratch_memory_size)
+        tris_per_batch = max(1, budget // max(per_tri_scratch, 1))
+        max_batch_count = (tri_count + tris_per_batch - 1) // max(tris_per_batch, 1)
+        scratch = min(tri_count, tris_per_batch) * per_tri_scratch
+
+        return PreDispatchInfo(
+            out_omm_index_buffer_format=fmt,
+            out_omm_index_count=tri_count,
+            out_omm_array_size_in_bytes=array_size,
+            out_omm_desc_size_in_bytes=tri_count * 8,
+            out_omm_index_buffer_size_in_bytes=idx_size,
+            out_omm_array_histogram_size_in_bytes=8 * 2 * MAX_NUM_SUBDIV_LEVELS,
+            out_omm_index_histogram_size_in_bytes=8 * 2 * MAX_NUM_SUBDIV_LEVELS,
+            transient_pool_buffer_sizes=(scratch,),
+            max_batch_count=max_batch_count,
+        )
+
+    # -- Phase C+D: dispatch-chain build + execution -------------------------
+    def dispatch(self, cfg: DispatchConfigDesc,
+                 backend: str = "jax") -> DispatchChain:
+        self._validate(cfg)
+        levels = self._subdiv_levels(cfg)
+        tri_count = cfg.index_count // 3
+        passes = [Pass("Clear", "clear", {}),
+                  Pass("Init", "setup", {}),
+                  Pass("WorkSetup", "setup",
+                       {"dedup": not (cfg.bake_flags
+                                      & GpuBakeFlags.DisableTexCoordDeduplication)})]
+        for lvl in sorted(set(int(l) for l in levels)):
+            passes.append(Pass(f"Level {lvl}", "classify",
+                               {"level": lvl,
+                                "count": int((levels == lvl).sum())}))
+        passes.append(Pass("DescPatch", "desc_patch", {}))
+        passes.append(Pass("IndexWrite", "index_write", {}))
+
+        def execute():
+            return self._execute(cfg, levels, backend)
+
+        return DispatchChain(passes=passes, execute=execute)
+
+    # -- internals -----------------------------------------------------------
+    def _validate(self, cfg: DispatchConfigDesc):
+        if cfg.alpha_texture is None:
+            raise BakeError(Result.INVALID_ARGUMENT, "alpha texture not set")
+        if cfg.tex_coords is None or cfg.index_buffer is None:
+            raise BakeError(Result.INVALID_ARGUMENT, "geometry not set")
+        if not (cfg.bake_flags & GpuBakeFlags.PerformSetupAndBake):
+            raise BakeError(Result.INVALID_ARGUMENT,
+                            "PerformSetup and/or PerformBake must be set")
+
+    def _subdiv_levels(self, cfg: DispatchConfigDesc) -> np.ndarray:
+        """Per-primitive levels: subdivision-level buffer override or the
+        UV-area heuristic (omm_common.hlsli:180-195,228-240 — same formula
+        as the CPU baker)."""
+        tris = np.asarray(cfg.tex_coords, np.float32)[
+            np.asarray(cfg.index_buffer, np.int64)[:cfg.index_count]
+        ].reshape(-1, 3, 2)
+        tex_size = cfg.alpha_texture.size(0)
+        fake = BakeInputDesc(dynamic_subdivision_scale=cfg.dynamic_subdivision_scale,
+                             max_subdivision_level=cfg.max_subdivision_level)
+        out = np.empty(len(tris), np.int32)
+        for i, t in enumerate(tris):
+            if (cfg.enable_subdivision_level_buffer
+                    and cfg.subdivision_levels is not None):
+                v = int(np.int8(cfg.subdivision_levels[i]))
+                if v >= 0:
+                    out[i] = min(v, 12)
+                    continue
+                if v == -1:
+                    out[i] = cfg.max_subdivision_level
+                    continue
+                # -2: automatic heuristic
+            if cfg.dynamic_subdivision_scale > 0:
+                out[i] = compute_area_heuristic(fake, t, tex_size)
+            else:
+                out[i] = cfg.max_subdivision_level
+        return out
+
+    def _execute(self, cfg: DispatchConfigDesc, levels: np.ndarray,
+                 backend: str):
+        tex = cfg.alpha_texture
+        tris = np.asarray(cfg.tex_coords, np.float32)[
+            np.asarray(cfg.index_buffer, np.int64)[:cfg.index_count]
+        ].reshape(-1, 3, 2)
+        tri_count = len(tris)
+        dedup = not (cfg.bake_flags & GpuBakeFlags.DisableTexCoordDeduplication)
+        disable_special = bool(cfg.bake_flags & GpuBakeFlags.DisableSpecialIndices)
+
+        # WorkSetup: first-occurrence dedup on (UVs, level) like the CAS
+        # hash table (omm_work_setup_cs.cs.hlsl:26-153) but via a dict.
+        items: list[WorkItem] = []
+        seen: dict = {}
+        for i in range(tri_count):
+            if not np.isfinite(tris[i]).all():
+                continue
+            key = (tris[i].tobytes(), int(levels[i]))
+            hit = seen.get(key) if dedup else None
+            if hit is None:
+                seen[key] = len(items)
+                items.append(WorkItem(subdivision_level=int(levels[i]),
+                                      vm_format=cfg.global_format,
+                                      uv_tri=tris[i],
+                                      primitive_indices=[i]))
+            else:
+                items[hit].primitive_indices.append(i)
+
+        rcfg = engine.ResampleConfig(
+            addr_mode=cfg.runtime_sampler.addressing_mode,
+            filter=cfg.runtime_sampler.filter,
+            alpha_cutoff=cfg.alpha_cutoff,
+            border_alpha=cfg.runtime_sampler.border_alpha,
+            fmt=cfg.global_format,
+            promotion=cfg.unknown_state_promotion,
+            cutoff_gt=cfg.alpha_cutoff_greater,
+            cutoff_le=cfg.alpha_cutoff_less_equal,
+            disable_level_line=bool(cfg.bake_flags
+                                    & GpuBakeFlags.DisableLevelLineIntersection),
+            enable_aabb_testing=bool(cfg.bake_flags
+                                     & GpuBakeFlags.DisableLevelLineIntersection),
+        )
+        if backend == "jax":
+            from ..kernels.jax_classify import classify_work_item_jax
+        for it in items:
+            degen = bool(geom.is_degenerate(it.uv_tri))
+            if (backend == "jax" and not degen
+                    and rcfg.filter == TextureFilterMode.Linear
+                    and not rcfg.disable_level_line):
+                it.states = classify_work_item_jax(tex, rcfg, it.uv_tri,
+                                                   it.subdivision_level,
+                                                   it.states)
+            else:
+                it.states = engine.resample_fine_item(
+                    tex, rcfg, it.uv_tri, it.subdivision_level, it.states)
+
+        # DescPatch: promote uniform primitives to special indices
+        # (omm_desc_patch.cs.hlsl:23-200).
+        for it in items:
+            st = it.states
+            if not disable_special and bool((st == st[0]).all()):
+                it.special_index = -int(st[0]) - 1
+
+        arr_hist, idx_hist = create_usage_histograms(items)
+        order = micromap_spatial_sort(items)
+
+        fake_desc = BakeInputDesc(
+            texture=tex, tex_coords=cfg.tex_coords,
+            index_buffer=cfg.index_buffer, index_count=cfg.index_count,
+            format=cfg.global_format,
+            unresolved_tri_state=SpecialIndex.FullyUnknownOpaque,
+            bake_flags=0)
+        if cfg.bake_flags & GpuBakeFlags.Force32BitIndices:
+            from ..types import BakeFlags
+            fake_desc.bake_flags = BakeFlags.Force32BitIndices
+        elif cfg.bake_flags & GpuBakeFlags.Allow8BitIndices:
+            from ..types import BakeFlags
+            fake_desc.bake_flags = BakeFlags.Allow8BitIndices
+        result = serialize_result(fake_desc, items, arr_hist, idx_hist, order)
+
+        post = PostDispatchInfo(
+            out_omm_array_size_in_bytes=len(result.array_data),
+            out_omm_desc_size_in_bytes=8 * len(result.desc_array))
+        if cfg.bake_flags & GpuBakeFlags.EnablePostDispatchInfoStats:
+            from ..stats import collect_stats
+            s = collect_stats(result)
+            post.out_stats_total_opaque_count = s.total_opaque
+            post.out_stats_total_transparent_count = s.total_transparent
+            post.out_stats_total_unknown_count = (
+                s.total_unknown_opaque + s.total_unknown_transparent)
+            post.out_stats_total_fully_opaque_count = s.total_fully_opaque
+            post.out_stats_total_fully_transparent_count = s.total_fully_transparent
+            post.out_stats_total_fully_unknown_count = (
+                s.total_fully_unknown_opaque + s.total_fully_unknown_transparent)
+        return result, post

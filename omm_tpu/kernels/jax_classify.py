@@ -162,6 +162,18 @@ def _window_bounds(texture: Texture, uv_tri: np.ndarray, subdiv: int):
     return tuple(out)
 
 
+def classify_work_item_device(texture: Texture, cfg, uv_tri: np.ndarray,
+                              subdiv: int, states: np.ndarray) -> np.ndarray:
+    """Device fine-pass: MXU one-hot-matmul engine when its fast-path
+    preconditions hold (kernels/mxu_classify.py), XLA-gather path
+    otherwise.  Both are bit-exact with the numpy oracle."""
+    from .mxu_classify import classify_work_item_mxu
+    out = classify_work_item_mxu(texture, cfg, uv_tri, subdiv, states)
+    if out is not None:
+        return out
+    return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
+
+
 def classify_work_item_jax(texture: Texture, cfg, uv_tri: np.ndarray,
                            subdiv: int, states: np.ndarray) -> np.ndarray:
     """Drop-in fine-pass for the jax backend (linear filter,

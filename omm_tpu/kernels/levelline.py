@@ -192,19 +192,6 @@ def level_line_texel_kernel(xp, tri_uv, tri_params, px_i, py_i, texture_planes,
     texture_planes: fp32 (h, w) alpha plane of this mip.
     Returns (above_inc, below_inc) int32 arrays (values 0..2).
     """
-    cutoff = _f32(xp, alpha_cutoff)
-    half = _f32(xp, 0.5)
-
-    sizef_x = _f32(xp, float(tex_size[0]))
-    sizef_y = _f32(xp, float(tex_size[1]))
-    inv_x = _f32(xp, float(rcp_size[0]))
-    inv_y = _f32(xp, float(rcp_size[1]))
-
-    pixelf_x = px_i.astype(xp.float32) + half
-    pixelf_y = py_i.astype(xp.float32) + half
-    invpix_x = pixelf_x * inv_x
-    invpix_y = pixelf_y * inv_y
-
     coords = xp.stack([px_i, py_i], axis=-1)
     c00, c10, c01, c11 = gather_tex_coord4(
         addr_mode, coords, np.array(tex_size, np.int32),
@@ -230,6 +217,34 @@ def level_line_texel_kernel(xp, tri_uv, tri_params, px_i, py_i, texture_planes,
     gy = load(c01)
     gz = load(c11)
     gw = load(c10)
+
+    return level_line_values_kernel(
+        xp, tri_uv, tri_params, px_i, py_i, gx, gy, gz, gw, tex_size,
+        rcp_size, alpha_cutoff, degenerate, aabb_s=aabb_s, aabb_e=aabb_e)
+
+
+def level_line_values_kernel(xp, tri_uv, tri_params, px_i, py_i,
+                             gx, gy, gz, gw, tex_size, rcp_size,
+                             alpha_cutoff, degenerate: bool,
+                             aabb_s=None, aabb_e=None):
+    """Core level-line math with the 2x2 quad values already fetched.
+
+    Shared by the gather path above and the MXU one-hot-matmul path
+    (kernels/mxu_classify.py) so the fp32 op order is identical everywhere.
+    tri_uv accessors add two trailing broadcast axes (see make_tri_params).
+    """
+    cutoff = _f32(xp, alpha_cutoff)
+    half = _f32(xp, 0.5)
+
+    sizef_x = _f32(xp, float(tex_size[0]))
+    sizef_y = _f32(xp, float(tex_size[1]))
+    inv_x = _f32(xp, float(rcp_size[0]))
+    inv_y = _f32(xp, float(rcp_size[1]))
+
+    pixelf_x = px_i.astype(xp.float32) + half
+    pixelf_y = py_i.astype(xp.float32) + half
+    invpix_x = pixelf_x * inv_x
+    invpix_y = pixelf_y * inv_y
 
     zero_i = xp.int32(0)
     one_i = xp.int32(1)
@@ -273,12 +288,15 @@ def level_line_texel_kernel(xp, tri_uv, tri_params, px_i, py_i, texture_planes,
         e1y = sizef_y * aabb_e[..., 1][..., None, None] - pixelf_y
         hit = edge_hyperbola_hit(xp, e0x, e0y, e1x, e1y, ha, b, c, d)
     else:
+        corner = [(tri_params["p0x"], tri_params["p0y"]),
+                  (tri_params["p1x"], tri_params["p1y"]),
+                  (tri_params["p2x"], tri_params["p2y"])]
         hit = None
         for e in range(3):
-            p0x = sizef_x * tri_uv[..., e, 0][..., None, None] - pixelf_x
-            p0y = sizef_y * tri_uv[..., e, 1][..., None, None] - pixelf_y
-            p1x = sizef_x * tri_uv[..., (e + 1) % 3, 0][..., None, None] - pixelf_x
-            p1y = sizef_y * tri_uv[..., (e + 1) % 3, 1][..., None, None] - pixelf_y
+            p0x = sizef_x * corner[e][0] - pixelf_x
+            p0y = sizef_y * corner[e][1] - pixelf_y
+            p1x = sizef_x * corner[(e + 1) % 3][0] - pixelf_x
+            p1y = sizef_y * corner[(e + 1) % 3][1] - pixelf_y
             h = edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, b, c, d)
             hit = h if hit is None else (hit | h)
 

@@ -1,15 +1,78 @@
-"""Conservative line rasterization (DDA cell walk) for degenerate triangles.
+"""Line rasterization: conservative DDA cell walk + Bresenham.
 
-Port of RasterizeLineConservativeImpl (util/cpu_raster.h:487-555).  The walk
-is inherently sequential per segment; degenerate (point/line) UV triangles
-are rare, so this runs on host in fp32 numpy and yields the visited cell
-list per segment.
+Ports of RasterizeLineConservativeImpl (util/cpu_raster.h:487-555) and the
+Bresenham RasterizeLineImpl (cpu_raster.h:385-484).  The walks are
+inherently sequential per segment; degenerate (point/line) UV triangles are
+rare, so these run on host in fp32 numpy and yield visited cell lists.
 """
 from __future__ import annotations
 
 import numpy as np
 
 F = np.float32
+
+
+def bresenham_line_cells(p0, p1, raster_size):
+    """Visited cells of the Bresenham walk (cpu_raster.h:385-484).
+
+    Endpoints are swapped so p0.x <= p1.x before scaling, like the
+    reference.  Returns int32 (K, 2)."""
+    a = np.asarray(p0, np.float32)
+    b = np.asarray(p1, np.float32)
+    if a[0] > b[0]:
+        a, b = b, a
+    x0 = int(a[0] * raster_size[0])
+    x1 = int(b[0] * raster_size[0])
+    y0 = int(a[1] * raster_size[1])
+    y1 = int(b[1] * raster_size[1])
+
+    cells = []
+
+    def plot_low(x0, y0, x1, y1):
+        dx = x1 - x0
+        dy = y1 - y0
+        yi = 1
+        if dy < 0:
+            yi = -1
+            dy = -dy
+        d = 2 * dy - dx
+        y = y0
+        for x in range(x0, x1 + 1):
+            cells.append((x, y))
+            if d > 0:
+                y += yi
+                d += 2 * (dy - dx)
+            else:
+                d += 2 * dy
+
+    def plot_high(x0, y0, x1, y1):
+        dx = x1 - x0
+        dy = y1 - y0
+        xi = 1
+        if dx < 0:
+            xi = -1
+            dx = -dx
+        d = 2 * dx - dy
+        x = x0
+        for y in range(y0, y1 + 1):
+            cells.append((x, y))
+            if d > 0:
+                x += xi
+                d += 2 * (dx - dy)
+            else:
+                d += 2 * dx
+
+    if abs(y1 - y0) < abs(x1 - x0):
+        if x0 > x1:
+            plot_low(x1, y1, x0, y0)
+        else:
+            plot_low(x0, y0, x1, y1)
+    else:
+        if y0 > y1:
+            plot_high(x1, y1, x0, y0)
+        else:
+            plot_high(x0, y0, x1, y1)
+    return np.asarray(cells, dtype=np.int32).reshape(-1, 2)
 
 
 def conservative_line_cells(p0, p1, raster_size, offset):

@@ -1,0 +1,141 @@
+"""GPU-baker analog: dispatch-chain API parity tests.
+
+Oracles from the reference GPU suite (test_omm_bake_gpu.cpp); histogram
+self-consistency mirrors util/omm_histogram.cpp:20-122."""
+import numpy as np
+import pytest
+
+import omm_tpu as omm
+from omm_tpu import gpu
+from omm_tpu.stats import get_stats
+
+from fixtures import standard_circle
+
+
+def validate_histograms(res: omm.BakeResult):
+    """util/omm_histogram.cpp: histograms must match a recount from the
+    desc array / index buffer."""
+    from collections import Counter
+    arr = Counter((d.subdivision_level, d.format) for d in res.desc_array)
+    got = Counter()
+    for u in res.desc_array_histogram:
+        assert u.count != 0
+        got[(u.subdivision_level, u.format)] += u.count
+    assert arr == got
+
+    idx = Counter()
+    for i in range(res.index_count):
+        v = int(res.index_buffer[i])
+        if v < 0:
+            continue
+        d = res.desc_array[v]
+        idx[(d.subdivision_level, d.format)] += 1
+    got = Counter()
+    for u in res.index_histogram:
+        assert u.count != 0
+        got[(u.subdivision_level, u.format)] += u.count
+    assert idx == got
+
+
+def _dispatch(plane, subdiv, **kw):
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    cfg = gpu.DispatchConfigDesc(
+        alpha_texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32),
+        index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32),
+        index_count=6,
+        max_subdivision_level=subdiv,
+        dynamic_subdivision_scale=0.0,
+        **kw)
+    pipe = gpu.Pipeline()
+    info = pipe.get_pre_dispatch_info(cfg)
+    chain = pipe.dispatch(cfg, backend="numpy")
+    assert [p.label for p in chain.passes[:3]] == ["Clear", "Init", "WorkSetup"]
+    res, post = chain.execute()
+    assert post.out_omm_array_size_in_bytes <= info.out_omm_array_size_in_bytes
+    validate_histograms(res)
+    return res, post, info
+
+
+def test_gpu_circle():
+    """test_omm_bake_gpu.cpp:897-921 (GPU default = ForceOpaque promotion)."""
+    res, post, info = _dispatch(standard_circle(1024, 1024), 4)
+    s = get_stats(res)
+    assert (s.total_opaque, s.total_transparent, s.total_unknown_transparent,
+            s.total_unknown_opaque) == (204, 219, 0, 89)
+
+
+def test_gpu_post_dispatch_stats():
+    res, post, _ = _dispatch(
+        standard_circle(1024, 1024), 4,
+        bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                    | gpu.GpuBakeFlags.EnablePostDispatchInfoStats))
+    s = get_stats(res)
+    assert post.out_stats_total_opaque_count == s.total_opaque
+    assert post.out_stats_total_unknown_count == (
+        s.total_unknown_opaque + s.total_unknown_transparent)
+    assert post.out_omm_array_size_in_bytes == len(res.array_data)
+
+
+def test_gpu_disable_special_indices():
+    plane = np.full((64, 64), 0.9, np.float32)
+    res, _, _ = _dispatch(plane, 2,
+                          bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                                      | gpu.GpuBakeFlags.DisableSpecialIndices))
+    assert (res.index_buffer >= 0).all()
+    res2, _, _ = _dispatch(plane, 2)
+    assert (res2.index_buffer == int(omm.SpecialIndex.FullyOpaque)).all()
+
+
+def test_gpu_dedup_flag():
+    plane = standard_circle(128, 128)
+    r_dedup, _, _ = _dispatch(plane, 3)
+    r_nodedup, _, _ = _dispatch(
+        plane, 3, bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                              | gpu.GpuBakeFlags.DisableTexCoordDeduplication))
+    assert get_stats(r_dedup) == get_stats(r_nodedup)
+    assert len(r_nodedup.desc_array) >= len(r_dedup.desc_array)
+
+
+def test_gpu_subdivision_level_buffer():
+    plane = standard_circle(128, 128)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    cfg = gpu.DispatchConfigDesc(
+        alpha_texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32),
+        index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32),
+        index_count=6, max_subdivision_level=4,
+        dynamic_subdivision_scale=0.0,
+        enable_subdivision_level_buffer=True,
+        bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                    | gpu.GpuBakeFlags.DisableSpecialIndices),
+        subdivision_levels=np.array([1, 3], np.int8))
+    res, _post = gpu.Pipeline().dispatch(cfg, backend="numpy").execute()
+    lvls = sorted(d.subdivision_level for d in res.desc_array)
+    assert lvls == [1, 3]
+
+
+def test_gpu_index_formats():
+    plane = standard_circle(128, 128)
+    res, _, info = _dispatch(plane, 3,
+                             bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                                         | gpu.GpuBakeFlags.Allow8BitIndices))
+    assert res.index_format == omm.IndexFormat.UINT_8
+    assert info.out_omm_index_buffer_format == omm.IndexFormat.UINT_8
+    res32, _, _ = _dispatch(plane, 3,
+                            bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                                        | gpu.GpuBakeFlags.Force32BitIndices))
+    assert res32.index_format == omm.IndexFormat.UINT_32
+
+
+def test_gpu_batching_plan():
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    tc = np.random.RandomState(0).rand(3000, 2).astype(np.float32)
+    ib = np.arange(3000, dtype=np.uint32)
+    cfg = gpu.DispatchConfigDesc(
+        alpha_texture=tex, tex_coords=tc, index_buffer=ib, index_count=3000,
+        max_subdivision_level=9, dynamic_subdivision_scale=0.0,
+        max_scratch_memory_size=gpu.ScratchMemoryBudget.MB_4)
+    info = gpu.Pipeline().get_pre_dispatch_info(cfg)
+    assert info.max_batch_count > 1
+    assert info.transient_pool_buffer_sizes[0] <= int(gpu.ScratchMemoryBudget.MB_4) * 2

@@ -1,0 +1,147 @@
+"""Validation message strings (test_omm_log.cpp parity) + debug dumps."""
+import os
+
+import numpy as np
+import pytest
+
+import omm_tpu as omm
+from omm_tpu.baker import Baker
+from omm_tpu.log import MessageSeverity
+
+from fixtures import standard_circle
+
+
+def _bake_with_messages(mutate, expect_result, expected_msgs):
+    msgs = []
+    baker = Baker(lambda sev, m: msgs.append((sev, m)))
+    tex = baker.create_texture([standard_circle(16, 16)],
+                               omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex, dynamic_subdivision_scale=0.0,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0]], np.float32),
+        index_buffer=np.array([0, 1, 2], np.uint32), index_count=3,
+        max_subdivision_level=2)
+    mutate(desc, baker)
+    if expect_result == omm.Result.SUCCESS:
+        baker.bake(desc)
+    else:
+        with pytest.raises(omm.BakeError) as ei:
+            baker.bake(desc)
+        assert ei.value.result == expect_result
+    texts = [m for _, m in msgs]
+    for e in expected_msgs:
+        assert any(e in t for t in texts), (e, texts)
+    return msgs
+
+
+def test_log_no_texture():
+    _bake_with_messages(
+        lambda d, b: setattr(d, "texture", None),
+        omm.Result.INVALID_ARGUMENT,
+        ["[Invalid Argument] - ommCpuBakeInputDesc has no texture set"])
+
+
+def test_log_no_index_format():
+    _bake_with_messages(
+        lambda d, b: setattr(d, "index_format", None),
+        omm.Result.INVALID_ARGUMENT,
+        ["[Invalid Argument] - indexFormat is not set"])
+
+
+def test_log_max_subdiv():
+    _bake_with_messages(
+        lambda d, b: setattr(d, "max_subdivision_level", 13),
+        omm.Result.INVALID_ARGUMENT,
+        ["[Invalid Argument] - maxSubdivisionLevel (13) is greater than "
+         "maximum supported (12)"])
+
+
+def test_log_alpha_cutoff_mismatch():
+    def mutate(d, b):
+        d.texture = b.create_texture([standard_circle(16, 16)],
+                                     omm.TextureFormat.FP32,
+                                     alpha_cutoff=0.3)
+        d.alpha_cutoff = 0.4
+    _bake_with_messages(
+        mutate, omm.Result.INVALID_ARGUMENT,
+        ["[Invalid Argument] - Texture object alpha cutoff threshold "
+         "(0.300000) is different from alpha cutoff threshold in bake "
+         "input (0.400000)"])
+
+
+def test_log_2state_incompatible():
+    def mutate(d, b):
+        d.format = omm.Format.OC1_2_State
+        d.alpha_cutoff_less_equal = omm.OpacityState.UnknownOpaque
+    _bake_with_messages(
+        mutate, omm.Result.INVALID_ARGUMENT,
+        ["[Invalid Argument] - alphaCutoffLessEqual=UnknownOpaque is not "
+         "compatible with OC1_2_State"])
+
+
+def test_log_unclassifiable_info():
+    def mutate(d, b):
+        d.tex_coords = np.array([[0, 0], [0, np.nan], [1, 0]], np.float32)
+        d.bake_flags = omm.BakeFlags.EnableValidation
+    msgs = _bake_with_messages(
+        mutate, omm.Result.SUCCESS,
+        ["[Info] - The workload consists of 1 unclassifiable triangles, "
+         "these will be classified as unresolvedTriState = "
+         "Fully Unknown Opaque."])
+    assert msgs[0][0] == MessageSeverity.Info
+
+
+def test_log_perf_warning():
+    msgs = []
+    baker = Baker(lambda sev, m: msgs.append((sev, m)))
+    tex = baker.create_texture([standard_circle(1024, 1024)],
+                               omm.TextureFormat.FP32)
+    # 129 full-texture triangles -> > 2^27 texel workload.
+    tc = np.array([[0, 0], [0, 1.1], [1.1, 0]], np.float32)
+    ib = np.tile(np.array([0, 1, 2], np.uint32), 129)
+    desc = omm.BakeInputDesc(
+        texture=tex, dynamic_subdivision_scale=0.0, tex_coords=tc,
+        index_buffer=ib, index_count=len(ib), max_subdivision_level=0,
+        bake_flags=(omm.BakeFlags.EnableValidation
+                    | omm.BakeFlags.DisableDuplicateDetection))
+    baker.bake(desc)
+    warns = [m for s, m in msgs if s == MessageSeverity.PerfWarning]
+    assert warns and "unusually large" in warns[0] \
+        and "1024x1024 textures" in warns[0]
+
+
+def test_save_as_images(tmp_path):
+    baker = Baker()
+    tex = baker.create_texture([standard_circle(64, 64)],
+                               omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex, dynamic_subdivision_scale=0.0,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32),
+        index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32), index_count=6,
+        max_subdivision_level=3)
+    res = baker.bake(desc)
+    files = baker.save_as_images(desc, res, str(tmp_path), file_postfix="t")
+    assert len(files) == 1 and os.path.exists(files[0])
+    from PIL import Image
+    img = np.asarray(Image.open(files[0]))
+    assert img.shape == (64 * 5, 64 * 5, 3)
+    # overlay must contain state colors (green opaque / blue transparent)
+    assert (img[..., 1] > 200).any() and (img[..., 2] > 200).any()
+
+    files = baker.save_as_images(desc, res, str(tmp_path), one_file=False,
+                                 file_postfix="p")
+    assert len(files) == 2
+
+
+def test_get_stats2_known_area():
+    baker = Baker()
+    tex = baker.create_texture([np.full((64, 64), 0.9, np.float32)],
+                               omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex, dynamic_subdivision_scale=0.0,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32),
+        index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32), index_count=6,
+        max_subdivision_level=2)
+    res = baker.bake(desc)
+    s = baker.get_stats2(res)
+    assert s.known_area_metric == pytest.approx(1.0)

@@ -1,0 +1,67 @@
+"""Multi-chip sharding: shard_map bake step on the virtual 8-device mesh."""
+import numpy as np
+import pytest
+
+import omm_tpu as omm
+from omm_tpu import engine, geom
+from omm_tpu.kernels.levelline import get_state_from_coverage
+from omm_tpu.parallel import classify_item_sharded, make_mesh, sharded_bake_step
+
+from fixtures import standard_circle
+
+
+def _setup(size=64, subdiv=3):
+    tex = omm.Texture([standard_circle(size, size)], omm.TextureFormat.FP32)
+    uv = np.array([[0.1, 0.1], [0.15, 0.9], [0.9, 0.85]], np.float32)
+    info = tex.info[0]
+    import jax.numpy as jnp
+    from omm_tpu.kernels.jax_classify import _window_bounds
+    W, H = _window_bounds(tex, uv, subdiv)[0]
+    meta = dict(size=info.size, size_log2=info.size_log2,
+                is_pow2=info.is_pow2,
+                rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
+                W=W, H=H)
+    cfg = dict(addr_mode=omm.TextureAddressMode.Clamp, alpha_cutoff=0.5,
+               border_alpha=0.0, fmt=omm.Format.OC1_4_State,
+               promotion=omm.UnknownStatePromotion.Nearest,
+               cutoff_gt=omm.OpacityState.Opaque,
+               cutoff_le=omm.OpacityState.Transparent)
+    return tex, uv, jnp.asarray(tex.load_plane(0)), meta, cfg
+
+
+def test_sharded_matches_oracle():
+    import jax
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    tex, uv, plane, meta, cfg = _setup()
+    mesh = make_mesh()
+    ccw = bool(geom.is_ccw(uv))
+    states, hist = classify_item_sharded(mesh, plane, uv, ccw, subdiv=3,
+                                         **meta, **cfg)
+    states = np.asarray(states)
+
+    rcfg = engine.ResampleConfig(
+        addr_mode=cfg["addr_mode"], filter=omm.TextureFilterMode.Linear,
+        alpha_cutoff=0.5, border_alpha=0.0, fmt=cfg["fmt"],
+        promotion=cfg["promotion"], cutoff_gt=cfg["cutoff_gt"],
+        cutoff_le=cfg["cutoff_le"])
+    M = omm.get_num_micro_triangles(3)
+    want = engine.resample_fine_item(tex, rcfg, uv, 3,
+                                     np.full(M, 3, np.uint8))
+    assert (states == want).all()
+    # psum'd histogram is globally consistent
+    h = np.asarray(hist)
+    assert h.sum() == M
+    for s in range(4):
+        assert h[s] == np.count_nonzero(states == s)
+
+
+def test_sharded_bake_step_batch():
+    tex, uv, plane, meta, cfg = _setup()
+    mesh = make_mesh()
+    ccw = bool(geom.is_ccw(uv))
+    uv2 = uv + np.float32(0.02)
+    states, hist = sharded_bake_step(
+        mesh, plane, np.stack([uv, uv2]), np.array([ccw, ccw]), subdiv=3,
+        **meta, **cfg)
+    assert states.shape == (2, 64)
+    assert int(np.asarray(hist).sum()) == 2 * 64
