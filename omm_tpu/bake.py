@@ -782,16 +782,31 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
     for it in items:
         it.states = engine.resample_coarse_item(tex, cfg, it.uv_tri,
                                                 it.subdivision_level, it.states)
-    for it in items:
+
+    def _fine(it):
         if classify is not None and not bool(geom.is_degenerate(it.uv_tri)) \
                 and cfg.filter == TextureFilterMode.Linear \
                 and not cfg.disable_level_line:
-            it.states = classify(tex, cfg, it.uv_tri, it.subdivision_level,
-                                 it.states)
-        else:
-            it.states = engine.resample_fine_item(tex, cfg, it.uv_tri,
-                                                  it.subdivision_level,
-                                                  it.states, xp=xp)
+            return classify(tex, cfg, it.uv_tri, it.subdivision_level,
+                            it.states)
+        return engine.resample_fine_item(tex, cfg, it.uv_tri,
+                                         it.subdivision_level, it.states,
+                                         xp=xp)
+
+    # EnableInternalThreads analog (the reference's OpenMP work-item loop,
+    # bake_cpu_impl.cpp:735,833): thread over work items on the host
+    # backend — the vectorized numpy stages release the GIL.
+    if (opts.enable_internal_threads and backend == "numpy"
+            and len(items) > 1):
+        import concurrent.futures as cf
+        import os as _os
+        with cf.ThreadPoolExecutor(
+                max_workers=min(_os.cpu_count() or 4, 16)) as pool:
+            for it, st in zip(items, pool.map(_fine, items)):
+                it.states = st
+    else:
+        for it in items:
+            it.states = _fine(it)
 
     promote_special_indices(desc, opts, items)
     deduplicate_exact(opts, items)

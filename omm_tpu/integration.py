@@ -75,13 +75,16 @@ def conservative_memory_estimate(tri_count: int, max_subdiv: int,
     return (fmt_bits * (4 ** max_subdiv) * tri_count) // 8
 
 
-def dump_debug_compare(desc, result: BakeResult, backend: str = "numpy"):
+def dump_debug_compare(desc, result: BakeResult, backend: str = "numpy",
+                       logger=None):
     """DumpDebug analog: re-bake on the oracle backend and diff the stats
     (omm-gpu-nvrhi.cpp:1159+).  Returns (stats, oracle_stats, equal)."""
     from .bake import bake
+    from .log import Logger
     from .stats import get_stats
 
-    oracle = bake(desc, backend=backend)
+    oracle = bake(desc, backend=backend,
+                  logger=logger or Logger(lambda s, m: None))
     s1 = get_stats(result)
     s2 = get_stats(oracle)
     return s1, s2, s1 == s2

@@ -111,8 +111,9 @@ def edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, hb, hc, hd):
     hy1 = k * hx1 + m
     hyp_hit = real & (point_hit(hx0, hy0) | point_hit(hx1, hy1))
 
-    general_hit = xp.where(c0_zero, line_hit, hyp_hit)
-    return xp.where(vertical, v_hit, general_hit)
+    # Boolean selects as logical ops (Mosaic lowers i1 selects poorly).
+    general_hit = (c0_zero & line_hit) | (~c0_zero & hyp_hit)
+    return (vertical & v_hit) | (~vertical & general_hit)
 
 
 def point_in_tri_cached(xp, tp, px, py):
@@ -300,8 +301,8 @@ def level_line_values_kernel(xp, tri_uv, tri_params, px_i, py_i,
             h = edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, b, c, d)
             hit = h if hit is None else (hit | h)
 
-    ll_above = xp.where(uniform, uni_above, hit)
-    ll_below = xp.where(uniform, uni_below, hit)
+    ll_above = uni_above | (~uniform & hit)
+    ll_below = uni_below | (~uniform & hit)
     skip_ll = early_done
     above = above + xp.where(~skip_ll & ll_above, one_i, zero_i)
     below = below + xp.where(~skip_ll & ll_below, one_i, zero_i)
