@@ -1,18 +1,23 @@
 """Pallas TPU kernel for micro-triangle classification.
 
-Same one-hot-matmul gather formulation as kernels/mxu_classify.py, but the
-one-hot matrix and all intermediates live in VMEM: XLA precomputes the
-per-block stack of shifted region flattenings S (dense shifts, fused), and
-the kernel — one grid step per block of B consecutive bird-curve
-micro-triangles — builds the window-origin one-hot with an iota compare,
-gathers the texel windows with an MXU matmul, and runs the level-line math
-in (HW, B) layout with micro-triangles along lanes.  fp32 op order matches
-the numpy oracle (shared level_line_values_kernel); the matmul is exact
-because the one-hot operand is exactly 0/1 and precision=HIGHEST.
+One grid step classifies a block of B consecutive bird-curve
+micro-triangles.  The kernel DMAs its texel region from the (wrap-mode
+pre-padded) alpha plane in HBM — region origins arrive via scalar prefetch —
+and gathers every micro-triangle's (H+2)x(W+2) texel window from the region
+without any per-element addressing:
 
-Used by backend='pallas' (bake.py) and by bench.py on TPU; falls back to
-the jax path when the fast-path preconditions fail (see
-classify_work_item_mxu's prechecks, reused here).
+  column select   C1_dx = region @ colhot_dx     (MXU matmul per dx shift)
+  row select      ext[(dy,dx)] = sum_y C1_dx[y] * [y == oy_i + dy]
+                                                  (sublane mask-reduce)
+
+The level-line math then runs in (HW, B) layout — micro-triangles along
+lanes — through the shared level_line_values_kernel, so fp32 op order
+matches the numpy oracle exactly.  The matmuls are exact: the one-hot
+operand is exactly 0/1 and precision=HIGHEST.
+
+This is the "conservative raster as matmul" engine anticipated in
+SURVEY.md §7 step 4; backend='pallas' (bake.py) and bench.py use it, with
+fallback to the XLA-gather path when the fast-path preconditions fail.
 """
 from __future__ import annotations
 
@@ -34,45 +39,56 @@ from . import mxu_classify as mx
 UO = int(OpacityState.UnknownOpaque)
 B = 128  # micro-triangles per grid step (lane count)
 
-
-def _build_S(planeP, pad, rx, ry, He, We, RH, RW):
-    """(nblk, Ke, RHW) stack of shifted region flattenings, built densely in
-    XLA (fused shifts; the only HBM-resident intermediate)."""
-    def one(rx_b, ry_b):
-        regionE = jax.lax.dynamic_slice(planeP, (ry_b - 1 + pad, rx_b - 1 + pad),
-                                        (RH + He, RW + We))
-        return jnp.stack([
-            jax.lax.slice(regionE, (dy, dx), (dy + RH, dx + RW)).reshape(-1)
-            for dy in range(He) for dx in range(We)], axis=0)
-    return jax.lax.map(lambda ab: one(ab[0], ab[1]), (rx, ry))
+# geo rows: x0, y0, x1, y1, oy, ox, sdy, sdx, valid, spare
+GEO_ROWS = 10
 
 
-def _kernel(origin_ref, seedoff_ref, S_ref, muv_ref, qn_ref, geo_ref,
-            above_ref, below_ref, *, Ke, RHW, H, W, He, We,
-            size, rcp, alpha_cutoff):
-    """One block: gather windows via MXU, classify, reduce.
-
-    origin_ref: (1, B) i32 window-origin flat index into the region.
-    seedoff_ref: (1, B) i32 seed texel offset within the extended window.
-    S_ref: (Ke, RHW) f32.  muv_ref/qn_ref: (6, B) f32 corner coords.
-    geo_ref: (6, B) i32 rows [x0, y0, x1, y1, sx_rel unused, valid].
-    """
+def _kernel(ry_ref, rx_ref, plane_ref, muv_ref, qn_ref, geo_ref,
+            above_ref, below_ref, region_ref, sem, *, H, W, He, We,
+            RHe, RWe, pad, size, rcp, alpha_cutoff):
     HW = H * W
+    Ke = He * We
     cutoff = jnp.float32(alpha_cutoff)
     one_i = jnp.int32(1)
     zero_i = jnp.int32(0)
 
-    origin = origin_ref[0, 0:1, :]  # (1, B) — keep all values 2D in Mosaic
-    f = jax.lax.broadcasted_iota(jnp.int32, (RHW, B), 0)
-    onehot = (f == origin).astype(jnp.float32)
+    i = pl.program_id(0)
+    ry = ry_ref[i]
+    rx = rx_ref[i]
+    copy = pltpu.make_async_copy(
+        plane_ref.at[pl.ds(ry - 1 + pad, RHe), pl.ds(rx - 1 + pad, RWe)],
+        region_ref, sem)
+    copy.start()
 
-    ext = jax.lax.dot_general(
-        S_ref[0], onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # (Ke, B)
+    oy = geo_ref[0, 4:5, :]
+    ox = geo_ref[0, 5:6, :]
+    sdy = geo_ref[0, 6:7, :]
+    sdx = geo_ref[0, 7:8, :]
+    val = geo_ref[0, 8:9, :] != 0
 
-    # Row k of ext = texel (y0 + k // We, x0 + k % We); leading-dim
-    # reshapes/slices are free (lanes stay B).
+    xio = jax.lax.broadcasted_iota(jnp.int32, (RWe, B), 0)
+    yio = jax.lax.broadcasted_iota(jnp.int32, (RHe, B), 0)
+
+    copy.wait()
+    region = region_ref[...]
+
+    # Column select: C1[dx][y, i] = region[y, ox_i + dx]  (MXU).
+    C1 = []
+    for dx in range(We):
+        colhot = (xio == (ox + dx)).astype(jnp.float32)
+        C1.append(jax.lax.dot_general(
+            region, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))  # (RHe, B)
+
+    # Row select: ext[(dy, dx)][i] = C1[dx][oy_i + dy, i].
+    rows = []
+    for dy in range(He):
+        for dx in range(We):
+            m = jnp.where((yio - dy) == oy, C1[dx], jnp.float32(0.0))
+            rows.append(m.sum(axis=0, keepdims=True))
+    ext = jnp.concatenate(rows, axis=0)  # (Ke, B)
+
     ext3 = ext.reshape(He, We, B)
     gx = ext3[0:H, 0:W].reshape(HW, B)
     gy = ext3[1:H + 1, 0:W].reshape(HW, B)
@@ -83,7 +99,6 @@ def _kernel(origin_ref, seedoff_ref, S_ref, muv_ref, qn_ref, geo_ref,
     y0 = geo_ref[0, 1:2, :]
     x1 = geo_ref[0, 2:3, :]
     y1 = geo_ref[0, 3:4, :]
-    val = geo_ref[0, 5:6, :] != 0
 
     dxg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
     dyg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) // W
@@ -108,9 +123,9 @@ def _kernel(origin_ref, seedoff_ref, S_ref, muv_ref, qn_ref, geo_ref,
     mask = acc & (px < x1) & (py < y1)
 
     tp = {}
-    for i, nm in enumerate(("p0", "p1", "p2")):
-        tp[nm + "x"] = muv_ref[0, 2 * i:2 * i + 1, :]
-        tp[nm + "y"] = muv_ref[0, 2 * i + 1:2 * i + 2, :]
+    for k, nm in enumerate(("p0", "p1", "p2")):
+        tp[nm + "x"] = muv_ref[0, 2 * k:2 * k + 1, :]
+        tp[nm + "y"] = muv_ref[0, 2 * k + 1:2 * k + 2, :]
     tp["p0p2x"] = tp["p0x"] - tp["p2x"]
     tp["p0p2y"] = tp["p0y"] - tp["p2y"]
     tp["p1p0x"] = tp["p1x"] - tp["p0x"]
@@ -126,9 +141,10 @@ def _kernel(origin_ref, seedoff_ref, S_ref, muv_ref, qn_ref, geo_ref,
     below = jnp.where(mask, b_inc, zero_i).sum(axis=0, keepdims=True,
                                                dtype=jnp.int32)
 
-    # Seed bilinear at p0: quad selected from ext by per-micro-tri offset.
-    soff = seedoff_ref[0, 0:1, :]  # (1, B) = (sy - y0) * We + (sx - x0)
+    # Seed bilinear at p0 (bake_cpu_impl.cpp:886-891): the quad at the
+    # seed texel, selected from ext by window-relative offset.
     kf = jax.lax.broadcasted_iota(jnp.int32, (Ke, B), 0)
+    soff = sdy * We + sdx
 
     def pick(shift):
         sel = (kf == (soff + shift)).astype(jnp.float32)
@@ -154,140 +170,146 @@ def _kernel(origin_ref, seedoff_ref, S_ref, muv_ref, qn_ref, geo_ref,
     below_ref[0] = jnp.where(val, below, zero_i)
 
 
-@partial(jax.jit, static_argnames=("Ke", "RHW", "H", "W", "He", "We",
-                                   "size", "rcp", "alpha_cutoff", "nblk"))
-def _run(S, origin, seedoff, muv_r, qn_r, geo, *, Ke, RHW, H, W, He, We,
+@partial(jax.jit, static_argnames=("H", "W", "He", "We", "RHe", "RWe",
+                                   "pad", "size", "rcp", "alpha_cutoff",
+                                   "nblk"))
+def _run(planeP, ry, rx, muv_r, qn_r, geo, *, H, W, He, We, RHe, RWe, pad,
          size, rcp, alpha_cutoff, nblk):
-    kern = partial(_kernel, Ke=Ke, RHW=RHW, H=H, W=W, He=He, We=We,
-                   size=size, rcp=rcp, alpha_cutoff=alpha_cutoff)
-    grid = (nblk,)
-    out_shape = (jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32),
-                 jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32))
-    a, b = pl.pallas_call(
-        kern,
-        grid=grid,
+    kern = partial(_kernel, H=H, W=W, He=He, We=We, RHe=RHe, RWe=RWe,
+                   pad=pad, size=size, rcp=rcp, alpha_cutoff=alpha_cutoff)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded plane (HBM)
+            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ke, RHW), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, B), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, B), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, GEO_ROWS, B), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0),
+        out_specs=(pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0),
+                   pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=out_shape,
-    )(origin.reshape(nblk, 1, B), seedoff.reshape(nblk, 1, B), S, muv_r,
-      qn_r, geo)
+        scratch_shapes=[pltpu.VMEM((RHe, RWe), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    a, b = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32)),
+    )(ry, rx, planeP, muv_r, qn_r, geo)
     return a.reshape(nblk, B), b.reshape(nblk, B)
 
 
-def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
-                              subdiv: int, states: np.ndarray):
-    """Drop-in fine-pass using the Pallas kernel; returns updated states or
-    falls back to the device gather path when preconditions fail."""
-    from .jax_classify import classify_work_item_jax
-
+def prepare_jobs(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
+    """Host-side schedule for one work item: per-mip block/region layout
+    plus packed device arrays.  Returns None when the fast path doesn't
+    apply (caller falls back)."""
     if (cfg.addr_mode == TextureAddressMode.Border
             or cfg.filter != TextureFilterMode.Linear
             or cfg.disable_level_line
             or bool(geom.is_degenerate(uv_tri))):
-        return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
+        return None
 
-    active = states == UO
-    if not active.any():
-        return states
-
-    per_mip = []
+    M = get_num_micro_triangles(subdiv)
+    ccw = bool(geom.is_ccw(uv_tri))
+    jobs = []
     for mip in range(texture.mip_count):
         pc = mx._host_precompute(texture, uv_tri, subdiv, mip,
                                  candidates=(B,))
         w, h = texture.size(mip)
-        if pc is None or pc["RW"] > mx.MAX_REGION or pc["RH"] > mx.MAX_REGION:
-            return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
+        if pc["RW"] > mx.MAX_REGION or pc["RH"] > mx.MAX_REGION:
+            return None
         pad = max(pc["RW"] + pc["W"] + 3, pc["RH"] + pc["H"] + 3)
         if (pc["rx"].min() - 1 < -pad or pc["ry"].min() - 1 < -pad
                 or (pc["rx"].max() - 1 + pc["RW"] + pc["W"] + 2) > w + pad
                 or (pc["ry"].max() - 1 + pc["RH"] + pc["H"] + 2) > h + pad):
-            return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
+            return None
         if ((pc["sx"] < pc["x0"]).any() or (pc["sy"] < pc["y0"]).any()
                 or (pc["sx"] > pc["x0"] + pc["W"]).any()
                 or (pc["sy"] > pc["y0"] + pc["H"]).any()):
-            return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
-        per_mip.append((pc, pad))
+            return None
 
-    ccw = bool(geom.is_ccw(uv_tri))
-    M = get_num_micro_triangles(subdiv)
-    above = np.zeros(M, dtype=np.int64)
-    below = np.zeros(M, dtype=np.int64)
-    alive = np.ones(M, dtype=bool)
-
-    for mip, (pc, pad) in enumerate(per_mip):
-        w, h = texture.size(mip)
         info = texture.info[mip]
-        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad, cfg.addr_mode))
-        nblk = pc["nblk"]
-        padM = pc["padM"]
+        nblk, padM = pc["nblk"], pc["padM"]
         H, W = pc["H"], pc["W"]
         He, We = H + 2, W + 2
-        Ke = He * We
-        RH, RW = pc["RH"], pc["RW"]
-        RHW = RH * RW
-
-        S = _build_S(planeP, pad, jnp.asarray(pc["rx"]), jnp.asarray(pc["ry"]),
-                     He, We, RH, RW)
 
         def padv(v, fill=0):
             return np.concatenate(
                 [v, np.full((padM - M,) + v.shape[1:], fill, v.dtype)])
 
-        x0 = padv(pc["x0"])
-        y0 = padv(pc["y0"])
-        x1 = padv(pc["x1"])
-        y1 = padv(pc["y1"])
-        sx = padv(pc["sx"])
-        sy = padv(pc["sy"])
+        q = pc["q"]
+        qn = np.where(ccw, q, q[:, ::-1, :]).astype(np.float32)
         rxb = np.repeat(pc["rx"], B)
         ryb = np.repeat(pc["ry"], B)
-        origin = ((y0 - (ryb - 1)) * RW + (x0 - (rxb - 1))).astype(np.int32)
-        seedoff = ((sy - y0) * We + (sx - x0)).astype(np.int32)
+        x0 = padv(pc["x0"])
+        y0 = padv(pc["y0"])
+        oy = (y0 - (ryb - 1)).astype(np.int32)
+        ox = (x0 - (rxb - 1)).astype(np.int32)
+        sdy = (padv(pc["sy"]) - y0).astype(np.int32)
+        sdx = (padv(pc["sx"]) - x0).astype(np.int32)
         valid = np.zeros(padM, np.int32)
         valid[:M] = 1
 
-        q = pc["q"]
-        qn = np.where(ccw, q, q[:, ::-1, :]).astype(np.float32)
-        muv = pc["muv"]
+        def rows6(a3):
+            vv = padv(a3).reshape(padM, 6)
+            return jnp.asarray(
+                np.transpose(vv.reshape(nblk, B, 6), (0, 2, 1))
+                .astype(np.float32))
 
-        def rows6(a3):  # (padM, 3, 2) -> (nblk, 6, B) row-major pairs
-            v = padv(a3).reshape(padM, 6)
-            return jnp.asarray(np.transpose(v.reshape(nblk, B, 6), (0, 2, 1))
-                               .astype(np.float32))
+        geo = np.stack([x0, y0, padv(pc["x1"]), padv(pc["y1"]), oy, ox,
+                        sdy, sdx, valid, np.zeros(padM, np.int32)], axis=1)
+        geo = jnp.asarray(np.transpose(geo.reshape(nblk, B, GEO_ROWS),
+                                       (0, 2, 1)).astype(np.int32))
 
-        geo = np.stack([x0, y0, x1, y1, np.zeros_like(x0), valid], axis=1)
-        geo = jnp.asarray(np.transpose(geo.reshape(nblk, B, 6), (0, 2, 1))
-                          .astype(np.int32))
+        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad,
+                                             cfg.addr_mode))
+        jobs.append(dict(
+            args=(planeP, jnp.asarray(pc["ry"]), jnp.asarray(pc["rx"]),
+                  rows6(pc["muv"]), rows6(qn), geo),
+            kw=dict(H=H, W=W, He=He, We=We, RHe=pc["RH"] + He,
+                    RWe=pc["RW"] + We, pad=pad, size=(w, h),
+                    rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
+                    alpha_cutoff=float(cfg.alpha_cutoff), nblk=nblk),
+            M=M))
+    return jobs
 
+
+def run_job(job):
+    return _run(*job["args"], **job["kw"])
+
+
+def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
+                              subdiv: int, states: np.ndarray):
+    """Drop-in fine-pass using the tile-pipelined Pallas kernel; falls back
+    to the device gather path when preconditions fail."""
+    from .jax_classify import classify_work_item_jax
+
+    active = states == UO
+    if not active.any():
+        return states
+
+    jobs = prepare_jobs_v3(texture, cfg, uv_tri, subdiv)
+    if jobs is None:
+        return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
+
+    M = get_num_micro_triangles(subdiv)
+    above = np.zeros(M, dtype=np.int64)
+    below = np.zeros(M, dtype=np.int64)
+    alive = np.ones(M, dtype=bool)
+
+    for job in jobs:
         try:
-            a_b, b_b = _run(
-                S, jnp.asarray(origin.reshape(nblk, B)),
-                jnp.asarray(seedoff.reshape(nblk, B)),
-                rows6(muv), rows6(qn), geo,
-                Ke=Ke, RHW=RHW, H=H, W=W, He=He, We=We, size=(w, h),
-                rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
-                alpha_cutoff=float(cfg.alpha_cutoff), nblk=nblk)
+            a_b, b_b = run_job_v3(job)
+            a_np, b_np = gather_v3(job, a_b, b_b)
         except Exception:  # Mosaic lowering gap on this toolchain
             return classify_work_item_jax(texture, cfg, uv_tri, subdiv,
                                           states)
-        a_np = np.asarray(a_b).reshape(-1)[:M]
-        b_np = np.asarray(b_b).reshape(-1)[:M]
         above += np.where(alive, a_np, 0)
         below += np.where(alive, b_np, 0)
         st = get_state_from_coverage(np, cfg.fmt, cfg.promotion,
@@ -300,3 +322,304 @@ def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
     out = states.copy()
     out[active] = final[active].astype(np.uint8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# v3: tile-pipelined variant — micro-triangles re-sorted by texture tile,
+# tile (with apron) streamed through the normal BlockSpec pipeline with a
+# scalar-prefetch-driven index map (no manual DMA; automatic double
+# buffering).  Same math as the v2 kernel.
+# ---------------------------------------------------------------------------
+
+TILE = 32  # texel tile edge
+
+
+def _kernel_v3(tidx_ref, tile_ref, muv_ref, qn_ref, geo_ref,
+               above_ref, below_ref, *, H, W, He, We, TSA,
+               size, rcp, alpha_cutoff):
+    _kernel_body(tile_ref[0], muv_ref, qn_ref, geo_ref, above_ref,
+                 below_ref, H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
+                 size=size, rcp=rcp, alpha_cutoff=alpha_cutoff)
+
+
+def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
+                 H, W, He, We, RHe, RWe, size, rcp, alpha_cutoff):
+    HW = H * W
+    Ke = He * We
+    cutoff = jnp.float32(alpha_cutoff)
+    one_i = jnp.int32(1)
+    zero_i = jnp.int32(0)
+
+    oy = geo_ref[0, 4:5, :]
+    ox = geo_ref[0, 5:6, :]
+    sdy = geo_ref[0, 6:7, :]
+    sdx = geo_ref[0, 7:8, :]
+    val = geo_ref[0, 8:9, :] != 0
+
+    xio = jax.lax.broadcasted_iota(jnp.int32, (RWe, B), 0)
+    yio = jax.lax.broadcasted_iota(jnp.int32, (RHe, B), 0)
+
+    # Column select: C1[dx][y, i] = region[y, ox_i + dx]  (MXU).
+    C1 = []
+    for dx in range(We):
+        colhot = (xio == (ox + dx)).astype(jnp.float32)
+        C1.append(jax.lax.dot_general(
+            region, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))  # (RHe, B)
+
+    # Row select: ext[(dy, dx)][i] = C1[dx][oy_i + dy, i].
+    rows = []
+    for dy in range(He):
+        for dx in range(We):
+            m = jnp.where((yio - dy) == oy, C1[dx], jnp.float32(0.0))
+            rows.append(m.sum(axis=0, keepdims=True))
+    ext = jnp.concatenate(rows, axis=0)  # (Ke, B)
+
+    ext3 = ext.reshape(He, We, B)
+    gx = ext3[0:H, 0:W].reshape(HW, B)
+    gy = ext3[1:H + 1, 0:W].reshape(HW, B)
+    gz = ext3[1:H + 1, 1:W + 1].reshape(HW, B)
+    gw = ext3[0:H, 1:W + 1].reshape(HW, B)
+
+    x0 = geo_ref[0, 0:1, :]
+    y0 = geo_ref[0, 1:2, :]
+    x1 = geo_ref[0, 2:3, :]
+    y1 = geo_ref[0, 3:4, :]
+
+    dxg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
+    dyg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) // W
+    px = x0 + dxg
+    py = y0 + dyg
+
+    sxf = px.astype(jnp.float32)
+    syf = py.astype(jnp.float32)
+    qnx = [qn_ref[0, 2 * e:2 * e + 1, :] for e in range(3)]
+    qny = [qn_ref[0, 2 * e + 1:2 * e + 2, :] for e in range(3)]
+    acc = None
+    for e in range(3):
+        nx = qny[(e + 1) % 3] - qny[e]
+        ny = qnx[e] - qnx[(e + 1) % 3]
+        cc = -(nx * qnx[e] + ny * qny[e])
+        ev = (nx * sxf + ny * syf) + cc
+        bx = jnp.where(nx > 0, jnp.float32(0), nx)
+        by = jnp.where(ny > 0, jnp.float32(0), ny)
+        ok = (ev + bx + by) < jnp.float32(0)
+        acc = ok if acc is None else (acc & ok)
+    mask = acc & (px < x1) & (py < y1)
+
+    tp = {}
+    for k, nm in enumerate(("p0", "p1", "p2")):
+        tp[nm + "x"] = muv_ref[0, 2 * k:2 * k + 1, :]
+        tp[nm + "y"] = muv_ref[0, 2 * k + 1:2 * k + 2, :]
+    tp["p0p2x"] = tp["p0x"] - tp["p2x"]
+    tp["p0p2y"] = tp["p0y"] - tp["p2y"]
+    tp["p1p0x"] = tp["p1x"] - tp["p0x"]
+    tp["p1p0y"] = tp["p1y"] - tp["p0y"]
+    tp["p2p1x"] = tp["p2x"] - tp["p1x"]
+    tp["p2p1y"] = tp["p2y"] - tp["p1y"]
+
+    a_inc, b_inc = level_line_values_kernel(
+        jnp, None, tp, px, py, gx, gy, gz, gw, size, rcp, alpha_cutoff,
+        degenerate=False)
+    above = jnp.where(mask, a_inc, zero_i).sum(axis=0, keepdims=True,
+                                               dtype=jnp.int32)
+    below = jnp.where(mask, b_inc, zero_i).sum(axis=0, keepdims=True,
+                                               dtype=jnp.int32)
+
+    kf = jax.lax.broadcasted_iota(jnp.int32, (Ke, B), 0)
+    soff = sdy * We + sdx
+
+    def pick(shift):
+        sel = (kf == (soff + shift)).astype(jnp.float32)
+        return (ext * sel).sum(axis=0, keepdims=True)
+
+    a = pick(0)
+    b = pick(We)
+    c = pick(1)
+    d = pick(We + 1)
+    p0px = muv_ref[0, 0:1, :] * jnp.float32(float(size[0])) - jnp.float32(0.5)
+    p0py = muv_ref[0, 1:2, :] * jnp.float32(float(size[1])) - jnp.float32(0.5)
+    wxf = p0px - jnp.floor(p0px)
+    wyf = p0py - jnp.floor(p0py)
+    onef = jnp.float32(1.0)
+    ac = a * (onef - wxf) + c * wxf
+    bd = b * (onef - wxf) + d * wxf
+    seed = ac * (onef - wyf) + bd * wyf
+    seed_above = cutoff < seed
+    above = above + jnp.where(seed_above, one_i, zero_i)
+    below = below + jnp.where(~seed_above, one_i, zero_i)
+
+    above_ref[0] = jnp.where(val, above, zero_i)
+    below_ref[0] = jnp.where(val, below, zero_i)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
+                                   "rcp", "alpha_cutoff", "nblk"))
+def _run_v3(tilesE, tidx, muv_r, qn_r, geo, *, H, W, He, We, TSA, size, rcp,
+            alpha_cutoff, nblk):
+    kern = partial(_kernel_v3, H=H, W=W, He=He, We=We, TSA=TSA, size=size,
+                   rcp=rcp, alpha_cutoff=alpha_cutoff)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, TSA, TSA), lambda i, tidx_ref: (tidx_ref[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GEO_ROWS, B), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+    )
+    a, b = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32),
+                   jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32)),
+    )(tidx, tilesE, muv_r, qn_r, geo)
+    return a.reshape(nblk, B), b.reshape(nblk, B)
+
+
+def _halo_tiles(planeP, TS, TSA):
+    """(nty*ntx, TSA, TSA) overlapping tiles, loop-free-ish (static slices)."""
+    Hp, Wp = planeP.shape
+    nty = -(-Hp // TS)
+    ntx = -(-Wp // TS)
+    padded = jnp.pad(planeP, ((0, nty * TS + TSA - Hp),
+                              (0, ntx * TS + TSA - Wp)))
+    row_bands = jnp.stack([
+        jax.lax.slice(padded, (t * TS, 0), (t * TS + TSA, padded.shape[1]))
+        for t in range(nty)], axis=0)  # (nty, TSA, Wp')
+    tiles = jnp.stack([
+        jax.lax.slice(row_bands, (0, 0, t * TS), (nty, TSA, t * TS + TSA))
+        for t in range(ntx)], axis=1)  # (nty, ntx, TSA, TSA)
+    return tiles.reshape(nty * ntx, TSA, TSA), nty, ntx
+
+
+def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
+    """Tile-sorted schedule.  Returns (jobs, inverse permutation) or None."""
+    if (cfg.addr_mode == TextureAddressMode.Border
+            or cfg.filter != TextureFilterMode.Linear
+            or cfg.disable_level_line
+            or bool(geom.is_degenerate(uv_tri))):
+        return None
+
+    M = get_num_micro_triangles(subdiv)
+    ccw = bool(geom.is_ccw(uv_tri))
+    jobs = []
+    for mip in range(texture.mip_count):
+        pc = mx._host_precompute(texture, uv_tri, subdiv, mip,
+                                 candidates=(B,))
+        w, h = texture.size(mip)
+        H, W = pc["H"], pc["W"]
+        He, We = H + 2, W + 2
+        TSA = TILE + max(He, We)
+        pad = TSA  # generous: every window read stays in the padded plane
+        if (pc["x0"].min() < 1 - pad or pc["y0"].min() < 1 - pad
+                or pc["x0"].max() + We > w + pad
+                or pc["y0"].max() + He > h + pad):
+            return None
+        if ((pc["sx"] < pc["x0"]).any() or (pc["sy"] < pc["y0"]).any()
+                or (pc["sx"] > pc["x0"] + W).any()
+                or (pc["sy"] > pc["y0"] + H).any()):
+            return None
+
+        info = texture.info[mip]
+        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad,
+                                             cfg.addr_mode))
+        tilesE, nty, ntx = _halo_tiles(planeP, TILE, TSA)
+
+        x0p = pc["x0"] + pad
+        y0p = pc["y0"] + pad
+        tx = x0p // TILE
+        ty = y0p // TILE
+        tile_id = (ty * ntx + tx).astype(np.int64)
+
+        # Sort micro-tris by tile; pad each tile group to a multiple of B.
+        order = np.argsort(tile_id, kind="stable")
+        sorted_tid = tile_id[order]
+        groups, counts = np.unique(sorted_tid, return_counts=True)
+        padded_counts = ((counts + B - 1) // B) * B
+        padM = int(padded_counts.sum())
+        if padM > 4 * M + 8 * B:  # excessive padding -> fall back
+            return None
+        nblk = padM // B
+
+        sel = np.full(padM, -1, np.int64)  # source micro-tri per slot
+        block_tile = np.empty(nblk, np.int32)
+        pos = 0
+        src = 0
+        for g, cnt, pcnt in zip(groups, counts, padded_counts):
+            sel[pos:pos + cnt] = order[src:src + cnt]
+            for bslot in range(pcnt // B):
+                block_tile[(pos // B) + bslot] = g
+            pos += pcnt
+            src += cnt
+
+        valid = sel >= 0
+        safe = np.where(valid, sel, 0)
+
+        def take(v, fill=0):
+            out = v[safe]
+            if v.dtype == np.float32:
+                out = np.where(valid.reshape((-1,) + (1,) * (v.ndim - 1)),
+                               out, np.float32(fill))
+            return out
+
+        q = pc["q"]
+        qn_full = np.where(ccw, q, q[:, ::-1, :]).astype(np.float32)
+        x0s = np.where(valid, pc["x0"][safe], 0).astype(np.int32)
+        y0s = np.where(valid, pc["y0"][safe], 0).astype(np.int32)
+        x1s = np.where(valid, pc["x1"][safe], 0).astype(np.int32)
+        y1s = np.where(valid, pc["y1"][safe], 0).astype(np.int32)
+        sdy = np.where(valid, pc["sy"][safe] - pc["y0"][safe], 0).astype(np.int32)
+        sdx = np.where(valid, pc["sx"][safe] - pc["x0"][safe], 0).astype(np.int32)
+        btx = np.repeat(block_tile % ntx, B).astype(np.int64)
+        bty = np.repeat(block_tile // ntx, B).astype(np.int64)
+        ox = (x0s + pad - btx * TILE).astype(np.int32)
+        oy = (y0s + pad - bty * TILE).astype(np.int32)
+
+        def rows6(a3):
+            vv = take(a3).reshape(padM, 6)
+            return jnp.asarray(
+                np.transpose(vv.reshape(nblk, B, 6), (0, 2, 1))
+                .astype(np.float32))
+
+        geo = np.stack([x0s, y0s, x1s, y1s, oy, ox, sdy, sdx,
+                        valid.astype(np.int32),
+                        np.zeros(padM, np.int32)], axis=1)
+        geo = jnp.asarray(np.transpose(geo.reshape(nblk, B, GEO_ROWS),
+                                       (0, 2, 1)).astype(np.int32))
+
+        jobs.append(dict(
+            args=(tilesE, jnp.asarray(block_tile), rows6(pc["muv"]),
+                  rows6(qn_full), geo),
+            kw=dict(H=H, W=W, He=He, We=We, TSA=TSA, size=(w, h),
+                    rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
+                    alpha_cutoff=float(cfg.alpha_cutoff), nblk=nblk),
+            sel=sel, valid=valid, M=M))
+    return jobs
+
+
+def run_job_v3(job):
+    return _run_v3(*job["args"], **job["kw"])
+
+
+def gather_v3(job, a_b, b_b):
+    """Scatter per-slot results back to bird order."""
+    M = job["M"]
+    a = np.zeros(M, np.int64)
+    bb = np.zeros(M, np.int64)
+    flat_a = np.asarray(a_b).reshape(-1)
+    flat_b = np.asarray(b_b).reshape(-1)
+    v = job["valid"]
+    a[job["sel"][v]] = flat_a[v]
+    bb[job["sel"][v]] = flat_b[v]
+    return a, bb
