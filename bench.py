@@ -2,16 +2,16 @@
 
 Workload matches the driver baseline (BASELINE.md): subdivision level 9
 (262144 micro-triangles per triangle) over a 1024x1024 alpha texture,
-linear filter, level-line classification.  The engine is the Pallas kernel
-(kernels/pallas_classify.py — region DMA + one-hot-matmul window gather);
-the bake schedule (bird-curve block regions) is host-precomputed once per
-mesh and reused across repetitions, as a production baker reuses it across
-textures.
+linear filter, level-line classification, for a 64-triangle mesh batch —
+the production shape (one texture, many primitives).
 
-Timing is synchronous: every repetition materializes a device->host value
-so async-dispatch illusions (the tunnel acks enqueues before execution)
-cannot inflate the number.  A bit-exactness gate against the numpy oracle
-must pass before the result counts.
+Engine: the hierarchical two-phase classifier (kernels/twophase.py) —
+bird-curve groups resolved against min/max-filtered class planes, contour
+micro-triangles window-tested, true survivors through the exact
+level-line Pallas kernel — measured END TO END per batch: device
+pipeline, both host syncs, schedule/bucket logic, and the fetch of the
+2-bit-packed states.  A bit-exactness gate against the numpy oracle must
+pass before the result counts.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...};
 vs_baseline is against the driver target of 100M utri/s/chip.
@@ -26,16 +26,11 @@ import numpy as np
 
 TARGET = 100e6  # utri/s/chip (BASELINE.md driver-set target)
 SUBDIV = 9
-N_TRIS = 8
+N_TRIS = 64
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def _workload():
     import omm_tpu as omm
-    from omm_tpu import engine, geom
-    from omm_tpu.kernels import pallas_classify as pk
 
     w = h = 1024
     j, i = np.meshgrid(np.arange(h, dtype=np.float32),
@@ -54,7 +49,18 @@ def main():
         base = rng.rand(2).astype(np.float32) * 0.2
         uv_tris.append(np.array([base + [0.05, 0.1], base + [0.1, 0.7],
                                  base + [0.7, 0.65]], dtype=np.float32))
+    return tex, uv_tris
 
+
+def main():
+    import jax
+
+    import omm_tpu as omm
+    from omm_tpu import engine
+    from omm_tpu.kernels import twophase as tp
+    from omm_tpu.kernels import jax_classify as jc
+
+    tex, uv_tris = _workload()
     cfg = engine.ResampleConfig(
         addr_mode=omm.TextureAddressMode.Clamp,
         filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
@@ -62,68 +68,40 @@ def main():
         promotion=omm.UnknownStatePromotion.Nearest,
         cutoff_gt=omm.OpacityState.Opaque,
         cutoff_le=omm.OpacityState.Transparent)
-
     M = omm.get_num_micro_triangles(SUBDIV)
+    UO = int(omm.OpacityState.UnknownOpaque)
 
-    # --- engine selection: pallas, else XLA-gather fallback -----------------
-    engine_name = "pallas_onehot_mxu"
-    runners = []
+    def fresh_items():
+        return [(t, np.full(M, UO, np.uint8)) for t in uv_tris]
+
+    engine_name = "twophase_hier_pallas"
+
+    def run_batch():
+        return tp.classify_work_items_batch(tex, cfg, fresh_items(), SUBDIV)
+
     try:
-        jobs = [pk.prepare_jobs_v3(tex, cfg, t, SUBDIV) for t in uv_tris]
-        assert all(jb is not None for jb in jobs)
-
-        def make_runner(jb):
-            def run():
-                return pk.run_job_v3(jb[0])  # single mip
-            return run
-
-        runners = [make_runner(jb) for jb in jobs]
-        a, b = runners[0]()
-        _ = int(np.asarray(a).ravel()[0])  # force real compile+run
+        got = run_batch()   # compile + cap discovery
+        got = run_batch()   # tight-cap steady state
     except Exception:
         engine_name = "xla_gather_fallback"
-        from omm_tpu.kernels.jax_classify import (_classify_item,
-                                                  _window_bounds)
-        info = tex.info[0]
-        mip_meta = ((info.size, info.size_log2, info.is_pow2,
-                     (float(info.rcp_size[0]), float(info.rcp_size[1]))),)
-        planes_t = (jnp.asarray(tex.load_plane(0)),)
-        static = dict(subdiv=SUBDIV, addr_mode=cfg.addr_mode,
-                      alpha_cutoff=0.5, border_alpha=0.0, mip_meta=mip_meta,
-                      fmt=cfg.fmt, promotion=cfg.promotion,
-                      cutoff_gt=cfg.cutoff_gt, cutoff_le=cfg.cutoff_le)
-        wins = [_window_bounds(tex, t, SUBDIV)[0] for t in uv_tris]
-        win = ((max(w0 for w0, _ in wins), max(h0 for _, h0 in wins)),)
 
-        def make_runner(t, c):
-            def run():
-                return _classify_item(planes_t, jnp.asarray(t, jnp.float32),
-                                      jnp.asarray(c), win_wh=win, **static)
-            return run
+        def run_batch():
+            return [jc.classify_work_item_jax(tex, cfg, t, SUBDIV,
+                                              np.full(M, UO, np.uint8))
+                    for t in uv_tris]
+        got = run_batch()
 
-        runners = [make_runner(t, bool(geom.is_ccw(t))) for t in uv_tris]
-        a, b = runners[0]()
-        _ = int(np.asarray(a).ravel()[0])
-
-    # Parity gate: device states vs numpy oracle on triangle 0.
-    states0 = np.full(M, int(omm.OpacityState.UnknownOpaque), np.uint8)
-    got = pk.classify_work_item_pallas(tex, cfg, uv_tris[0], SUBDIV,
-                                       states0.copy())
-    oracle = engine.resample_fine_item(tex, cfg, uv_tris[0], SUBDIV,
-                                       states0.copy())
-    parity = bool((got == oracle).all())
-
-    # Warm all runners, drain the queue.
-    for run in runners:
-        a, b = run()
-    _ = int(np.asarray(a).ravel()[0])
+    # Parity gate: engine states vs numpy oracle on two triangles.
+    parity = True
+    for k in (0, N_TRIS // 2):
+        oracle = engine.resample_fine_item(tex, cfg, uv_tris[k], SUBDIV,
+                                           np.full(M, UO, np.uint8))
+        parity &= bool((got[k] == oracle).all())
 
     reps = 5
     t0 = time.perf_counter()
     for _rep in range(reps):
-        for run in runners:
-            a, b = run()
-        _ = int(np.asarray(a).ravel()[0]) + int(np.asarray(b).ravel()[0])
+        got = run_batch()
     dt = (time.perf_counter() - t0) / reps
     rate = N_TRIS * M / dt
 
@@ -134,6 +112,7 @@ def main():
         "vs_baseline": round(rate / TARGET, 3),
         "bit_exact_vs_oracle": parity,
         "engine": engine_name,
+        "batch_tris": N_TRIS,
         "device": str(jax.devices()[0]),
     }))
     if not parity:

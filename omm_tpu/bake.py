@@ -783,10 +783,32 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         it.states = engine.resample_coarse_item(tex, cfg, it.uv_tri,
                                                 it.subdivision_level, it.states)
 
+    def _device_eligible(it):
+        return (classify is not None and not cfg.disable_fine
+                and not bool(geom.is_degenerate(it.uv_tri))
+                and cfg.filter == TextureFilterMode.Linear
+                and not cfg.disable_level_line)
+
+    if backend == "pallas":
+        # Batch all device-eligible work items per subdivision level
+        # through the hierarchical two-phase engine (one device pipeline,
+        # two syncs per batch — kernels/twophase.py).
+        from .kernels.twophase import classify_work_items_batch
+        by_level: dict[int, list[int]] = {}
+        for i, it in enumerate(items):
+            if _device_eligible(it):
+                by_level.setdefault(it.subdivision_level, []).append(i)
+        for level, idxs in by_level.items():
+            res = classify_work_items_batch(
+                tex, cfg, [(items[i].uv_tri, items[i].states) for i in idxs],
+                level)
+            for i, st in zip(idxs, res):
+                items[i].states = st
+
     def _fine(it):
-        if classify is not None and not bool(geom.is_degenerate(it.uv_tri)) \
-                and cfg.filter == TextureFilterMode.Linear \
-                and not cfg.disable_level_line:
+        if backend == "pallas" and _device_eligible(it):
+            return it.states  # already classified by the batched engine
+        if _device_eligible(it):
             return classify(tex, cfg, it.uv_tri, it.subdivision_level,
                             it.states)
         return engine.resample_fine_item(tex, cfg, it.uv_tri,

@@ -1,0 +1,691 @@
+"""Hierarchical two-phase micro-triangle classification (production path).
+
+The reference resolves easy micro-triangles with a SAT box test
+(impl::ResampleCoarse, bake_cpu_impl.cpp:715-808) before running the
+per-texel level-line kernel on the rest.  This module is the TPU-native
+generalization, applied *inside* the fine pass and structured for a
+high-latency host link: a batch of work items runs as a device-resident
+pipeline with exactly two host synchronizations.
+
+Levels of resolution (all on device):
+
+  A. GROUP resolve.  The bird curve is hierarchical: micro-triangles
+     [g*4^k, (g+1)*4^k) are exactly the subtriangle with curve index g at
+     subdivision level lg = L-k (bird.h:57-118 recursion).  A separable
+     min/max filter over the wrap-mode pre-padded alpha plane produces an
+     int8 "class plane" (+1 all-above / -1 all-below / 0 mixed for the
+     window anchored at each texel); ONE gather per group classifies all
+     its members at once when the group's texel window sits strictly on
+     one side of the alpha cutoff.  This is exact: GetStateFromCoverage
+     (bake_kernels_cpu.h:25-61) consults the above/below counts only when
+     BOTH are non-zero, and a one-sided window forces every per-texel
+     increment (corner tests, level-line hits, bilinear seed) to the same
+     side.  A relative safety margin (PHASE1_MARGIN) keeps every
+     borderline texel — where fp32 rounding inside the reference op order
+     could land a value on the other side — in the mixed class.
+  B. MICRO resolve.  Members of unresolved groups (the alpha-contour
+     neighborhood, O(perimeter) of the O(area) total) get the same
+     one-gather test with a micro-triangle-sized window.
+  C. EXACT kernel.  True survivors — windows straddling the cutoff — run
+     the bit-exact level-line Pallas kernel (pallas_classify._run_v3),
+     tile-sorted across the whole batch.  Survivor compaction, tile
+     sorting, group padding and the per-slot geometry stream are all
+     built on device; the host only reads the survivor counts (sync #1)
+     to pick power-of-two capacity buckets, then fetches the final
+     2-bit-packed states (sync #2).
+
+Multi-mip bakes (bake_cpu_impl.cpp:872-911) resolve at level A/B only
+when every mip agrees on the same side; anything else — including
+opposite-side mips, where the counts feed the Nearest-promotion
+comparison `above >= below` — runs the exact kernel for ALL mips,
+preserving the reference's count arithmetic and early-unknown-exit.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bird, geom
+from ..texture import Texture
+from ..types import (OpacityState, TextureAddressMode, TextureFilterMode,
+                     get_num_micro_triangles)
+from . import mxu_classify as mx
+from . import pallas_classify as pk
+
+UO = int(OpacityState.UnknownOpaque)
+UT = int(OpacityState.UnknownTransparent)
+B = pk.B
+TILE = pk.TILE
+GEO_ROWS = pk.GEO_ROWS
+
+# Relative margin below which the window test refuses to resolve: ~6e-5 of
+# the value scale, orders of magnitude above the <= 8-ulp (~5e-7) rounding
+# slack of the reference's bilinear/quadratic fp32 chains.
+PHASE1_MARGIN = float(np.float32(2.0 ** -14))
+
+_INVALID_TILE = np.int32(0x7FFFFF00)
+_SENTINEL = np.int32(0x7FFFFF00)
+
+
+# ---------------------------------------------------------------------------
+# caches
+# ---------------------------------------------------------------------------
+
+def _tex_cache(texture: Texture) -> dict:
+    c = getattr(texture, "_omm_dev_cache", None)
+    if c is None:
+        c = {}
+        texture._omm_dev_cache = c
+    return c
+
+
+def _planes_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int):
+    key = ("tiles", mip, int(addr_mode), pad, TSA)
+    c = _tex_cache(texture)
+    if key not in c:
+        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad, addr_mode))
+        tilesE, nty, ntx = pk._halo_tiles(planeP, TILE, TSA)
+        c[key] = (planeP, tilesE, nty, ntx)
+    return c[key]
+
+
+# ---------------------------------------------------------------------------
+# window classes
+# ---------------------------------------------------------------------------
+
+def _span_window(texture: Texture, uv_tri: np.ndarray, level: int, mip: int):
+    """Conservative static (H, W) texel window class for subtriangles at
+    `level`: upper bound on the clipped AABB extent (a subtriangle is the
+    macro triangle scaled by 2^-level)."""
+    w, h = texture.size(mip)
+    q = uv_tri.astype(np.float64) * np.array([w, h], np.float64)
+    span = (q.max(axis=0) - q.min(axis=0)) * 2.0 ** -level
+    Wb = int(np.ceil(span[0] * (1.0 + 1e-5))) + 2
+    Hb = int(np.ceil(span[1] * (1.0 + 1e-5))) + 2
+    return Hb, Wb
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _bucket(n: int) -> int:
+    """Smallest capacity in {2^k, 1.5*2^k} >= n: tight enough to bound
+    wasted device work, coarse enough to bound recompiles."""
+    p = _next_pow2(max(n, 1))
+    if (p // 4) * 3 >= n:
+        return (p // 4) * 3
+    return p
+
+
+@partial(jax.jit, static_argnames=("Hb", "Wb", "cutoff", "margin"))
+def _class_plane_jit(planeP, *, Hb, Wb, cutoff, margin):
+    return _class_plane(planeP, Hb, Wb, cutoff, margin)
+
+
+def _cls_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
+                Hb: int, Wb: int, cutoff: float, margin: float):
+    """Device-cached int8 class plane (textures are reused across many
+    batches; the min/max filters run once per window class)."""
+    key = ("cls", mip, int(addr_mode), pad, TSA, Hb, Wb, cutoff, margin)
+    c = _tex_cache(texture)
+    if key not in c:
+        planeP, _, _, _ = _planes_cached(texture, mip, addr_mode, pad, TSA)
+        c[key] = _class_plane_jit(planeP, Hb=Hb, Wb=Wb, cutoff=cutoff,
+                                  margin=margin)
+    return c[key]
+
+
+# ---------------------------------------------------------------------------
+# device building blocks (column layout throughout: no (N, 3, 2) arrays)
+# ---------------------------------------------------------------------------
+
+def _bary_cols(index, level: int):
+    """index2bary (bird.h:73-118) in column form: returns (u, v, d) fp32
+    so the corners are (u,v), (u+d,v), (u,v+d) — same fp ops as
+    bird.index2bary."""
+    iu, iv, iw = bird.index2dbary(index, jnp)
+    mask = jnp.uint32((1 << level) - 1)
+    iu = iu & mask
+    iv = iv & mask
+    iw = iw & mask
+    upright = ((iu & 1) ^ (iv & 1) ^ (iw & 1)).astype(bool)
+    one = jnp.uint32(1)
+    iu = jnp.where(upright, iu, iu + one)
+    iv = jnp.where(upright, iv, iv + one)
+    ls = jnp.float32(np.float32(2.0) ** np.float32(-level))
+    d = jnp.where(upright, ls, -ls).astype(jnp.float32)
+    return iu.astype(jnp.float32) * ls, iv.astype(jnp.float32) * ls, d
+
+
+def _corner_cols(tri6, bu, bv, bd):
+    """InterpolateTriangleUV in column form (geometry.h:241-248):
+    p = p0*(1-u-v) + p1*u + p2*v for the three subtriangle corners.
+    tri6: 6 scalar-or-(N,) columns (p0x,p0y,p1x,p1y,p2x,p2y)."""
+    p0x, p0y, p1x, p1y, p2x, p2y = tri6
+    onef = jnp.float32(1.0)
+
+    def corner(u_, v_):
+        w_ = onef - u_ - v_
+        return p0x * w_ + p1x * u_ + p2x * v_, p0y * w_ + p1y * u_ + p2y * v_
+
+    ax, ay = corner(bu, bv)
+    bx, by = corner(bu + bd, bv)
+    cx, cy = corner(bu, bv + bd)
+    return (ax, ay), (bx, by), (cx, cy)
+
+
+def _class_plane(planeP, Hb, Wb, cutoff, margin):
+    """int8 plane: value at (y, x) classifies the (Hb+4, Wb+4) window
+    anchored there (+1 strictly above, -1 strictly below, 0 mixed)."""
+    inf = jnp.float32(np.inf)
+    wmin = jax.lax.reduce_window(planeP, inf, jax.lax.min,
+                                 (Hb + 4, 1), (1, 1), "VALID")
+    wmin = jax.lax.reduce_window(wmin, inf, jax.lax.min,
+                                 (1, Wb + 4), (1, 1), "VALID")
+    wmax = jax.lax.reduce_window(planeP, -inf, jax.lax.max,
+                                 (Hb + 4, 1), (1, 1), "VALID")
+    wmax = jax.lax.reduce_window(wmax, -inf, jax.lax.max,
+                                 (1, Wb + 4), (1, 1), "VALID")
+    cut = jnp.float32(cutoff)
+    mrg = jnp.float32(margin)
+    scale = jnp.maximum(jnp.float32(1.0),
+                        jnp.maximum(jnp.abs(wmin), jnp.abs(wmax)))
+    delta = scale * mrg
+    return jnp.where(wmin > cut + delta, jnp.int8(1),
+                     jnp.where(wmax < cut - delta, jnp.int8(-1),
+                               jnp.int8(0)))
+
+
+def _window_origin(tri6, bu, bv, bd, w, h):
+    """floor(min corner * size - 0.5) per element (column form), minus the
+    one-texel insurance applied by the caller."""
+    (ax, ay), (bx, by), (cx, cy) = _corner_cols(tri6, bu, bv, bd)
+    wf = jnp.float32(float(w))
+    hf = jnp.float32(float(h))
+    half = jnp.float32(0.5)
+    qxm = jnp.minimum(jnp.minimum(ax, bx), cx) * wf - half
+    qym = jnp.minimum(jnp.minimum(ay, by), cy) * hf - half
+    return (jnp.floor(qxm).astype(jnp.int32),
+            jnp.floor(qym).astype(jnp.int32))
+
+
+def _tri6_of(uv_flat, t):
+    u = uv_flat[t]
+    return tuple(u[..., k] for k in range(6))
+
+
+def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads):
+    """Combined-over-mips side for subtriangles given by curve index
+    `ids` at `level` belonging to item `tvec` (column arrays)."""
+    bu, bv, bd = _bary_cols(ids.astype(jnp.uint32), level)
+    tri6 = _tri6_of(uv_flat, tvec)
+    side = None
+    for mi, (w, h) in enumerate(mips):
+        pad = pads[mi]
+        x0, y0 = _window_origin(tri6, bu, bv, bd, w, h)
+        cls = planes_cls[mi]
+        s = cls[y0 - 1 + pad, x0 - 1 + pad]
+        if side is None:
+            side = s
+        else:
+            side = jnp.where(s == side, side, jnp.int8(0))
+    return side
+
+
+# ---------------------------------------------------------------------------
+# stage A+B: group resolve, micro resolve, survivor compaction, tile slots
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("subdiv", "lg", "C_cap", "K_cap", "mips",
+                                   "pads", "ntxs", "all_active"))
+def _stageAB(cls_g, cls_u, uv_flat, ccw, active, *, subdiv, lg, C_cap,
+             K_cap, mips, pads, ntxs, all_active):
+    """Returns (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
+    slots)."""
+    T = uv_flat.shape[0]
+    M = get_num_micro_triangles(subdiv)
+    NG = 4 ** lg
+    G = M // NG
+
+    # ---- A: group sides (T, NG) ----
+    gidx = jnp.arange(NG, dtype=jnp.uint32)
+    gI = jnp.tile(gidx, T)
+    gT = jnp.repeat(jnp.arange(T, dtype=jnp.int32), NG)
+    gside = _sides_for(gI, gT, lg, uv_flat, cls_g, mips, pads).reshape(T, NG)
+
+    # group is skippable entirely when none of its members are active
+    if all_active:
+        unres = gside == 0
+    else:
+        gactive = active.reshape(T, NG, G).any(axis=2)
+        unres = (gside == 0) & gactive
+
+    # compact unresolved groups to C_cap
+    fu = unres.reshape(-1)
+    posg = jnp.cumsum(fu.astype(jnp.int32)) - 1
+    CG = (posg[-1] + 1).astype(jnp.int32)
+    tgt_g = jnp.where(fu & (posg < C_cap), posg, C_cap)
+    gids = jnp.zeros((C_cap,), jnp.int32).at[tgt_g].set(
+        jnp.arange(T * NG, dtype=jnp.int32), mode="drop")
+    gvalid = jnp.arange(C_cap, dtype=jnp.int32) < jnp.minimum(CG, C_cap)
+    flag = jnp.where(CG > C_cap, jnp.int32(1), jnp.int32(0))
+
+    # ---- B: micro sides for candidate members ----
+    NC = C_cap * G
+    jj = jnp.arange(G, dtype=jnp.int32)
+    cand_t = jnp.repeat(gids // NG, G)
+    cand_m = jnp.repeat((gids % NG) * G, G) + jnp.tile(jj, C_cap)
+    cvalid = jnp.repeat(gvalid, G)
+
+    fside = _sides_for(cand_m.astype(jnp.uint32), cand_t, subdiv, uv_flat,
+                       cls_u, mips, pads)
+    if all_active:
+        surv = cvalid & (fside == 0)
+    else:
+        surv = cvalid & active[cand_t, cand_m] & (fside == 0)
+
+    # compact survivors to K_cap (flat id = t*M + m)
+    poss = jnp.cumsum(surv.astype(jnp.int32)) - 1
+    K = (poss[-1] + 1).astype(jnp.int32)
+    tgt_s = jnp.where(surv & (poss < K_cap), poss, K_cap)
+    fid = cand_t * M + cand_m
+    ids = jnp.zeros((K_cap,), jnp.int32).at[tgt_s].set(fid, mode="drop")
+    kvalid = jnp.arange(K_cap, dtype=jnp.int32) < jnp.minimum(K, K_cap)
+    flag = jnp.maximum(flag, jnp.where(K > K_cap, jnp.int32(1),
+                                       jnp.int32(0)))
+
+    # ---- per-mip tile sort + group padding -> slot assignment ----
+    sv_t = (ids // M).astype(jnp.int32)
+    sv_m = (ids % M).astype(jnp.uint32)
+    bu, bv, bd = _bary_cols(sv_m, subdiv)
+    tri6 = _tri6_of(uv_flat, sv_t)
+    slots = []
+    metas = [CG, K, flag]
+    for mi, (w, h) in enumerate(mips):
+        pad = pads[mi]
+        ntx = ntxs[mi]
+        x0, y0 = _window_origin(tri6, bu, bv, bd, w, h)
+        tile = ((y0 + pad) // TILE) * ntx + (x0 + pad) // TILE
+        tile = jnp.where(kvalid, tile, _INVALID_TILE)
+        order = jnp.argsort(tile, stable=True)
+        st = tile[order]
+        ar = jnp.arange(K_cap, dtype=jnp.int32)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), st[1:] != st[:-1]])
+        gid2 = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        start_pos = jax.lax.cummax(jnp.where(is_start, ar, 0))
+        rank = ar - start_pos
+        ones = jnp.where(st != _INVALID_TILE, 1, 0).astype(jnp.int32)
+        sizes = jax.ops.segment_sum(ones, gid2, num_segments=K_cap)
+        padded = ((sizes + B - 1) // B) * B
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(padded).astype(jnp.int32)[:-1]])
+        slot_sorted = jnp.where(st != _INVALID_TILE,
+                                offsets[gid2] + rank, _SENTINEL)
+        slot = jnp.zeros((K_cap,), jnp.int32).at[order].set(slot_sorted)
+        metas.append(jnp.sum(padded).astype(jnp.int32))
+        slots.append((slot, tile))
+
+    meta = jnp.stack(metas)
+    return (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
+            tuple(slots))
+
+
+# ---------------------------------------------------------------------------
+# stage C (per mip): slot stream -> Pallas kernel -> survivor counts
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("subdiv", "K_cap", "nblk", "w", "h",
+                                   "pad", "ntx", "H", "W", "rcp",
+                                   "alpha_cutoff"))
+def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, *, subdiv,
+                K_cap, nblk, w, h, pad, ntx, H, W, rcp, alpha_cutoff):
+    """Build the (nblk, rows, B) slot stream on device and run the exact
+    Pallas kernel; returns (above, below) int32 (K_cap,) in survivor
+    order."""
+    M = get_num_micro_triangles(subdiv)
+    padM = nblk * B
+    sv_t = (ids // M).astype(jnp.int32)
+    sv_m = (ids % M).astype(jnp.uint32)
+    bu, bv, bd = _bary_cols(sv_m, subdiv)
+    tri6 = _tri6_of(uv_flat, sv_t)
+    (ax, ay), (bx2, by2), (cx, cy) = _corner_cols(tri6, bu, bv, bd)
+    wf = jnp.float32(float(w))
+    hf = jnp.float32(float(h))
+    half = jnp.float32(0.5)
+    qs = [(ax * wf - half, ay * hf - half),
+          (bx2 * wf - half, by2 * hf - half),
+          (cx * wf - half, cy * hf - half)]
+    x0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][0], qs[1][0]),
+                               qs[2][0])).astype(jnp.int32)
+    y0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][1], qs[1][1]),
+                               qs[2][1])).astype(jnp.int32)
+    x1 = jnp.ceil(jnp.maximum(jnp.maximum(qs[0][0], qs[1][0]),
+                              qs[2][0])).astype(jnp.int32)
+    y1 = jnp.ceil(jnp.maximum(jnp.maximum(qs[0][1], qs[1][1]),
+                              qs[2][1])).astype(jnp.int32)
+    sx = jnp.floor(qs[0][0]).astype(jnp.int32)
+    sy = jnp.floor(qs[0][1]).astype(jnp.int32)
+
+    # raster triangle: CCW normalize (flip corner order when not CCW)
+    flip = ~ccw[sv_t]
+    qn = []
+    for k in range(3):
+        src = [qs[k], qs[2 - k]]
+        qn.append((jnp.where(flip, src[1][0], src[0][0]),
+                   jnp.where(flip, src[1][1], src[0][1])))
+
+    # micro-tri UV corners (muv rows): p0..p2 in UV space
+    muv_rows = [ax, ay, bx2, by2, cx, cy]
+    qn_rows = [qn[0][0], qn[0][1], qn[1][0], qn[1][1], qn[2][0], qn[2][1]]
+
+    ok = kvalid & (slot < padM)
+    tgt = jnp.where(ok, slot, padM)  # OOB drops
+
+    btx = tile % ntx
+    bty = tile // ntx
+    ox = (x0 + pad - btx * TILE).astype(jnp.int32)
+    oy = (y0 + pad - bty * TILE).astype(jnp.int32)
+
+    def scat6(cols):
+        v = jnp.stack(cols, axis=1)  # (K_cap, 6)
+        out = jnp.zeros((padM, 6), jnp.float32).at[tgt].set(v, mode="drop")
+        return out.reshape(nblk, B, 6).transpose(0, 2, 1)
+
+    muv_r = scat6(muv_rows)
+    qn_r = scat6(qn_rows)
+
+    geo_cols = jnp.stack(
+        [x0, y0, x1, y1, oy, ox, sy - y0, sx - x0,
+         jnp.ones((K_cap,), jnp.int32), jnp.zeros((K_cap,), jnp.int32)],
+        axis=1)
+    geo = (jnp.zeros((padM, GEO_ROWS), jnp.int32)
+           .at[tgt].set(geo_cols, mode="drop")
+           .reshape(nblk, B, GEO_ROWS).transpose(0, 2, 1))
+
+    block_tile = (jnp.zeros((nblk,), jnp.int32)
+                  .at[tgt // B].max(tile, mode="drop"))
+
+    a_b, b_b = pk._run_v3(
+        tilesE, block_tile, muv_r, qn_r, geo,
+        H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
+        size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk)
+    a_flat = a_b.reshape(-1)
+    b_flat = b_b.reshape(-1)
+    safe = jnp.minimum(tgt, padM - 1)
+    a = jnp.where(ok, a_flat[safe], 0)
+    b = jnp.where(ok, b_flat[safe], 0)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# stage D: accumulate mips, merge all levels, pack 2-bit states
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("subdiv", "lg", "fmt", "promotion",
+                                   "cutoff_gt", "cutoff_le"))
+def _stageD(gside, fside, cand_t, cand_m, cvalid, ids, kvalid, mip_counts,
+            *, subdiv, lg, fmt, promotion, cutoff_gt, cutoff_le):
+    """Final 2-bit-packed (T, M/4) uint8 states (strided order: byte k of
+    item t holds micro-tris {k, k+M/4, k+2M/4, k+3M/4} — see
+    _unpack_states)."""
+    from .levelline import get_state_from_coverage
+
+    M = get_num_micro_triangles(subdiv)
+    T = gside.shape[0]
+    NG = 4 ** lg
+    G = M // NG
+    C_cap = cvalid.shape[0] // G
+    K_cap = ids.shape[0]
+
+    above = jnp.zeros((K_cap,), jnp.int32)
+    below = jnp.zeros((K_cap,), jnp.int32)
+    alive = jnp.ones((K_cap,), bool)
+    for a, b in mip_counts:
+        above = above + jnp.where(alive, a, 0)
+        below = below + jnp.where(alive, b, 0)
+        st = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                     cutoff_le, above, below)
+        alive = alive & ~((st == UO) | (st == UT))
+    final = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                    cutoff_le, above, below)
+
+    st_gt = jnp.int8(int(cutoff_gt))
+    st_le = jnp.int8(int(cutoff_le))
+
+    def map_side(s):
+        return jnp.where(s == 1, st_gt, jnp.where(s == -1, st_le,
+                                                  jnp.int8(0)))
+
+    # group-resolved base, as (T*NG, G) rows; candidate groups overwrite
+    # whole rows (their group side is 0, and inactive/survivor members are
+    # refined below or ignored by the host writeback)
+    base = jnp.broadcast_to(map_side(gside).reshape(T * NG, 1), (T * NG, G))
+    cand_rows = map_side(fside).reshape(C_cap, G)
+    gidf = cand_t[::G] * NG + (cand_m[::G] // G)
+    row_tgt = jnp.where(cvalid[::G], gidf, T * NG)
+    base = base.at[row_tgt].set(cand_rows, mode="drop")
+    base = base.reshape(T * M)
+    # exact-kernel survivors
+    stgt = jnp.where(kvalid, ids, T * M)
+    base = base.at[stgt].set(final.astype(jnp.int8), mode="drop")
+
+    # strided 2-bit pack: no relayout (all ops on (T, M//4) slices)
+    states = base.reshape(T, 4, M // 4).astype(jnp.uint8)
+    packed = (states[:, 0] | (states[:, 1] << 2) | (states[:, 2] << 4)
+              | (states[:, 3] << 6))
+    return packed
+
+
+def _unpack_states(packed: np.ndarray, M: int) -> np.ndarray:
+    """(M/4,) uint8 -> (M,) uint8; inverse of _stageD's strided pack."""
+    p = packed.astype(np.uint8)
+    out = np.empty((4, p.shape[0]), np.uint8)
+    out[0] = p & 3
+    out[1] = (p >> 2) & 3
+    out[2] = (p >> 4) & 3
+    out[3] = (p >> 6) & 3
+    return out.reshape(-1)[:M]
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _group_level(texture: Texture, uv_tris, subdiv: int) -> int:
+    """Subdivision level of the resolve groups: subtriangle texel span
+    ~8-16 at mip 0."""
+    w, h = texture.size(0)
+    span = 1.0
+    for uv in uv_tris:
+        q = uv.astype(np.float64) * np.array([w, h], np.float64)
+        span = max(span, float((q.max(axis=0) - q.min(axis=0)).max()))
+    lg = int(np.ceil(np.log2(max(span / 8.0, 1.0))))
+    return max(1, min(subdiv - 1, lg))
+
+
+def _fast_path_ok(texture: Texture, cfg, uv_tri: np.ndarray,
+                  subdiv: int, lg: int) -> bool:
+    if (cfg.addr_mode == TextureAddressMode.Border
+            or cfg.filter != TextureFilterMode.Linear
+            or getattr(cfg, "disable_level_line", False)
+            or subdiv < 2
+            or bool(geom.is_degenerate(uv_tri))):
+        return False
+    for mip in range(texture.mip_count):
+        Hb, Wb = _span_window(texture, uv_tri, subdiv, mip)
+        Hg, Wg = _span_window(texture, uv_tri, lg, mip)
+        He, We = Hb + 2, Wb + 2
+        if max(He, We) > TILE:  # window larger than a tile: not this engine
+            return False
+        TSA = TILE + max(He, We)
+        pad = TSA
+        if max(Hg, Wg) + 6 >= pad:  # group window must fit the padding
+            return False
+        w, h = texture.size(mip)
+        q = uv_tri.astype(np.float64) * np.array([w, h], np.float64)
+        tmin = np.floor(q.min(axis=0)) - 2
+        tmax = np.ceil(q.max(axis=0)) + 2
+        if (tmin[0] < 1 - pad or tmin[1] < 1 - pad
+                or tmax[0] + max(We + 2, Wg + 6) > w + pad
+                or tmax[1] + max(He + 2, Hg + 6) > h + pad):
+            return False
+    return True
+
+
+def classify_work_items_batch(texture: Texture, cfg, items, subdiv: int):
+    """Classify a batch of work items sharing one subdivision level.
+
+    items: list of (uv_tri, states) — states uint8 (M,); micro-triangles
+    with state == UnknownOpaque are classified.  Returns the list of new
+    state arrays.  Items that fail the fast-path preconditions fall back
+    to the XLA gather path individually; device-side capacity overflow
+    grows the buckets and retries (correctness never depends on the fast
+    path)."""
+    from .jax_classify import classify_work_item_jax
+
+    M = get_num_micro_triangles(subdiv)
+    out = [None] * len(items)
+    cand = [i for i, (uv, st) in enumerate(items) if (st == UO).any()]
+    for i, (uv, st) in enumerate(items):
+        if i not in cand:
+            out[i] = st
+    if not cand:
+        return out
+
+    lg = _group_level(texture, [items[i][0] for i in cand], subdiv)
+    fast = []
+    for i in cand:
+        if _fast_path_ok(texture, cfg, items[i][0], subdiv, lg):
+            fast.append(i)
+        else:
+            out[i] = classify_work_item_jax(texture, cfg, items[i][0],
+                                            subdiv, items[i][1])
+    if not fast:
+        return out
+
+    def _fallback():
+        for i in fast:
+            out[i] = classify_work_item_jax(texture, cfg, items[i][0],
+                                            subdiv, items[i][1])
+        return out
+
+    T = len(fast)
+    uv_flat = np.stack([items[i][0].reshape(6) for i in fast]) \
+        .astype(np.float32)
+    ccw = np.array([bool(geom.is_ccw(items[i][0])) for i in fast])
+    active = np.stack([items[i][1] == UO for i in fast])
+    all_active = bool(active.all())
+
+    nmip = texture.mip_count
+    cutoff = float(cfg.alpha_cutoff)
+    mips, pads, HWu, ntxs, cls_g, cls_u, tilesEs = \
+        [], [], [], [], [], [], []
+    for mip in range(nmip):
+        Hb = max(_span_window(texture, items[i][0], subdiv, mip)[0]
+                 for i in fast)
+        Wb = max(_span_window(texture, items[i][0], subdiv, mip)[1]
+                 for i in fast)
+        Hg = max(_span_window(texture, items[i][0], lg, mip)[0]
+                 for i in fast)
+        Wg = max(_span_window(texture, items[i][0], lg, mip)[1]
+                 for i in fast)
+        He, We = Hb + 2, Wb + 2
+        TSA = TILE + max(He, We)
+        pad = TSA
+        _, tilesE, nty, ntx = _planes_cached(texture, mip, cfg.addr_mode,
+                                             pad, TSA)
+        mips.append(texture.size(mip))
+        pads.append(pad)
+        HWu.append((Hb, Wb))
+        ntxs.append(ntx)
+        cls_g.append(_cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
+                                 Hg, Wg, cutoff, PHASE1_MARGIN))
+        cls_u.append(_cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
+                                 Hb, Wb, cutoff, PHASE1_MARGIN))
+        tilesEs.append(tilesE)
+
+    NG = 4 ** lg
+    G = M // NG
+    caps = getattr(texture, "_omm_caps", {})
+    texture._omm_caps = caps
+    C_cap, K_cap = caps.get((subdiv, lg, T),
+                            (max(_bucket((T * NG) // 8), 1024),
+                             max(_bucket((T * M) // 32), 4 * B)))
+
+    uvJ = jnp.asarray(uv_flat)
+    ccwJ = jnp.asarray(ccw)
+    actJ = jnp.asarray(active if not all_active
+                       else np.ones((1, 1), bool))
+
+    for _attempt in range(4):
+        res = _stageAB(tuple(cls_g), tuple(cls_u), uvJ, ccwJ, actJ,
+                       subdiv=subdiv, lg=lg, C_cap=C_cap, K_cap=K_cap,
+                       mips=tuple(mips), pads=tuple(pads),
+                       ntxs=tuple(ntxs), all_active=all_active)
+        (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
+         slots) = res
+        meta_np = np.asarray(meta)  # sync #1
+        CG, K, flag = int(meta_np[0]), int(meta_np[1]), int(meta_np[2])
+        if flag == 0 and CG <= C_cap and K <= K_cap:
+            break
+        C_cap = max(C_cap, _bucket(CG + CG // 8 + 64))
+        K_cap = max(K_cap, _bucket(K + K // 8 + 64))
+    else:
+        return _fallback()
+    # remember observed sizes (with headroom) so later batches run tight
+    caps[(subdiv, lg, T)] = (max(_bucket(CG + CG // 8 + 64), 1024),
+                             max(_bucket(K + K // 8 + 64), 4 * B))
+
+    mip_counts = []
+    if K > 0:
+        ok = True
+        for mip in range(nmip):
+            padM = int(meta_np[3 + mip])
+            nblk = max(_bucket((padM + B - 1) // B), 8)
+            w, h = mips[mip]
+            info = texture.info[mip]
+            Hb, Wb = HWu[mip]
+            try:
+                a, b = _stageC_mip(
+                    tilesEs[mip], uvJ, ccwJ, ids, kvalid,
+                    slots[mip][0], slots[mip][1], subdiv=subdiv,
+                    K_cap=K_cap, nblk=nblk, w=w, h=h, pad=pads[mip],
+                    ntx=ntxs[mip], H=Hb, W=Wb,
+                    rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
+                    alpha_cutoff=float(cfg.alpha_cutoff))
+            except Exception:  # Mosaic lowering gap on this toolchain
+                ok = False
+                break
+            mip_counts.append((a, b))
+        if not ok:
+            return _fallback()
+
+    packed = np.asarray(_stageD(
+        gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
+        tuple(mip_counts), subdiv=subdiv, lg=lg, fmt=cfg.fmt,
+        promotion=cfg.promotion, cutoff_gt=cfg.cutoff_gt,
+        cutoff_le=cfg.cutoff_le))  # sync #2
+
+    for t, i in enumerate(fast):
+        uv_tri, states = items[i]
+        st = states.copy()
+        act = active[t]
+        st[act] = _unpack_states(packed[t], M)[act]
+        out[i] = st
+    return out
+
+
+def classify_work_item_twophase(texture: Texture, cfg, uv_tri: np.ndarray,
+                                subdiv: int, states: np.ndarray):
+    """Single-item wrapper over classify_work_items_batch."""
+    return classify_work_items_batch(texture, cfg, [(uv_tri, states)],
+                                     subdiv)[0]

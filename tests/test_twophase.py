@@ -1,0 +1,154 @@
+"""Hierarchical two-phase engine parity (kernels/twophase.py).
+
+The exact Pallas stage runs in interpret mode on CPU; the real-chip run
+is gated by bench.py's bit-exactness check.  Oracle = per-item
+resample_fine_item (itself validated against the reference suite's
+hard-coded stats in test_bake_oracles.py).
+"""
+import numpy as np
+import pytest
+
+import omm_tpu as omm
+from omm_tpu import engine
+
+from fixtures import standard_circle, sine_fp32, sine_unorm8
+
+
+def _interp_pallas(monkeypatch):
+    import jax.experimental.pallas as plmod
+    import omm_tpu.kernels.pallas_classify as pk
+
+    orig = plmod.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pk.pl, "pallas_call", interp)
+
+
+def _cfg(**over):
+    base = dict(addr_mode=omm.TextureAddressMode.Clamp,
+                filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
+                border_alpha=0.0, fmt=omm.Format.OC1_4_State,
+                promotion=omm.UnknownStatePromotion.Nearest,
+                cutoff_gt=omm.OpacityState.Opaque,
+                cutoff_le=omm.OpacityState.Transparent)
+    base.update(over)
+    return engine.ResampleConfig(**base)
+
+
+def _tris(n, seed=7):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        b = rng.rand(2).astype(np.float32) * 0.25
+        out.append(np.array([b + [0.05, 0.08], b + [0.12, 0.7],
+                             b + [0.72, 0.6]], np.float32))
+    return out
+
+
+def _check_batch(tex, cfg, tris, subdiv, monkeypatch):
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    M = omm.get_num_micro_triangles(subdiv)
+    items = [(t, np.full(M, 3, np.uint8)) for t in tris]
+    got = tp.classify_work_items_batch(tex, cfg, items, subdiv)
+    for t, st in zip(tris, got):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (st == want).all(), (
+            f"two-phase mismatch: {(st != want).sum()} of {M}")
+
+
+@pytest.mark.slow
+def test_twophase_circle_batch(monkeypatch):
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    _check_batch(tex, _cfg(), _tris(3), 5, monkeypatch)
+
+
+@pytest.mark.slow
+def test_twophase_wrap_and_2state(monkeypatch):
+    tex = omm.Texture([sine_fp32(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg(addr_mode=omm.TextureAddressMode.Wrap,
+               fmt=omm.Format.OC1_2_State)
+    tris = [np.array([[0.1, -0.2], [0.2, 1.1], [1.3, 0.7]], np.float32)]
+    _check_batch(tex, cfg, tris, 5, monkeypatch)
+
+
+@pytest.mark.slow
+def test_twophase_unorm8_mips_force_opaque(monkeypatch):
+    m0 = sine_unorm8(64, 64)
+    m1 = m0[::2, ::2].copy()
+    tex = omm.Texture([m0, m1], omm.TextureFormat.UNORM8)
+    cfg = _cfg(promotion=omm.UnknownStatePromotion.ForceOpaque)
+    _check_batch(tex, cfg, _tris(2, seed=3), 4, monkeypatch)
+
+
+@pytest.mark.slow
+def test_twophase_near_cutoff_margin(monkeypatch):
+    """Values within the fp-safety margin of the cutoff must go through
+    the exact kernel, never the window shortcut."""
+    rng = np.random.RandomState(0)
+    plane = (np.float32(0.5)
+             + (rng.rand(64, 64).astype(np.float32) - np.float32(0.5))
+             * np.float32(1e-6))
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    _check_batch(tex, _cfg(), _tris(1), 4, monkeypatch)
+
+
+@pytest.mark.slow
+def test_twophase_respects_active_mask(monkeypatch):
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tri = _tris(1)[0]
+    pre = np.full(M, 3, np.uint8)
+    pre[: M // 2] = 0  # pre-resolved by the coarse pass: must be kept
+    got = tp.classify_work_items_batch(tex, cfg, [(tri, pre.copy())],
+                                       subdiv)[0]
+    assert (got[: M // 2] == 0).all()
+    want = engine.resample_fine_item(tex, cfg, tri, subdiv, pre.copy())
+    assert (got == want).all()
+
+
+@pytest.mark.slow
+def test_twophase_degenerate_falls_back(monkeypatch):
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 4
+    M = omm.get_num_micro_triangles(subdiv)
+    degen = np.array([[0.1, 0.1], [0.4, 0.4], [0.7, 0.7]], np.float32)
+    tri = _tris(1)[0]
+    items = [(degen, np.full(M, 3, np.uint8)),
+             (tri, np.full(M, 3, np.uint8))]
+    got = tp.classify_work_items_batch(tex, cfg, items, subdiv)
+    for (t, _), st in zip(items, got):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (st == want).all()
+
+
+@pytest.mark.slow
+def test_bake_pallas_backend_matches_numpy(monkeypatch):
+    """Full bake() through the batched engine == numpy-backend bake."""
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    uvs = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32)
+    idxb = np.array([0, 1, 2, 3, 1, 2], np.uint32)
+    desc = omm.BakeInputDesc(texture=tex, tex_coords=uvs,
+                             index_buffer=idxb, index_count=6,
+                             max_subdivision_level=5)
+    a = omm.bake(desc, backend="numpy")
+    b = omm.bake(desc, backend="pallas")
+    assert np.array_equal(a.array_data, b.array_data)
+    assert np.array_equal(a.index_buffer, b.index_buffer)
+    assert omm.get_stats(a) == omm.get_stats(b)
