@@ -26,7 +26,8 @@ import numpy as np
 
 TARGET = 100e6  # utri/s/chip (BASELINE.md driver-set target)
 SUBDIV = 9
-N_TRIS = 64
+N_TRIS = 256
+BATCH = 64  # pipelined sub-batches: fetches overlap later batches' compute
 
 
 def _workload():
@@ -71,13 +72,17 @@ def main():
     M = omm.get_num_micro_triangles(SUBDIV)
     UO = int(omm.OpacityState.UnknownOpaque)
 
-    def fresh_items():
-        return [(t, np.full(M, UO, np.uint8)) for t in uv_tris]
+    def fresh_batches():
+        return [[(t, np.full(M, UO, np.uint8))
+                 for t in uv_tris[k:k + BATCH]]
+                for k in range(0, N_TRIS, BATCH)]
 
-    engine_name = "twophase_hier_pallas"
+    engine_name = "twophase_hier_pallas_pipelined"
 
     def run_batch():
-        return tp.classify_work_items_batch(tex, cfg, fresh_items(), SUBDIV)
+        outs = tp.classify_work_items_batches(tex, cfg, fresh_batches(),
+                                              SUBDIV)
+        return [st for batch in outs for st in batch]
 
     try:
         got = run_batch()   # compile + cap discovery
@@ -112,7 +117,7 @@ def main():
         "vs_baseline": round(rate / TARGET, 3),
         "bit_exact_vs_oracle": parity,
         "engine": engine_name,
-        "batch_tris": N_TRIS,
+        "batch_tris": N_TRIS, "sub_batch": BATCH,
         "device": str(jax.devices()[0]),
     }))
     if not parity:

@@ -485,6 +485,31 @@ def _stageD(gside, fside, cand_t, cand_m, cvalid, ids, kvalid, mip_counts,
     return packed
 
 
+@partial(jax.jit, static_argnames=("subdiv", "lg", "fmt", "promotion",
+                                   "cutoff_gt", "cutoff_le", "nblk_caps"))
+def _stageD_spec(gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
+                 mip_counts, meta, *, subdiv, lg, fmt, promotion,
+                 cutoff_gt, cutoff_le, nblk_caps):
+    """Speculative-mode stage D: the packed states plus one extra row
+    carrying the int32 meta vector [CG, K, flag, padM...] (flag includes
+    per-mip slot-capacity overflow), so the whole batch needs a single
+    host fetch.  An overflowing batch is recomputed via the synchronous
+    path — its states row content is never consumed."""
+    packed = _stageD(gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
+                     mip_counts, subdiv=subdiv, lg=lg, fmt=fmt,
+                     promotion=promotion, cutoff_gt=cutoff_gt,
+                     cutoff_le=cutoff_le)
+    flag = meta[2]
+    for mi, cap in enumerate(nblk_caps):
+        flag = jnp.maximum(flag, jnp.where(meta[3 + mi] > cap * B,
+                                           jnp.int32(1), jnp.int32(0)))
+    mv = jnp.concatenate([meta[:2], flag[None], meta[3:]]).astype(jnp.int32)
+    mrow = jax.lax.bitcast_convert_type(mv, jnp.uint8).reshape(-1)
+    row = jnp.zeros((1, packed.shape[1]), jnp.uint8) \
+        .at[0, :mrow.shape[0]].set(mrow)
+    return jnp.concatenate([packed, row], axis=0)
+
+
 def _unpack_states(packed: np.ndarray, M: int) -> np.ndarray:
     """(M/4,) uint8 -> (M,) uint8; inverse of _stageD's strided pack."""
     p = packed.astype(np.uint8)
@@ -541,6 +566,225 @@ def _fast_path_ok(texture: Texture, cfg, uv_tri: np.ndarray,
     return True
 
 
+class _BatchCtx:
+    """Host-side preparation of one fast-path batch (no device work)."""
+
+    def __init__(self, texture, cfg, items, subdiv, fast, out):
+        self.texture = texture
+        self.cfg = cfg
+        self.items = items
+        self.subdiv = subdiv
+        self.fast = fast
+        self.out = out
+        self.M = get_num_micro_triangles(subdiv)
+        self.lg = _group_level(texture, [items[i][0] for i in fast], subdiv)
+        self.T = len(fast)
+        self.uv_flat = np.stack(
+            [items[i][0].reshape(6) for i in fast]).astype(np.float32)
+        self.ccw = np.array([bool(geom.is_ccw(items[i][0])) for i in fast])
+        self.active = np.stack([items[i][1] == UO for i in fast])
+        self.all_active = bool(self.active.all())
+
+        cutoff = float(cfg.alpha_cutoff)
+        self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
+        self.cls_g, self.cls_u, self.tilesEs, self.rcps = [], [], [], []
+        for mip in range(texture.mip_count):
+            Hb = max(_span_window(texture, items[i][0], subdiv, mip)[0]
+                     for i in fast)
+            Wb = max(_span_window(texture, items[i][0], subdiv, mip)[1]
+                     for i in fast)
+            Hg = max(_span_window(texture, items[i][0], self.lg, mip)[0]
+                     for i in fast)
+            Wg = max(_span_window(texture, items[i][0], self.lg, mip)[1]
+                     for i in fast)
+            TSA = TILE + max(Hb + 2, Wb + 2)
+            pad = TSA
+            _, tilesE, nty, ntx = _planes_cached(texture, mip,
+                                                 cfg.addr_mode, pad, TSA)
+            self.mips.append(texture.size(mip))
+            self.pads.append(pad)
+            self.HWu.append((Hb, Wb))
+            self.ntxs.append(ntx)
+            self.cls_g.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
+                                          TSA, Hg, Wg, cutoff,
+                                          PHASE1_MARGIN))
+            self.cls_u.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
+                                          TSA, Hb, Wb, cutoff,
+                                          PHASE1_MARGIN))
+            self.tilesEs.append(tilesE)
+            info = texture.info[mip]
+            self.rcps.append((float(info.rcp_size[0]),
+                              float(info.rcp_size[1])))
+
+        self.uvJ = jnp.asarray(self.uv_flat)
+        self.ccwJ = jnp.asarray(self.ccw)
+        self.actJ = jnp.asarray(self.active if not self.all_active
+                                else np.ones((1, 1), bool))
+        caps = getattr(texture, "_omm_caps", {})
+        texture._omm_caps = caps
+        self.caps = caps
+        self.cap_key = (subdiv, self.lg, self.T, self.all_active)
+
+    def stage_ab(self, C_cap, K_cap):
+        return _stageAB(tuple(self.cls_g), tuple(self.cls_u), self.uvJ,
+                        self.ccwJ, self.actJ, subdiv=self.subdiv,
+                        lg=self.lg, C_cap=C_cap, K_cap=K_cap,
+                        mips=tuple(self.mips), pads=tuple(self.pads),
+                        ntxs=tuple(self.ntxs), all_active=self.all_active)
+
+    def stage_c(self, mip, res, K_cap, nblk):
+        (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
+         slots) = res
+        w, h = self.mips[mip]
+        return _stageC_mip(
+            self.tilesEs[mip], self.uvJ, self.ccwJ, ids, kvalid,
+            slots[mip][0], slots[mip][1], subdiv=self.subdiv, K_cap=K_cap,
+            nblk=nblk, w=w, h=h, pad=self.pads[mip], ntx=self.ntxs[mip],
+            H=self.HWu[mip][0], W=self.HWu[mip][1], rcp=self.rcps[mip],
+            alpha_cutoff=float(self.cfg.alpha_cutoff))
+
+    def finish(self, packed):
+        for t, i in enumerate(self.fast):
+            states = self.items[i][1]
+            act = self.active[t]
+            unp = _unpack_states(packed[t], self.M)
+            if self.all_active:
+                self.out[i] = unp
+            else:
+                st = states.copy()
+                st[act] = unp[act]
+                self.out[i] = st
+
+
+def _run_batch_sync(ctx: _BatchCtx):
+    """Capacity-discovering two-sync path; updates the caps cache (incl.
+    the per-mip slot-block buckets that enable speculative mode)."""
+    cfg = ctx.cfg
+    entry = ctx.caps.get(ctx.cap_key)
+    if entry is None:
+        NG = 4 ** ctx.lg
+        C_cap = max(_bucket((ctx.T * NG) // 8), 1024)
+        K_cap = max(_bucket((ctx.T * ctx.M) // 32), 4 * B)
+    else:
+        C_cap, K_cap = entry[0], entry[1]
+
+    for _attempt in range(4):
+        res = ctx.stage_ab(C_cap, K_cap)
+        meta_np = np.asarray(res[7])  # sync #1
+        CG, K, flag = int(meta_np[0]), int(meta_np[1]), int(meta_np[2])
+        if flag == 0 and CG <= C_cap and K <= K_cap:
+            break
+        C_cap = max(C_cap, _bucket(CG + CG // 8 + 64))
+        K_cap = max(K_cap, _bucket(K + K // 8 + 64))
+    else:
+        return None
+    (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta, slots) = res
+
+    mip_counts = []
+    nblks = []
+    for mip in range(len(ctx.mips)):
+        padM = int(meta_np[3 + mip])
+        nblk = max(_bucket((padM + B - 1) // B), 8)
+        nblks.append(nblk)
+        if K > 0:
+            try:
+                mip_counts.append(ctx.stage_c(mip, res, K_cap, nblk))
+            except Exception:  # Mosaic lowering gap on this toolchain
+                return None
+
+    packed = np.asarray(_stageD(
+        gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
+        tuple(mip_counts), subdiv=ctx.subdiv, lg=ctx.lg, fmt=cfg.fmt,
+        promotion=cfg.promotion, cutoff_gt=cfg.cutoff_gt,
+        cutoff_le=cfg.cutoff_le))  # sync #2
+
+    # remember observed sizes (with headroom) so later batches run the
+    # single-sync speculative pipeline
+    ctx.caps[ctx.cap_key] = (
+        max(_bucket(CG + CG // 8 + 64), 1024),
+        max(_bucket(K + K // 8 + 64), 4 * B),
+        tuple(max(_bucket(n + n // 8 + 8), 8) for n in nblks))
+    ctx.finish(packed)
+    return True
+
+
+def _enqueue_batch_spec(ctx: _BatchCtx):
+    """Single-sync speculative pipeline: every stage enqueued with cached
+    capacities; overflow is detected in the meta row of the one fetched
+    array.  Returns the device array or None if speculation unavailable."""
+    entry = ctx.caps.get(ctx.cap_key)
+    if entry is None or len(entry) < 3 or ctx.M // 4 < 4 * (3 + len(ctx.mips)):
+        return None
+    C_cap, K_cap, nblks = entry
+    try:
+        res = ctx.stage_ab(C_cap, K_cap)
+        (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
+         slots) = res
+        mip_counts = tuple(ctx.stage_c(mip, res, K_cap, nblks[mip])
+                           for mip in range(len(ctx.mips)))
+        return _stageD_spec(
+            gside, fside, cand_t, cand_m, cvalid, ids, kvalid, mip_counts,
+            meta, subdiv=ctx.subdiv, lg=ctx.lg, fmt=ctx.cfg.fmt,
+            promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
+            cutoff_le=ctx.cfg.cutoff_le, nblk_caps=nblks)
+    except Exception:  # Mosaic lowering gap on this toolchain
+        return None
+
+
+def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
+    """Classify several batches, pipelined: all speculative device chains
+    are enqueued up-front so each batch's result fetch overlaps the next
+    batches' device execution.  Returns a list of per-batch state lists."""
+    from .jax_classify import classify_work_item_jax
+
+    results = []
+    ctxs = []
+    for items in batches:
+        out = [None] * len(items)
+        todo = []
+        for i, (uv, st) in enumerate(items):
+            if not (st == UO).any():
+                out[i] = st
+            else:
+                todo.append(i)
+        lg = _group_level(texture, [items[i][0] for i in todo], subdiv) \
+            if todo else 1
+        fast = []
+        for i in todo:
+            if _fast_path_ok(texture, cfg, items[i][0], subdiv, lg):
+                fast.append(i)
+            else:
+                out[i] = classify_work_item_jax(texture, cfg, items[i][0],
+                                                subdiv, items[i][1])
+        ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out) if fast \
+            else None
+        ctxs.append(ctx)
+        results.append(out)
+
+    # enqueue every speculative chain before fetching anything
+    pending = [(_enqueue_batch_spec(ctx) if ctx is not None else None)
+               for ctx in ctxs]
+
+    nmip = texture.mip_count
+    for ctx, dev in zip(ctxs, pending):
+        if ctx is None:
+            continue
+        ok = False
+        if dev is not None:
+            arr = np.asarray(dev)  # the batch's one sync
+            mrow = arr[ctx.T, :4 * (3 + nmip)].view(np.int32)
+            if int(mrow[2]) == 0:
+                ctx.finish(arr[:ctx.T])
+                ok = True
+        if not ok:
+            ok = _run_batch_sync(ctx)
+        if not ok:
+            for i in ctx.fast:
+                ctx.out[i] = classify_work_item_jax(
+                    texture, cfg, ctx.items[i][0], subdiv, ctx.items[i][1])
+    return results
+
+
 def classify_work_items_batch(texture: Texture, cfg, items, subdiv: int):
     """Classify a batch of work items sharing one subdivision level.
 
@@ -550,138 +794,7 @@ def classify_work_items_batch(texture: Texture, cfg, items, subdiv: int):
     to the XLA gather path individually; device-side capacity overflow
     grows the buckets and retries (correctness never depends on the fast
     path)."""
-    from .jax_classify import classify_work_item_jax
-
-    M = get_num_micro_triangles(subdiv)
-    out = [None] * len(items)
-    cand = [i for i, (uv, st) in enumerate(items) if (st == UO).any()]
-    for i, (uv, st) in enumerate(items):
-        if i not in cand:
-            out[i] = st
-    if not cand:
-        return out
-
-    lg = _group_level(texture, [items[i][0] for i in cand], subdiv)
-    fast = []
-    for i in cand:
-        if _fast_path_ok(texture, cfg, items[i][0], subdiv, lg):
-            fast.append(i)
-        else:
-            out[i] = classify_work_item_jax(texture, cfg, items[i][0],
-                                            subdiv, items[i][1])
-    if not fast:
-        return out
-
-    def _fallback():
-        for i in fast:
-            out[i] = classify_work_item_jax(texture, cfg, items[i][0],
-                                            subdiv, items[i][1])
-        return out
-
-    T = len(fast)
-    uv_flat = np.stack([items[i][0].reshape(6) for i in fast]) \
-        .astype(np.float32)
-    ccw = np.array([bool(geom.is_ccw(items[i][0])) for i in fast])
-    active = np.stack([items[i][1] == UO for i in fast])
-    all_active = bool(active.all())
-
-    nmip = texture.mip_count
-    cutoff = float(cfg.alpha_cutoff)
-    mips, pads, HWu, ntxs, cls_g, cls_u, tilesEs = \
-        [], [], [], [], [], [], []
-    for mip in range(nmip):
-        Hb = max(_span_window(texture, items[i][0], subdiv, mip)[0]
-                 for i in fast)
-        Wb = max(_span_window(texture, items[i][0], subdiv, mip)[1]
-                 for i in fast)
-        Hg = max(_span_window(texture, items[i][0], lg, mip)[0]
-                 for i in fast)
-        Wg = max(_span_window(texture, items[i][0], lg, mip)[1]
-                 for i in fast)
-        He, We = Hb + 2, Wb + 2
-        TSA = TILE + max(He, We)
-        pad = TSA
-        _, tilesE, nty, ntx = _planes_cached(texture, mip, cfg.addr_mode,
-                                             pad, TSA)
-        mips.append(texture.size(mip))
-        pads.append(pad)
-        HWu.append((Hb, Wb))
-        ntxs.append(ntx)
-        cls_g.append(_cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
-                                 Hg, Wg, cutoff, PHASE1_MARGIN))
-        cls_u.append(_cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
-                                 Hb, Wb, cutoff, PHASE1_MARGIN))
-        tilesEs.append(tilesE)
-
-    NG = 4 ** lg
-    G = M // NG
-    caps = getattr(texture, "_omm_caps", {})
-    texture._omm_caps = caps
-    C_cap, K_cap = caps.get((subdiv, lg, T),
-                            (max(_bucket((T * NG) // 8), 1024),
-                             max(_bucket((T * M) // 32), 4 * B)))
-
-    uvJ = jnp.asarray(uv_flat)
-    ccwJ = jnp.asarray(ccw)
-    actJ = jnp.asarray(active if not all_active
-                       else np.ones((1, 1), bool))
-
-    for _attempt in range(4):
-        res = _stageAB(tuple(cls_g), tuple(cls_u), uvJ, ccwJ, actJ,
-                       subdiv=subdiv, lg=lg, C_cap=C_cap, K_cap=K_cap,
-                       mips=tuple(mips), pads=tuple(pads),
-                       ntxs=tuple(ntxs), all_active=all_active)
-        (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
-         slots) = res
-        meta_np = np.asarray(meta)  # sync #1
-        CG, K, flag = int(meta_np[0]), int(meta_np[1]), int(meta_np[2])
-        if flag == 0 and CG <= C_cap and K <= K_cap:
-            break
-        C_cap = max(C_cap, _bucket(CG + CG // 8 + 64))
-        K_cap = max(K_cap, _bucket(K + K // 8 + 64))
-    else:
-        return _fallback()
-    # remember observed sizes (with headroom) so later batches run tight
-    caps[(subdiv, lg, T)] = (max(_bucket(CG + CG // 8 + 64), 1024),
-                             max(_bucket(K + K // 8 + 64), 4 * B))
-
-    mip_counts = []
-    if K > 0:
-        ok = True
-        for mip in range(nmip):
-            padM = int(meta_np[3 + mip])
-            nblk = max(_bucket((padM + B - 1) // B), 8)
-            w, h = mips[mip]
-            info = texture.info[mip]
-            Hb, Wb = HWu[mip]
-            try:
-                a, b = _stageC_mip(
-                    tilesEs[mip], uvJ, ccwJ, ids, kvalid,
-                    slots[mip][0], slots[mip][1], subdiv=subdiv,
-                    K_cap=K_cap, nblk=nblk, w=w, h=h, pad=pads[mip],
-                    ntx=ntxs[mip], H=Hb, W=Wb,
-                    rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
-                    alpha_cutoff=float(cfg.alpha_cutoff))
-            except Exception:  # Mosaic lowering gap on this toolchain
-                ok = False
-                break
-            mip_counts.append((a, b))
-        if not ok:
-            return _fallback()
-
-    packed = np.asarray(_stageD(
-        gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
-        tuple(mip_counts), subdiv=subdiv, lg=lg, fmt=cfg.fmt,
-        promotion=cfg.promotion, cutoff_gt=cfg.cutoff_gt,
-        cutoff_le=cfg.cutoff_le))  # sync #2
-
-    for t, i in enumerate(fast):
-        uv_tri, states = items[i]
-        st = states.copy()
-        act = active[t]
-        st[act] = _unpack_states(packed[t], M)[act]
-        out[i] = st
-    return out
+    return classify_work_items_batches(texture, cfg, [items], subdiv)[0]
 
 
 def classify_work_item_twophase(texture: Texture, cfg, uv_tri: np.ndarray,
