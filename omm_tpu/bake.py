@@ -437,9 +437,11 @@ def deduplicate_similar_lsh(desc: BakeInputDesc, opts: Options,
                         potential.add(cand)
                 min_dist = np.inf
                 nearest = -1
+                from . import native as _native
+                s3w = it.states3()
                 for cand in sorted(potential):
-                    dist = float(np.count_nonzero(
-                        it.states3() != items[cand].states3()))
+                    dist = float(_native.hamming_u8(
+                        s3w, items[cand].states3()))
                     if dist < float(r) and dist < min_dist:
                         min_dist = dist
                         nearest = cand
@@ -482,8 +484,9 @@ def deduplicate_similar_brute_force(opts: Options, items: list[WorkItem]):
                 continue
             if b in merged:
                 continue
+            from . import native as _native
             M = get_num_micro_triangles(ia.subdivision_level)
-            dist = float(np.count_nonzero(ia.states3() != ib.states3())) / M
+            dist = float(_native.hamming_u8(ia.states3(), ib.states3())) / M
             if dist < MERGE_THRESHOLD and dist < min_dist:
                 min_dist = dist
                 nearest = b
@@ -623,26 +626,19 @@ def micromap_spatial_sort(items: list[WorkItem]) -> list[int]:
 
 def pack_states(states: np.ndarray, fmt: Format) -> np.ndarray:
     """Bit-pack a (M,) state array into OC1 bytes
-    (bake_cpu_impl.cpp:1802-1819)."""
-    M = len(states)
-    s = states.astype(np.uint8)
-    if fmt == Format.OC1_2_State:
-        nbytes = max(M >> 3, 1)
-        out = np.zeros(nbytes, dtype=np.uint8)
-        idx = np.arange(M)
-        np.bitwise_or.at(out, idx >> 3, (s & 1) << (idx & 7))
-    else:
-        nbytes = max(M >> 2, 1)
-        out = np.zeros(nbytes, dtype=np.uint8)
-        idx = np.arange(M)
-        np.bitwise_or.at(out, idx >> 2, (s & 3) << ((idx & 3) << 1))
-    return out
+    (bake_cpu_impl.cpp:1802-1819); native C++ fast path."""
+    from . import native
+    bits = 1 if fmt == Format.OC1_2_State else 2
+    return native.pack_states(states, bits)
 
 
 def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
                      arr_hist: np.ndarray, idx_hist: np.ndarray,
-                     order: list[int]) -> BakeResult:
-    """bake_cpu_impl.cpp:1756-1920."""
+                     order: list[int], allocator=None) -> BakeResult:
+    """bake_cpu_impl.cpp:1756-1920.  Output buffers go through the
+    user allocator when one is supplied (std_allocator.h analog)."""
+    from .allocator import check_and_set_default
+    allocator = check_and_set_default(allocator)
     bit_count = get_bit_count(desc.format)
 
     desc_count = 0
@@ -655,7 +651,7 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
     if array_size > 0xFFFFFFFF:
         raise BakeError(Result.FAILURE, "array data > 4GB")
 
-    array_data = np.zeros(array_size, dtype=np.uint8)
+    array_data = allocator.array(array_size, np.uint8)
     desc_array: list[MicromapDesc] = []
     if desc_count != 0:
         offset = 0
@@ -728,7 +724,7 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
 # ---------------------------------------------------------------------------
 
 def bake(desc: BakeInputDesc, backend: str = "numpy",
-         logger=None) -> BakeResult:
+         logger=None, allocator=None) -> BakeResult:
     """Full CPU-parity bake (BakeImpl, bake_cpu_impl.cpp:1923-1985).
 
     backend: 'numpy' (oracle), 'jax' (jit on default device), or 'pallas'
@@ -841,4 +837,5 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
 
     arr_hist, idx_hist = create_usage_histograms(items)
     order = micromap_spatial_sort(items)
-    return serialize_result(desc, items, arr_hist, idx_hist, order)
+    return serialize_result(desc, items, arr_hist, idx_hist, order,
+                            allocator=allocator)

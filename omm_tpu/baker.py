@@ -25,8 +25,11 @@ class Baker:
     """Analog of ommBaker (CPU+GPU in one: on TPU both bakers share the
     classification engine)."""
 
-    def __init__(self, message_callback: Optional[MessageCallback] = None):
+    def __init__(self, message_callback: Optional[MessageCallback] = None,
+                 allocator=None):
+        from .allocator import check_and_set_default
         self.log = Logger(message_callback)
+        self.allocator = check_and_set_default(allocator)
 
     # -- textures (ommCpuCreateTexture) --------------------------------------
     def create_texture(self, mips, fmt: TextureFormat,
@@ -36,7 +39,8 @@ class Baker:
 
     # -- CPU bake (ommCpuBake) ------------------------------------------------
     def bake(self, desc: BakeInputDesc, backend: str = "numpy") -> BakeResult:
-        return _bake(desc, backend=backend, logger=self.log)
+        return _bake(desc, backend=backend, logger=self.log,
+                     allocator=self.allocator)
 
     # -- GPU-style deferred bake (ommGpuCreatePipeline/Dispatch) --------------
     def create_gpu_pipeline(self, render_api: str = "xla"):

@@ -136,6 +136,36 @@ def cmd_info(args):
     return 0
 
 
+def cmd_viewer(args):
+    """Headless viewer loop: load blob, apply --set overrides, re-bake,
+    write overlays / zooms / stats (tools/viewer analog)."""
+    from omm_tpu.viewer import ViewerSession
+
+    vs = ViewerSession(args.blob, backend=args.backend)
+    for kv in args.set or []:
+        k, _, v = kv.partition("=")
+        vs.set_param(k, v)
+    if args.reset:
+        vs.reset_all()
+    if args.params:
+        for k, v in vs.params().items():
+            print(f"{k} = {v}")
+    if args.stats:
+        print(vs.stats())
+    if args.render:
+        print(vs.save_png(args.render, scale=args.scale,
+                          monochrome_unknowns=args.monochrome))
+    if args.zoom is not None:
+        from omm_tpu import debug
+        img = vs.zoom(args.zoom, scale=args.zoom_scale)
+        out = args.zoom_out or f"zoom_prim{args.zoom}.png"
+        debug._write_png(out, img)
+        print(out)
+    if args.save:
+        print(vs.save_blob(args.save))
+    return 0
+
+
 def cmd_bench(args):
     import runpy
     runpy.run_path("bench.py", run_name="__main__")
@@ -181,6 +211,28 @@ def main(argv=None):
     i = sub.add_parser("info", help="inspect a serialized blob header")
     i.add_argument("blob")
     i.set_defaults(fn=cmd_info)
+
+    v = sub.add_parser("viewer", help="headless viewer: load/tweak/re-bake/"
+                       "render a serialized blob")
+    v.add_argument("blob")
+    v.add_argument("--set", action="append", metavar="PARAM=VALUE",
+                   help="override a tweakable bake parameter")
+    v.add_argument("--reset", action="store_true",
+                   help="reset all parameters to the blob's values")
+    v.add_argument("--params", action="store_true",
+                   help="print the tweakable parameter values")
+    v.add_argument("--stats", action="store_true")
+    v.add_argument("--render", metavar="OUT.png")
+    v.add_argument("--scale", type=int, default=5)
+    v.add_argument("--monochrome", action="store_true")
+    v.add_argument("--zoom", type=int, metavar="PRIM",
+                   help="micro-triangle-level view of one primitive")
+    v.add_argument("--zoom-scale", type=int, default=12)
+    v.add_argument("--zoom-out", metavar="OUT.png")
+    v.add_argument("--save", metavar="OUT.bin",
+                   help="write the tweaked inputs + result as a new blob")
+    v.add_argument("--backend", default="numpy")
+    v.set_defaults(fn=cmd_viewer)
 
     be = sub.add_parser("bench", help="run the classification benchmark")
     be.set_defaults(fn=cmd_bench)

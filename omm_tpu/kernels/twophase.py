@@ -511,14 +511,10 @@ def _stageD_spec(gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
 
 
 def _unpack_states(packed: np.ndarray, M: int) -> np.ndarray:
-    """(M/4,) uint8 -> (M,) uint8; inverse of _stageD's strided pack."""
-    p = packed.astype(np.uint8)
-    out = np.empty((4, p.shape[0]), np.uint8)
-    out[0] = p & 3
-    out[1] = (p >> 2) & 3
-    out[2] = (p >> 4) & 3
-    out[3] = (p >> 6) & 3
-    return out.reshape(-1)[:M]
+    """(M/4,) uint8 -> (M,) uint8; inverse of _stageD's strided pack
+    (native C++ fast path with numpy fallback)."""
+    from .. import native
+    return native.unpack_2bit_strided(packed, M)
 
 
 # ---------------------------------------------------------------------------

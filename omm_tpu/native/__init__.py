@@ -59,8 +59,84 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         lib.omm_lz4_compress_bound.restype = ctypes.c_int
         lib.omm_lz4_compress_bound.argtypes = [ctypes.c_int]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.omm_pack_states.restype = None
+        lib.omm_pack_states.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int,
+                                        u8p]
+        lib.omm_unpack_2bit_strided.restype = None
+        lib.omm_unpack_2bit_strided.argtypes = [u8p, ctypes.c_size_t,
+                                                ctypes.c_size_t, u8p]
+        lib.omm_hamming_u8.restype = ctypes.c_size_t
+        lib.omm_hamming_u8.argtypes = [u8p, u8p, ctypes.c_size_t]
         _LIB = lib
         return _LIB
+
+
+def _u8ptr(arr):
+    import numpy as np
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def pack_states(states, bits: int):
+    """OC1 bit-pack (M,) uint8 -> bytes array; native fast path with a
+    vectorized numpy fallback (bake_cpu_impl.cpp:1802-1819 packing)."""
+    import numpy as np
+    s = np.ascontiguousarray(states, dtype=np.uint8)
+    m = len(s)
+    per = 4 if bits == 2 else 8
+    nbytes = max(m * bits >> 3, 1)
+    lib = get_lib()
+    if lib is not None:
+        out = np.zeros(nbytes, dtype=np.uint8)
+        lib.omm_pack_states(_u8ptr(s), m, bits, _u8ptr(out))
+        return out
+    out = np.zeros(nbytes, dtype=np.uint8)
+    full = (m // per) * per
+    if full:
+        v = s[:full].reshape(-1, per)
+        if bits == 2:
+            out[: full // 4] = ((v[:, 0] & 3) | ((v[:, 1] & 3) << 2)
+                                | ((v[:, 2] & 3) << 4) | ((v[:, 3] & 3) << 6))
+        else:
+            acc = np.zeros(full // 8, np.uint8)
+            for k in range(8):
+                acc |= (v[:, k] & 1) << k
+            out[: full // 8] = acc
+    for j in range(full, m):
+        if bits == 2:
+            out[j >> 2] |= np.uint8((s[j] & 3) << ((j & 3) << 1))
+        else:
+            out[j >> 3] |= np.uint8((s[j] & 1) << (j & 7))
+    return out
+
+
+def unpack_2bit_strided(packed, m: int):
+    """Inverse of the device-side strided 2-bit pack (twophase._stageD)."""
+    import numpy as np
+    p = np.ascontiguousarray(packed, dtype=np.uint8)
+    q = len(p)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(m, dtype=np.uint8)
+        lib.omm_unpack_2bit_strided(_u8ptr(p), q, m, _u8ptr(out))
+        return out
+    out = np.empty((4, q), np.uint8)
+    out[0] = p & 3
+    out[1] = (p >> 2) & 3
+    out[2] = (p >> 4) & 3
+    out[3] = (p >> 6) & 3
+    return out.reshape(-1)[:m]
+
+
+def hamming_u8(a, b) -> int:
+    """Count of differing bytes (near-duplicate merge distance)."""
+    import numpy as np
+    aa = np.ascontiguousarray(a, dtype=np.uint8)
+    bb = np.ascontiguousarray(b, dtype=np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        return int(lib.omm_hamming_u8(_u8ptr(aa), _u8ptr(bb), len(aa)))
+    return int(np.count_nonzero(aa != bb))
 
 
 def xxh64(data: bytes, seed: int = 0) -> int:

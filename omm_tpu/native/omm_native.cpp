@@ -264,4 +264,68 @@ int omm_lz4_compress_default(const uint8_t* src, int src_size, uint8_t* dst,
     return (int)(op - dst);
 }
 
+// ---------------------------------------------------------------------------
+// OC1 state packing / unpacking and hamming distance — the host-side hot
+// loops of the bake pipeline (bake_cpu_impl.cpp:1802-1819 packing; the
+// near-duplicate merges compare whole 3-state arrays,
+// bake_cpu_impl.cpp:1237-1252,1399-1404).
+// ---------------------------------------------------------------------------
+
+// Pack (M,) uint8 states into OC1 bytes: 2 bits/state (4-state) or
+// 1 bit/state (2-state).  out must hold max(M*bits/8, 1) zeroed bytes.
+void omm_pack_states(const uint8_t* states, size_t m, int bits,
+                     uint8_t* out) {
+    if (bits == 2) {
+        size_t full = m / 4;
+        for (size_t i = 0; i < full; ++i) {
+            const uint8_t* s = states + 4 * i;
+            out[i] = (uint8_t)((s[0] & 3) | ((s[1] & 3) << 2)
+                               | ((s[2] & 3) << 4) | ((s[3] & 3) << 6));
+        }
+        for (size_t j = 4 * full; j < m; ++j)
+            out[j >> 2] |= (uint8_t)((states[j] & 3) << ((j & 3) << 1));
+    } else {
+        size_t full = m / 8;
+        for (size_t i = 0; i < full; ++i) {
+            const uint8_t* s = states + 8 * i;
+            uint8_t v = 0;
+            for (int k = 0; k < 8; ++k) v |= (uint8_t)((s[k] & 1) << k);
+            out[i] = v;
+        }
+        for (size_t j = 8 * full; j < m; ++j)
+            out[j >> 3] |= (uint8_t)((states[j] & 1) << (j & 7));
+    }
+}
+
+// Inverse of the device-side strided 2-bit pack (kernels/twophase.py
+// _stageD): byte k holds micro-tris {k, k+Q, k+2Q, k+3Q}, Q = ceil(M/4).
+void omm_unpack_2bit_strided(const uint8_t* packed, size_t q, size_t m,
+                             uint8_t* out) {
+    for (int plane = 0; plane < 4; ++plane) {
+        size_t base = (size_t)plane * q;
+        int shift = 2 * plane;
+        size_t n = base < m ? (m - base < q ? m - base : q) : 0;
+        for (size_t k = 0; k < n; ++k)
+            out[base + k] = (uint8_t)((packed[k] >> shift) & 3);
+    }
+}
+
+// Number of differing bytes between two state arrays (merge distance).
+size_t omm_hamming_u8(const uint8_t* a, const uint8_t* b, size_t n) {
+    size_t d = 0;
+    size_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t xa = read64(a + i) ^ read64(b + i);
+        // per-byte nonzero count via bit tricks
+        uint64_t hi = (xa & 0x8080808080808080ULL) >> 7;
+        uint64_t lo = xa & 0x7F7F7F7F7F7F7F7FULL;
+        uint64_t nz = ((lo + 0x7F7F7F7F7F7F7F7FULL) >> 7)
+                      & 0x0101010101010101ULL;
+        nz |= hi;
+        d += (size_t)((nz * 0x0101010101010101ULL) >> 56);
+    }
+    for (; i < n; ++i) d += a[i] != b[i] ? 1 : 0;
+    return d;
+}
+
 }  // extern "C"

@@ -137,3 +137,43 @@ def sharded_bake_step(mesh: Mesh, plane, uv_tris, ccws, *, subdiv, size,
     )
     return jax.jit(mapped)(idx, jnp.asarray(uv_tris, jnp.float32),
                            jnp.asarray(ccws), plane)
+
+
+def sharded_group_resolve(mesh: Mesh, cls_plane, uv_tris, *, subdiv, lg,
+                          pad, size):
+    """Hierarchical phase-1 group resolve sharded over the mesh (the
+    multi-chip form of kernels.twophase stage A).
+
+    The bird-curve GROUP axis is sharded: each chip tests its contiguous
+    slice of subtriangle windows against the replicated min/max class
+    plane (one int8 gather per group) and the per-side group counts are
+    psum-reduced over ICI.  Returns (side (T, NG) sharded on the group
+    axis, counts (3,) replicated: [above, below, mixed])."""
+    from ..kernels.twophase import _bary_cols, _window_origin
+
+    NG = 4 ** lg
+    n_dev = mesh.devices.size
+    assert NG % n_dev == 0, "4^lg must divide the mesh size"
+    w, h = size
+
+    def shard_fn(gidx_shard, uv_rep, cls_rep):
+        bu, bv, bd = _bary_cols(gidx_shard.astype(jnp.uint32), lg)
+        tri6 = tuple(uv_rep[:, k:k + 1] for k in range(6))
+        x0, y0 = _window_origin(tri6, bu[None, :], bv[None, :],
+                                bd[None, :], w, h)
+        side = cls_rep[y0 - 1 + pad, x0 - 1 + pad]  # (T, NG/n_dev)
+        counts = jnp.stack([
+            jnp.sum(side == 1, dtype=jnp.int32),
+            jnp.sum(side == -1, dtype=jnp.int32),
+            jnp.sum(side == 0, dtype=jnp.int32)])
+        return side, jax.lax.psum(counts, OMM_AXIS)
+
+    gidx = jnp.arange(NG, dtype=jnp.uint32)
+    uv_flat = jnp.asarray(np.asarray(uv_tris, np.float32)
+                          .reshape(-1, 6))
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(OMM_AXIS), P(), P()),
+        out_specs=(P(None, OMM_AXIS), P()),
+    )
+    return jax.jit(mapped)(gidx, uv_flat, cls_plane)

@@ -1,0 +1,130 @@
+"""Headless viewer: load, tweak, re-bake, render.
+
+The reference ships a Donut/ImGui GUI viewer (`tools/viewer/viewer_app.cpp`)
+that loads serialized `.bin` blobs (:584-593), re-bakes with interactively
+tweakable `BakeInputDesc` parameters (reset-able widget per field,
+:1114-1216) and renders macro/micro triangles with state colors, zoom to
+micro-triangle level and OMM-reuse highlighting.  A TPU farm has no GUI;
+this module is the headless equivalent: a `ViewerSession` drives the same
+load -> tweak -> re-bake -> render loop programmatically or from the CLI
+(`python -m omm_tpu.cli viewer ...`), writing PNG frames instead of
+swapchain images.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from . import debug, serialize as ser
+from .bake import bake
+from .stats import get_stats
+from .types import (BakeInputDesc, BakeResult, Format, TextureAddressMode,
+                    TextureFilterMode, UnknownStatePromotion)
+
+# The parameter set the reference viewer exposes as tweakable widgets
+# (viewer_app.cpp:1114-1216).
+TWEAKABLE = (
+    "alpha_cutoff", "format", "max_subdivision_level",
+    "dynamic_subdivision_scale", "unknown_state_promotion", "bake_flags",
+    "alpha_cutoff_greater", "alpha_cutoff_less_equal",
+    "near_duplicate_deduplication_factor", "max_workload_size",
+    "max_array_data_size", "rejection_threshold",
+)
+
+_ENUM_FIELDS = {
+    "format": Format,
+    "unknown_state_promotion": UnknownStatePromotion,
+}
+
+
+class ViewerSession:
+    """Load a serialized blob and iterate on its bake parameters."""
+
+    def __init__(self, blob: bytes | str, backend: str = "numpy"):
+        if isinstance(blob, str):
+            blob = open(blob, "rb").read()
+        self._deser = ser.deserialize(blob)
+        if not self._deser.input_descs:
+            raise ValueError("viewer needs a blob with input descs "
+                             "(serialize with SerializeFlags from inputs)")
+        self.backend = backend
+        self.desc: BakeInputDesc = self._deser.input_descs[0]
+        self._initial = {k: getattr(self.desc, k) for k in TWEAKABLE}
+        self.result: Optional[BakeResult] = (
+            self._deser.result_descs[0] if self._deser.result_descs else None)
+        self._dirty = self.result is None
+
+    # -- parameter widgets -------------------------------------------------
+    def params(self) -> dict:
+        """Current tweakable parameters (the viewer's widget state)."""
+        return {k: getattr(self.desc, k) for k in TWEAKABLE}
+
+    def set_param(self, name: str, value):
+        """Set one tweakable parameter (marks the bake dirty)."""
+        if name not in TWEAKABLE:
+            raise KeyError(f"not a tweakable parameter: {name}")
+        if name in _ENUM_FIELDS and not isinstance(value, _ENUM_FIELDS[name]):
+            enum = _ENUM_FIELDS[name]
+            value = enum[value] if isinstance(value, str) else enum(value)
+        elif isinstance(getattr(self.desc, name), float):
+            value = float(value)
+        elif isinstance(getattr(self.desc, name), int) \
+                and not isinstance(value, bool):
+            value = int(value)
+        setattr(self.desc, name, value)
+        self._dirty = True
+
+    def reset_param(self, name: str):
+        """Per-widget reset arrow (viewer_app.cpp's reset-able widgets)."""
+        self.set_param(name, self._initial[name])
+
+    def reset_all(self):
+        for k in TWEAKABLE:
+            self.reset_param(k)
+
+    # -- bake / render / inspect -------------------------------------------
+    def rebake(self) -> BakeResult:
+        self.result = bake(self.desc, backend=self.backend)
+        self._dirty = False
+        return self.result
+
+    def _ensure_result(self) -> BakeResult:
+        if self.result is None or self._dirty:
+            self.rebake()
+        return self.result
+
+    def render(self, scale: int = 5, monochrome_unknowns: bool = False,
+               highlight_reuse: bool = True) -> np.ndarray:
+        """Full-texture state overlay (RGB float array)."""
+        return debug.render_overlay(
+            self.desc, self._ensure_result(), scale=scale,
+            monochrome_unknowns=monochrome_unknowns,
+            highlight_reuse=highlight_reuse)
+
+    def zoom(self, primitive: int, scale: int = 12) -> np.ndarray:
+        """Micro-triangle-level view of one primitive (the viewer's zoom)."""
+        res = self._ensure_result()
+        d = debug._single_prim_desc(self.desc, primitive)
+        r = debug._single_prim_result(res, primitive)
+        return debug.render_overlay(d, r, scale=scale)
+
+    def stats(self):
+        return get_stats(self._ensure_result())
+
+    def save_png(self, path: str, **render_kw) -> str:
+        img = self.render(**render_kw)
+        debug._write_png(path, img)
+        return path
+
+    def save_blob(self, path: str, compress: bool = True) -> str:
+        """Persist the tweaked inputs + current result as a new blob."""
+        res = self._ensure_result()
+        d = ser.DeserializedDesc(
+            flags=(ser.SerializeFlags.COMPRESS if compress
+                   else ser.SerializeFlags.NONE),
+            input_descs=[self.desc], result_descs=[res])
+        blob = ser.serialize(d)
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path

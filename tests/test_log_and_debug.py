@@ -145,3 +145,74 @@ def test_get_stats2_known_area():
     res = baker.bake(desc)
     s = baker.get_stats2(res)
     assert s.known_area_metric == pytest.approx(1.0)
+
+
+def test_user_allocator_receives_output_buffers():
+    """StdAllocator analog (std_allocator.h): user callbacks observe the
+    output allocations and the byte accounting matches."""
+    import numpy as np
+    import omm_tpu as omm
+    from omm_tpu.allocator import StdAllocator
+    from omm_tpu.baker import Baker
+    from fixtures import standard_circle
+
+    calls = []
+
+    def user_alloc(nbytes, alignment, arg):
+        calls.append((nbytes, alignment, arg))
+        return np.zeros(nbytes, np.uint8)
+
+    alloc = StdAllocator(allocate=user_alloc, user_arg="ctx")
+    baker = Baker(allocator=alloc)
+    tex = omm.Texture([standard_circle(32, 32)], omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0]], np.float32),
+        index_buffer=np.array([0, 1, 2], np.uint32), index_count=3,
+        max_subdivision_level=3)
+    res = baker.bake(desc)
+    assert calls and all(arg == "ctx" for _, _, arg in calls)
+    assert alloc.stats.total_bytes >= len(res.array_data)
+    assert alloc.stats.peak_bytes > 0
+    # default allocator path still works
+    res2 = Baker().bake(desc)
+    assert np.array_equal(res.array_data, res2.array_data)
+
+
+def test_viewer_session_tweak_rebake(tmp_path):
+    """Headless viewer (tools/viewer analog): load blob, tweak, re-bake,
+    render, zoom, save."""
+    import numpy as np
+    import omm_tpu as omm
+    from omm_tpu.baker import Baker
+    from omm_tpu.viewer import ViewerSession
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(32, 32)], omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32),
+        index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32), index_count=6,
+        max_subdivision_level=4)
+    res = omm.bake(desc)
+    baker = Baker()
+    blob = baker.serialize(input_descs=[desc], result_descs=[res],
+                           compress=True)
+
+    vs = ViewerSession(blob)
+    assert vs.stats() == omm.get_stats(res)
+    vs.set_param("max_subdivision_level", 3)
+    vs.set_param("alpha_cutoff", 0.4)
+    s2 = vs.stats()  # re-baked with tweaks
+    assert s2.total_opaque + s2.total_transparent \
+        + s2.total_unknown_opaque + s2.total_unknown_transparent \
+        == 2 * 4 ** 3
+    img = vs.render(scale=2)
+    assert img.shape == (64, 64, 3)
+    z = vs.zoom(0, scale=4)
+    assert z.ndim == 3
+    vs.reset_all()
+    assert vs.params()["max_subdivision_level"] == 4
+    p = vs.save_blob(str(tmp_path / "tweaked.bin"))
+    vs2 = ViewerSession(p)
+    assert vs2.stats() == vs.stats()

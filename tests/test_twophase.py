@@ -152,3 +152,53 @@ def test_bake_pallas_backend_matches_numpy(monkeypatch):
     assert np.array_equal(a.array_data, b.array_data)
     assert np.array_equal(a.index_buffer, b.index_buffer)
     assert omm.get_stats(a) == omm.get_stats(b)
+
+
+@pytest.mark.slow
+def test_twophase_speculative_overflow_recovers(monkeypatch):
+    """Seed the capacity cache with absurdly small buckets: the
+    single-sync speculative pass must flag overflow and the batch must be
+    recomputed exactly by the discovery path."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(2)
+    items = [(t, np.full(M, 3, np.uint8)) for t in tris]
+
+    lg = tp._group_level(tex, tris, subdiv)
+    tex._omm_caps = {(subdiv, lg, 2, True): (1024, 512, (8,))}
+    got = tp.classify_work_items_batch(tex, cfg, items, subdiv)
+    for t, st in zip(tris, got):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (st == want).all()
+
+
+@pytest.mark.slow
+def test_twophase_pipelined_batches(monkeypatch):
+    """classify_work_items_batches: several batches, speculative steady
+    state after the first, all bit-exact."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(6, seed=11)
+
+    def batches():
+        return [[(t, np.full(M, 3, np.uint8)) for t in tris[k:k + 2]]
+                for k in range(0, 6, 2)]
+
+    tp.classify_work_items_batches(tex, cfg, batches(), subdiv)  # discover
+    outs = tp.classify_work_items_batches(tex, cfg, batches(), subdiv)
+    flat = [st for b in outs for st in b]
+    for t, st in zip(tris, flat):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (st == want).all()
