@@ -789,17 +789,27 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         # Batch all device-eligible work items per subdivision level
         # through the hierarchical two-phase engine (one device pipeline,
         # two syncs per batch — kernels/twophase.py).
-        from .kernels.twophase import classify_work_items_batch
+        from .kernels.twophase import classify_work_items_batches
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
             if _device_eligible(it):
                 by_level.setdefault(it.subdivision_level, []).append(i)
+        # Bound device memory per batch (the maxScratchMemorySize analog:
+        # the reference splits the GPU bake into batches when micro-tri
+        # scratch exceeds the budget, bake_gpu_impl.cpp:517-584) and hand
+        # the batch list to the pipelined engine so result fetches overlap
+        # later batches' device execution.
+        MAX_UTRI_PER_BATCH = 1 << 25  # ~32M micro-tris of device scratch
         for level, idxs in by_level.items():
-            res = classify_work_items_batch(
-                tex, cfg, [(items[i].uv_tri, items[i].states) for i in idxs],
-                level)
-            for i, st in zip(idxs, res):
-                items[i].states = st
+            per_item = get_num_micro_triangles(level)
+            chunk = max(1, MAX_UTRI_PER_BATCH // per_item)
+            chunks = [idxs[k:k + chunk] for k in range(0, len(idxs), chunk)]
+            batches = [[(items[i].uv_tri, items[i].states) for i in c]
+                       for c in chunks]
+            outs = classify_work_items_batches(tex, cfg, batches, level)
+            for c, res in zip(chunks, outs):
+                for i, st in zip(c, res):
+                    items[i].states = st
 
     def _fine(it):
         if backend == "pallas" and _device_eligible(it):

@@ -255,10 +255,14 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, *, subdiv, lg, C_cap,
     G = M // NG
 
     # ---- A: group sides (T, NG) ----
-    gidx = jnp.arange(NG, dtype=jnp.uint32)
-    gI = jnp.tile(gidx, T)
-    gT = jnp.repeat(jnp.arange(T, dtype=jnp.int32), NG)
-    gside = _sides_for(gI, gT, lg, uv_flat, cls_g, mips, pads).reshape(T, NG)
+    # (jax.named_scope = the dispatch chain's BeginLabel/EndLabel analog,
+    # omm.h:653-661 — stage names appear in jax.profiler traces)
+    with jax.named_scope("omm.group_resolve"):
+        gidx = jnp.arange(NG, dtype=jnp.uint32)
+        gI = jnp.tile(gidx, T)
+        gT = jnp.repeat(jnp.arange(T, dtype=jnp.int32), NG)
+        gside = _sides_for(gI, gT, lg, uv_flat, cls_g, mips,
+                           pads).reshape(T, NG)
 
     # group is skippable entirely when none of its members are active
     if all_active:
@@ -284,8 +288,9 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, *, subdiv, lg, C_cap,
     cand_m = jnp.repeat((gids % NG) * G, G) + jnp.tile(jj, C_cap)
     cvalid = jnp.repeat(gvalid, G)
 
-    fside = _sides_for(cand_m.astype(jnp.uint32), cand_t, subdiv, uv_flat,
-                       cls_u, mips, pads)
+    with jax.named_scope("omm.micro_resolve"):
+        fside = _sides_for(cand_m.astype(jnp.uint32), cand_t, subdiv,
+                           uv_flat, cls_u, mips, pads)
     if all_active:
         surv = cvalid & (fside == 0)
     else:
@@ -302,6 +307,7 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, *, subdiv, lg, C_cap,
                                        jnp.int32(0)))
 
     # ---- per-mip tile sort + group padding -> slot assignment ----
+    # (labeled for jax.profiler like the reference's per-pass markers)
     sv_t = (ids // M).astype(jnp.int32)
     sv_m = (ids % M).astype(jnp.uint32)
     bu, bv, bd = _bary_cols(sv_m, subdiv)
@@ -757,27 +763,37 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         ctxs.append(ctx)
         results.append(out)
 
-    # enqueue every speculative chain before fetching anything
+    # enqueue every speculative chain before fetching anything, then fetch
+    # through a small thread pool so a batch's host-side unpack overlaps
+    # the next batch's result transfer
     pending = [(_enqueue_batch_spec(ctx) if ctx is not None else None)
                for ctx in ctxs]
 
-    nmip = texture.mip_count
-    for ctx, dev in zip(ctxs, pending):
-        if ctx is None:
-            continue
-        ok = False
-        if dev is not None:
-            arr = np.asarray(dev)  # the batch's one sync
-            mrow = arr[ctx.T, :4 * (3 + nmip)].view(np.int32)
-            if int(mrow[2]) == 0:
-                ctx.finish(arr[:ctx.T])
-                ok = True
-        if not ok:
-            ok = _run_batch_sync(ctx)
-        if not ok:
-            for i in ctx.fast:
-                ctx.out[i] = classify_work_item_jax(
-                    texture, cfg, ctx.items[i][0], subdiv, ctx.items[i][1])
+    import concurrent.futures as cf
+    pool = cf.ThreadPoolExecutor(max_workers=2)
+    try:
+        futs = [pool.submit(np.asarray, dev) if dev is not None else None
+                for dev in pending]
+        nmip = texture.mip_count
+        for ctx, fut in zip(ctxs, futs):
+            if ctx is None:
+                continue
+            ok = False
+            if fut is not None:
+                arr = fut.result()  # the batch's one sync
+                mrow = arr[ctx.T, :4 * (3 + nmip)].view(np.int32)
+                if int(mrow[2]) == 0:
+                    ctx.finish(arr[:ctx.T])
+                    ok = True
+            if not ok:
+                ok = _run_batch_sync(ctx)
+            if not ok:
+                for i in ctx.fast:
+                    ctx.out[i] = classify_work_item_jax(
+                        texture, cfg, ctx.items[i][0], subdiv,
+                        ctx.items[i][1])
+    finally:
+        pool.shutdown(wait=True)
     return results
 
 
