@@ -22,6 +22,15 @@ def _u32(xp, v):
     return xp.asarray(v, dtype=xp.uint32)
 
 
+def _guard(xp, v, fz=None):
+    """fp-contraction fence (see kernels.levelline.guard)."""
+    if xp is np or fz is None:
+        return v
+    from jax import lax
+    i = lax.bitcast_convert_type(v, xp.int32) ^ fz
+    return lax.bitcast_convert_type(i, xp.float32)
+
+
 def extract_even_bits(xp, x):
     """bird.h:36-44."""
     x = x & _u32(xp, 0x55555555)
@@ -138,7 +147,8 @@ def dbary2index(u, v, w, level: int, xp=np):
     return interleave_bits2(xp, b0, b1)
 
 
-def micro_triangle_uvs(uv_tri, index, subdivision_level: int, xp=np):
+def micro_triangle_uvs(uv_tri, index, subdivision_level: int, xp=np,
+                       fz=None):
     """Corner UVs of micro-triangles in texture-UV space (bird.h:170-182).
 
     uv_tri: (..., 3, 2) float32 macro-triangle UVs.
@@ -157,6 +167,8 @@ def micro_triangle_uvs(uv_tri, index, subdivision_level: int, xp=np):
         u = buv[..., 0:1]
         v = buv[..., 1:2]
         w = xp.float32(1.0) - u - v
-        return p0 * w + p1 * u + p2 * v
+        # separately-rounded products (no FMA contraction on any backend)
+        return (_guard(xp, p0 * w, fz) + _guard(xp, p1 * u, fz)
+                + _guard(xp, p2 * v, fz))
 
     return xp.stack([interp(uv0), interp(uv1), interp(uv2)], axis=-2)

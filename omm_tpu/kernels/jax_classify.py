@@ -30,11 +30,12 @@ BLOCK = 8192  # micro-triangles per lax.map block
 
 
 def _bilinear_seed(plane, p, size, size_log2, is_pow2, addr_mode,
-                   border_alpha):
+                   border_alpha, fz=None):
     """Runtime bilinear at UV p (..., 2) on device (texture_impl.cpp:261-278)."""
     from ..texture import gather_tex_coord4
+    from .levelline import guard as _g
     sizef = jnp.asarray(np.array(size, dtype=np.float32))
-    pixel = p * sizef - jnp.float32(0.5)
+    pixel = _g(jnp, p * sizef, fz) - jnp.float32(0.5)
     pf = jnp.floor(pixel)
     c00, c10, c01, c11 = gather_tex_coord4(
         addr_mode, pf.astype(jnp.int32), np.array(size, np.int32),
@@ -53,15 +54,17 @@ def _bilinear_seed(plane, p, size, size_log2, is_pow2, addr_mode,
     d = load(c11)
     w = pixel - jnp.floor(pixel)
     one = jnp.float32(1.0)
-    ac = a * (one - w[..., 0]) + c * w[..., 0]
-    bd = b * (one - w[..., 0]) + d * w[..., 0]
-    return ac * (one - w[..., 1]) + bd * w[..., 1]
+    from .levelline import guard
+    ac = guard(jnp, a * (one - w[..., 0]), fz) + guard(jnp, c * w[..., 0], fz)
+    bd = guard(jnp, b * (one - w[..., 0]), fz) + guard(jnp, d * w[..., 0], fz)
+    return (guard(jnp, ac * (one - w[..., 1]), fz)
+            + guard(jnp, bd * w[..., 1], fz))
 
 
 @partial(jax.jit, static_argnames=(
     "subdiv", "addr_mode", "alpha_cutoff", "border_alpha", "mip_meta",
     "win_wh", "fmt", "promotion", "cutoff_gt", "cutoff_le"))
-def _classify_item(planes, uv_tri, ccw_flag, *, subdiv, addr_mode,
+def _classify_item(planes, uv_tri, ccw_flag, fz, *, subdiv, addr_mode,
                    alpha_cutoff, border_alpha, mip_meta, win_wh, fmt,
                    promotion, cutoff_gt, cutoff_le):
     """Level-line fine pass over all mips for one work item on device.
@@ -74,7 +77,7 @@ def _classify_item(planes, uv_tri, ccw_flag, *, subdiv, addr_mode,
     M = get_num_micro_triangles(subdiv)
     idx = jnp.arange(M, dtype=jnp.uint32)
     muvs = bird.micro_triangle_uvs(jnp.asarray(uv_tri, jnp.float32), idx,
-                                   subdiv, xp=jnp)  # (M, 3, 2)
+                                   subdiv, xp=jnp, fz=fz)  # (M, 3, 2)
 
     above = jnp.zeros(M, dtype=jnp.int32)
     below = jnp.zeros(M, dtype=jnp.int32)
@@ -88,11 +91,12 @@ def _classify_item(planes, uv_tri, ccw_flag, *, subdiv, addr_mode,
                      _log2=size_log2, _pow2=is_pow2, _rcp=rcp):
             muv = args  # (B, 3, 2)
             seed = _bilinear_seed(_plane, muv[:, 0, :], _size, _log2, _pow2,
-                                  addr_mode, border_alpha)
+                                  addr_mode, border_alpha, fz)
             seed_above = jnp.float32(alpha_cutoff) < seed
 
+            from .levelline import guard as _gq
             rf = jnp.asarray(np.array(_size, dtype=np.float32))
-            q = muv * rf + jnp.float32(-0.5)
+            q = _gq(jnp, muv * rf, fz) + jnp.float32(-0.5)
             qn = jnp.where(ccw_flag, q, q[:, ::-1, :])
             amin = qn.min(axis=-2)
             amax = qn.max(axis=-2)
@@ -106,12 +110,13 @@ def _classify_item(planes, uv_tri, ccw_flag, *, subdiv, addr_mode,
             B = muv.shape[0]
             x = jnp.broadcast_to(x, (B, _H, _W))
             y = jnp.broadcast_to(y, (B, _H, _W))
-            mask = inb & conservative_raster_mask(jnp, qn, x, y)
+            mask = inb & conservative_raster_mask(jnp, qn, x, y, fz)
 
             tp = make_tri_params(jnp, muv)
             a_inc, b_inc = level_line_texel_kernel(
                 jnp, muv, tp, x, y, _plane, _size, _log2, _pow2,
-                rcp, addr_mode, alpha_cutoff, border_alpha, degenerate=False)
+                rcp, addr_mode, alpha_cutoff, border_alpha, degenerate=False,
+                fz=fz)
             zero = jnp.int32(0)
             a = jnp.where(mask, a_inc, zero).sum(axis=(-1, -2),
                                                  dtype=jnp.int32)
@@ -195,7 +200,7 @@ def classify_work_item_jax(texture: Texture, cfg, uv_tri: np.ndarray,
 
     above, below = _classify_item(
         planes, jnp.asarray(uv_tri, jnp.float32), jnp.asarray(ccw),
-        subdiv=subdiv, addr_mode=cfg.addr_mode,
+        jnp.int32(0), subdiv=subdiv, addr_mode=cfg.addr_mode,
         alpha_cutoff=float(cfg.alpha_cutoff),
         border_alpha=float(cfg.border_alpha), mip_meta=mip_meta, win_wh=win,
         fmt=cfg.fmt, promotion=cfg.promotion, cutoff_gt=cfg.cutoff_gt,

@@ -34,18 +34,103 @@ def _f32(xp, v):
     return xp.float32(v)
 
 
+def guard(xp, v, fz=None):
+    """fp-contraction fence.
+
+    XLA:CPU's LLVM backend contracts `a*b + c` into FMA regardless of the
+    fast-math flags (ffp-contract), changing fp32 results vs the numpy
+    oracle; XLA deletes optimization barriers and folds constant fences,
+    so the only robust fence is an integer XOR with a RUNTIME zero (fz, an
+    int32 jit argument that is always 0).  No-op under numpy or when no
+    token is supplied (e.g. inside Mosaic kernels, whose codegen does not
+    contract).  Verified by the foliage-content parity tests
+    (tests/test_scene_e2e.py) which flip without it."""
+    if xp is np or fz is None:
+        return v
+    from jax import lax
+    i = lax.bitcast_convert_type(v, xp.int32) ^ fz
+    return lax.bitcast_convert_type(i, xp.float32)
+
+
 def is_zero(xp, v, eps=1e-6):
     """IsZero (bake_kernels_cpu.h:135-137): |v| < eps via two compares."""
     e = _f32(xp, eps)
     return (v < e) & (v > -e)
 
 
-def _length(xp, dx, dy):
-    """glm::length of a float2 = sqrt(dot(v, v)) in fp32."""
-    return xp.sqrt(dx * dx + dy * dy)
+def exact_sqrt(xp, x):
+    """Correctly-rounded (IEEE RN) fp32 sqrt.
+
+    numpy's sqrt is already correctly rounded; XLA's fp32 sqrt (CPU
+    fast-math and the TPU VPU) is an rsqrt refinement that is 1-2 ulp off
+    on ~40% of inputs — enough to flip the level-line hit tests after
+    cancellation (the hyperbola root feeds `k*hx + m` with |k| up to 1e7).
+    The fix: take the device sqrt, then pick among its ulp neighbors the
+    candidate whose exactly-computed square (Veltkamp split, all exact
+    fp32 products) is closest to x.  Arguments outside the safe exponent
+    range are pre-scaled by an even power of two (exact).
+    """
+    if xp is np:
+        return np.sqrt(x)
+    import jax
+
+    # keep the split/squares away from subnormal/overflow trouble
+    lo = jnp_f32(xp, 2.0 ** -40)
+    hi = jnp_f32(xp, 2.0 ** 40)
+    scale_up = x < lo
+    scale_dn = x > hi
+    x_s = xp.where(scale_up, x * jnp_f32(xp, 2.0 ** 52),
+                   xp.where(scale_dn, x * jnp_f32(xp, 2.0 ** -52), x))
+
+    # One exact-residual Newton step pulls the device sqrt (measured up
+    # to 3 ulp off on the TPU VPU) to sub-ulp accuracy: e0 = y^2 - x is
+    # computed EXACTLY via a Veltkamp split (Sterbenz: y^2 within 2x of
+    # x), so y1 = y - e0/(2y) has error ~2^-23 ulp + final rounding.  A
+    # +-1-ulp candidate check with incrementally-updated exact errors
+    # then settles the round-to-nearest winner regardless of the device
+    # sqrt's error bound.
+    y = xp.sqrt(x_s)
+    big = y * jnp_f32(xp, 4097.0)
+    ch = big - (big - y)
+    cl = y - ch
+    e0 = (ch * ch - x_s) + jnp_f32(xp, 2.0) * ch * cl + cl * cl
+    y = y - e0 / (jnp_f32(xp, 2.0) * y)
+    yi = jax.lax.bitcast_convert_type(y, xp.int32)
+    big = y * jnp_f32(xp, 4097.0)
+    ch = big - (big - y)
+    cl = y - ch
+    e0 = (ch * ch - x_s) + jnp_f32(xp, 2.0) * ch * cl + cl * cl
+    two_y = jnp_f32(xp, 2.0) * y
+    best_err = None
+    best_y = None
+    for off in (-1, 0, 1):
+        c = jax.lax.bitcast_convert_type(yi + xp.int32(off), xp.float32)
+        d = c - y
+        err = xp.abs(e0 + two_y * d + d * d)
+        if best_err is None:
+            best_err, best_y = err, c
+        else:
+            take = err < best_err
+            best_err = xp.where(take, err, best_err)
+            best_y = xp.where(take, c, best_y)
+    r = xp.where(scale_up, best_y * jnp_f32(xp, 2.0 ** -26),
+                 xp.where(scale_dn, best_y * jnp_f32(xp, 2.0 ** 26),
+                          best_y))
+    ok = (x > jnp_f32(xp, 0.0)) & xp.isfinite(x)
+    return xp.where(ok, r, xp.sqrt(x))
 
 
-def edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, hb, hc, hd):
+def jnp_f32(xp, v):
+    return xp.float32(v)
+
+
+def _length(xp, dx, dy, fz=None):
+    """glm::length of a float2 = sqrt(dot(v, v)) in fp32 (correctly
+    rounded on every backend, contraction-safe)."""
+    return exact_sqrt(xp, guard(xp, dx * dx, fz) + guard(xp, dy * dy, fz))
+
+
+def edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, hb, hc, hd, fz=None):
     """TestEdgeHyperbolaIntersection (bake_kernels_cpu.h:144-238), vectorized.
 
     Edge endpoints (p0, p1) in texel-local coordinates; hyperbola
@@ -61,10 +146,11 @@ def edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, hb, hc, hd):
     q1x = xp.where(swap, p0x, p1x)
     q1y = xp.where(swap, p0y, p1y)
 
-    edge_len = _length(xp, q1x - q0x, q1y - q0y)
+    edge_len = _length(xp, q1x - q0x, q1y - q0y, fz)
 
     def on_edge(px, py):
-        l = _length(xp, px - q0x, py - q0y) + _length(xp, px - q1x, py - q1y) - edge_len
+        l = _length(xp, px - q0x, py - q0y, fz) \
+            + _length(xp, px - q1x, py - q1y, fz) - edge_len
         return is_zero(xp, l, 1e-5)
 
     def in_unit_square(px, py):
@@ -79,53 +165,67 @@ def edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, hb, hc, hd):
 
     # --- vertical edge branch (bake_kernels_cpu.h:161-180) ---
     vx = q0x
-    v_c0 = hd * vx + hc
-    v_c1 = ha + hb * vx
+    v_c0 = guard(xp, hd * vx, fz) + hc
+    v_c1 = ha + guard(xp, hb * vx, fz)
     v_c0_safe = xp.where(is_zero(xp, v_c0), one, v_c0)
     vy = -v_c1 / v_c0_safe
-    v_hit = (~is_zero(xp, v_c0)) & point_hit(vx, vy)
 
     # --- general branch (bake_kernels_cpu.h:181-234) ---
     k_den_safe = xp.where(vertical, one, k_denum)
     k = (q1y - q0y) / k_den_safe
-    m = q1y - q1x * k
+    m = q1y - guard(xp, q1x * k, fz)
     c0 = hd * k
-    c1 = hc * k + hd * m + hb
-    c2 = ha + hc * m
+    c1 = guard(xp, hc * k, fz) + guard(xp, hd * m, fz) + hb
+    c2 = ha + guard(xp, hc * m, fz)
     c0_zero = is_zero(xp, c0)
 
-    # straight-line sub-branch
+    # straight-line sub-branch candidate
     c1_safe = xp.where(is_zero(xp, c1), one, c1)
     lx = -c2 / c1_safe
-    ly = k * lx + m
-    line_hit = (~is_zero(xp, c1)) & point_hit(lx, ly)
+    ly = guard(xp, k * lx, fz) + m
 
-    # hyperbola sub-branch
-    inner = c1 * c1 - (_f32(xp, 4.0) * c0) * c2
+    # hyperbola sub-branch candidates
+    inner = guard(xp, c1 * c1, fz) - guard(xp, (_f32(xp, 4.0) * c0) * c2, fz)
     real = inner > _f32(xp, 0.0)
-    root = xp.sqrt(xp.where(real, inner, _f32(xp, 0.0)))
+    root = exact_sqrt(xp, xp.where(real, inner, _f32(xp, 0.0)))
     c0_safe = xp.where(c0_zero, one, c0)
     hx0 = half * (-c1 + root) / c0_safe
     hx1 = half * (-c1 - root) / c0_safe
-    hy0 = k * hx0 + m
-    hy1 = k * hx1 + m
-    hyp_hit = real & (point_hit(hx0, hy0) | point_hit(hx1, hy1))
+    hy0 = guard(xp, k * hx0, fz) + m
+    hy1 = guard(xp, k * hx1, fz) + m
 
-    # Boolean selects as logical ops (Mosaic lowers i1 selects poorly).
-    general_hit = (c0_zero & line_hit) | (~c0_zero & hyp_hit)
-    return (vertical & v_hit) | (~vertical & general_hit)
+    # The three branches are mutually exclusive per lane, so select the
+    # branch's candidate point(s) FIRST and run the expensive point test
+    # (two correctly-rounded sqrts each) only twice instead of four
+    # times.  Selected lanes see bit-identical coordinates, so this is
+    # exactly the reference's branch structure (bake_kernels_cpu.h:
+    # 161-234); the dummy second point (x=2) fails in_unit_square before
+    # its on_edge value matters.
+    pax = xp.where(vertical, vx, xp.where(c0_zero, lx, hx0))
+    pay = xp.where(vertical, vy, xp.where(c0_zero, ly, hy0))
+    two = _f32(xp, 2.0)
+    pbx = xp.where(vertical | c0_zero, two, hx1)
+    pby = xp.where(vertical | c0_zero, two, hy1)
+    # boolean logic (not i1 selects) for Mosaic compatibility
+    gate = ((vertical & ~is_zero(xp, v_c0))
+            | (~vertical & c0_zero & ~is_zero(xp, c1))
+            | (~vertical & ~c0_zero & real))
+    return gate & (point_hit(pax, pay) | point_hit(pbx, pby))
 
 
-def point_in_tri_cached(xp, tp, px, py):
+def point_in_tri_cached(xp, tp, px, py, fz=None):
     """Triangle::PointInTriangle (geometry.h:101-114).
 
     tp: dict with keys p0x..p2y, cached edge diffs p0p2/p1p0/p2p1 (fp32
     arrays broadcastable against px/py)."""
     zero = _f32(xp, 0.0)
-    s = tp["p0p2x"] * (py - tp["p2y"]) - tp["p0p2y"] * (px - tp["p2x"])
-    t = tp["p1p0x"] * (py - tp["p0y"]) - tp["p1p0y"] * (px - tp["p0x"])
+    s = guard(xp, tp["p0p2x"] * (py - tp["p2y"]), fz) \
+        - guard(xp, tp["p0p2y"] * (px - tp["p2x"]), fz)
+    t = guard(xp, tp["p1p0x"] * (py - tp["p0y"]), fz) \
+        - guard(xp, tp["p1p0y"] * (px - tp["p0x"]), fz)
     early_false = ((s < zero) != (t < zero)) & (s != zero) & (t != zero)
-    d = tp["p2p1x"] * (py - tp["p1y"]) - tp["p2p1y"] * (px - tp["p1x"])
+    d = guard(xp, tp["p2p1x"] * (py - tp["p1y"]), fz) \
+        - guard(xp, tp["p2p1y"] * (px - tp["p1x"]), fz)
     ok = (d == zero) | ((d < zero) == ((s + t) <= zero))
     return (~early_false) & ok
 
@@ -152,7 +252,7 @@ def make_tri_params(xp, tri):
     return p
 
 
-def conservative_raster_mask(xp, q, x, y):
+def conservative_raster_mask(xp, q, x, y, fz=None):
     """Over-conservative Pineda edge-test accept mask
     (cpu_raster.h:102-124 SquareInTriangleSkipAABBTest via :304-333).
 
@@ -172,8 +272,8 @@ def conservative_raster_mask(xp, q, x, y):
         qy = q[..., (e + 1) % 3, 1][..., None, None]
         nx = qy - py
         ny = px - qx
-        c = -(nx * px + ny * py)
-        ev = (nx * sx + ny * sy) + c
+        c = -(guard(xp, nx * px, fz) + guard(xp, ny * py, fz))
+        ev = (guard(xp, nx * sx, fz) + guard(xp, ny * sy, fz)) + c
         bx = xp.where(nx > zero, zero, nx)
         by = xp.where(ny > zero, zero, ny)
         ok = (ev + bx + by) < zero
@@ -184,7 +284,8 @@ def conservative_raster_mask(xp, q, x, y):
 def level_line_texel_kernel(xp, tri_uv, tri_params, px_i, py_i, texture_planes,
                             tex_size, tex_size_log2, tex_is_pow2,
                             rcp_size, addr_mode, alpha_cutoff, border_alpha,
-                            degenerate: bool, aabb_s=None, aabb_e=None):
+                            degenerate: bool, aabb_s=None, aabb_e=None,
+                            fz=None):
     """Per-(micro-tri, texel) increments of the level-line kernel
     (bake_kernels_cpu.h:241-399).
 
@@ -221,13 +322,14 @@ def level_line_texel_kernel(xp, tri_uv, tri_params, px_i, py_i, texture_planes,
 
     return level_line_values_kernel(
         xp, tri_uv, tri_params, px_i, py_i, gx, gy, gz, gw, tex_size,
-        rcp_size, alpha_cutoff, degenerate, aabb_s=aabb_s, aabb_e=aabb_e)
+        rcp_size, alpha_cutoff, degenerate, aabb_s=aabb_s, aabb_e=aabb_e,
+        fz=fz)
 
 
 def level_line_values_kernel(xp, tri_uv, tri_params, px_i, py_i,
                              gx, gy, gz, gw, tex_size, rcp_size,
                              alpha_cutoff, degenerate: bool,
-                             aabb_s=None, aabb_e=None):
+                             aabb_s=None, aabb_e=None, fz=None):
     """Core level-line math with the 2x2 quad values already fetched.
 
     Shared by the gather path above and the MXU one-hot-matmul path
@@ -258,10 +360,10 @@ def level_line_values_kernel(xp, tri_uv, tri_params, px_i, py_i,
         op1 = cutoff < gy
         op2 = cutoff < gz
         op3 = cutoff < gw
-        in0 = point_in_tri_cached(xp, tri_params, invpix_x, invpix_y)
-        in1 = point_in_tri_cached(xp, tri_params, invpix_x, invpix_y + inv_y)
-        in2 = point_in_tri_cached(xp, tri_params, invpix_x + inv_x, invpix_y + inv_y)
-        in3 = point_in_tri_cached(xp, tri_params, invpix_x + inv_x, invpix_y)
+        in0 = point_in_tri_cached(xp, tri_params, invpix_x, invpix_y, fz)
+        in1 = point_in_tri_cached(xp, tri_params, invpix_x, invpix_y + inv_y, fz)
+        in2 = point_in_tri_cached(xp, tri_params, invpix_x + inv_x, invpix_y + inv_y, fz)
+        in3 = point_in_tri_cached(xp, tri_params, invpix_x + inv_x, invpix_y, fz)
         is_op = (in0 & op0) | (in1 & op1) | (in2 & op2) | (in3 & op3)
         is_tr = (in0 & ~op0) | (in1 & ~op1) | (in2 & ~op2) | (in3 & ~op3)
         above = above + xp.where(is_op, one_i, zero_i)
@@ -283,22 +385,22 @@ def level_line_values_kernel(xp, tri_uv, tri_params, px_i, py_i,
     if degenerate:
         # Degenerate path intersects the AABB diagonal segment
         # (bake_kernels_cpu.h:358-374).
-        e0x = sizef_x * aabb_s[..., 0][..., None, None] - pixelf_x
-        e0y = sizef_y * aabb_s[..., 1][..., None, None] - pixelf_y
-        e1x = sizef_x * aabb_e[..., 0][..., None, None] - pixelf_x
-        e1y = sizef_y * aabb_e[..., 1][..., None, None] - pixelf_y
-        hit = edge_hyperbola_hit(xp, e0x, e0y, e1x, e1y, ha, b, c, d)
+        e0x = guard(xp, sizef_x * aabb_s[..., 0][..., None, None], fz) - pixelf_x
+        e0y = guard(xp, sizef_y * aabb_s[..., 1][..., None, None], fz) - pixelf_y
+        e1x = guard(xp, sizef_x * aabb_e[..., 0][..., None, None], fz) - pixelf_x
+        e1y = guard(xp, sizef_y * aabb_e[..., 1][..., None, None], fz) - pixelf_y
+        hit = edge_hyperbola_hit(xp, e0x, e0y, e1x, e1y, ha, b, c, d, fz)
     else:
         corner = [(tri_params["p0x"], tri_params["p0y"]),
                   (tri_params["p1x"], tri_params["p1y"]),
                   (tri_params["p2x"], tri_params["p2y"])]
         hit = None
         for e in range(3):
-            p0x = sizef_x * corner[e][0] - pixelf_x
-            p0y = sizef_y * corner[e][1] - pixelf_y
-            p1x = sizef_x * corner[(e + 1) % 3][0] - pixelf_x
-            p1y = sizef_y * corner[(e + 1) % 3][1] - pixelf_y
-            h = edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, b, c, d)
+            p0x = guard(xp, sizef_x * corner[e][0], fz) - pixelf_x
+            p0y = guard(xp, sizef_y * corner[e][1], fz) - pixelf_y
+            p1x = guard(xp, sizef_x * corner[(e + 1) % 3][0], fz) - pixelf_x
+            p1y = guard(xp, sizef_y * corner[(e + 1) % 3][1], fz) - pixelf_y
+            h = edge_hyperbola_hit(xp, p0x, p0y, p1x, p1y, ha, b, c, d, fz)
             hit = h if hit is None else (hit | h)
 
     ll_above = uni_above | (~uniform & hit)

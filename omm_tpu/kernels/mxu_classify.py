@@ -109,7 +109,8 @@ def _host_precompute(texture: Texture, uv_tri: np.ndarray, subdiv: int,
 @partial(jax.jit, static_argnames=("B", "W", "H", "RW", "RH", "size",
                                    "rcp", "alpha_cutoff"))
 def _classify_blocks(planeP, pad, muv, qn, x0, y0, x1, y1, sx, sy, rx, ry,
-                     valid, *, B, W, H, RW, RH, size, rcp, alpha_cutoff):
+                     valid, fz, *, B, W, H, RW, RH, size, rcp,
+                     alpha_cutoff):
     """All blocks of one work item on device.
 
     planeP: padded plane; pad: scalar padding offset.
@@ -178,8 +179,9 @@ def _classify_blocks(planeP, pad, muv, qn, x0, y0, x1, y1, sx, sy, rx, ry,
             qye = qn_b[:, (e + 1) % 3, 1][None, :]
             nx = qye - pye
             ny = pxe - qxe
-            cc = -(nx * pxe + ny * pye)
-            ev = (nx * sxf + ny * syf) + cc
+            from .levelline import guard as _g
+            cc = -(_g(jnp, nx * pxe, fz) + _g(jnp, ny * pye, fz))
+            ev = (_g(jnp, nx * sxf, fz) + _g(jnp, ny * syf, fz)) + cc
             bx = jnp.where(nx > 0, jnp.float32(0), nx)
             by = jnp.where(ny > 0, jnp.float32(0), ny)
             ok = (ev + bx + by) < jnp.float32(0)
@@ -200,7 +202,7 @@ def _classify_blocks(planeP, pad, muv, qn, x0, y0, x1, y1, sx, sy, rx, ry,
 
         a_inc, b_inc = level_line_values_kernel(
             jnp, None, tp, px, py, gx, gy, gz, gw, size, rcp,
-            alpha_cutoff, degenerate=False)
+            alpha_cutoff, degenerate=False, fz=fz)
         above = jnp.where(mask, a_inc, zero_i).sum(axis=0, dtype=jnp.int32)
         below = jnp.where(mask, b_inc, zero_i).sum(axis=0, dtype=jnp.int32)
 
@@ -220,14 +222,18 @@ def _classify_blocks(planeP, pad, muv, qn, x0, y0, x1, y1, sx, sy, rx, ry,
         b = pick(1, 0)   # I0x1
         c = pick(0, 1)   # I1x0
         d = pick(1, 1)   # I1x1
-        p0pix_x = muv_b[:, 0, 0] * jnp.float32(float(size[0])) - jnp.float32(0.5)
-        p0pix_y = muv_b[:, 0, 1] * jnp.float32(float(size[1])) - jnp.float32(0.5)
+        from .levelline import guard as _g3
+        p0pix_x = _g3(jnp, muv_b[:, 0, 0] * jnp.float32(float(size[0])),
+                      fz) - jnp.float32(0.5)
+        p0pix_y = _g3(jnp, muv_b[:, 0, 1] * jnp.float32(float(size[1])),
+                      fz) - jnp.float32(0.5)
         wxf = p0pix_x - jnp.floor(p0pix_x)
         wyf = p0pix_y - jnp.floor(p0pix_y)
         onef = jnp.float32(1.0)
-        ac = a * (onef - wxf) + c * wxf
-        bd = b * (onef - wxf) + d * wxf
-        seed = ac * (onef - wyf) + bd * wyf
+        from .levelline import guard as _g2
+        ac = _g2(jnp, a * (onef - wxf), fz) + _g2(jnp, c * wxf, fz)
+        bd = _g2(jnp, b * (onef - wxf), fz) + _g2(jnp, d * wxf, fz)
+        seed = _g2(jnp, ac * (onef - wyf), fz) + _g2(jnp, bd * wyf, fz)
         seed_above = cutoff < seed
         above = above + jnp.where(seed_above, one_i, zero_i)
         below = below + jnp.where(~seed_above, one_i, zero_i)
@@ -302,7 +308,7 @@ def classify_work_item_mxu(texture: Texture, cfg, uv_tri: np.ndarray,
             blockify(pc["x1"]), blockify(pc["y1"]),
             blockify(pc["sx"]), blockify(pc["sy"]),
             jnp.asarray(pc["rx"]), jnp.asarray(pc["ry"]),
-            jnp.asarray(valid.reshape(nblk, B)),
+            jnp.asarray(valid.reshape(nblk, B)), jnp.int32(0),
             B=B, W=pc["W"], H=pc["H"], RW=pc["RW"], RH=pc["RH"],
             size=(w, h),
             rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),

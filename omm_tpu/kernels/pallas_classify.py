@@ -37,6 +37,23 @@ from .levelline import get_state_from_coverage, level_line_values_kernel
 from . import mxu_classify as mx
 
 UO = int(OpacityState.UnknownOpaque)
+
+
+def _kernel_fence_default() -> bool:
+    """In-kernel fp-contraction fence policy: Mosaic's TPU codegen does
+    not contract fp32 mul+add (verified by the smooth-alpha foliage
+    parity checks, tests/test_scene_e2e.py + bench.py's gate), so the
+    fence is only needed when the kernel body runs through XLA:CPU
+    (interpret mode in tests).  Override with OMM_TPU_KERNEL_FENCE=0/1."""
+    import os
+    v = os.environ.get("OMM_TPU_KERNEL_FENCE")
+    if v is not None:
+        return v not in ("0", "false", "False")
+    import jax
+    return jax.default_backend() == "cpu"
+
+
+KERNEL_FENCE = _kernel_fence_default()
 B = 128  # micro-triangles per grid step (lane count)
 
 # geo rows: x0, y0, x1, y1, oy, ox, sdy, sdx, valid, spare
@@ -46,6 +63,7 @@ GEO_ROWS = 10
 def _kernel(ry_ref, rx_ref, plane_ref, muv_ref, qn_ref, geo_ref,
             above_ref, below_ref, region_ref, sem, *, H, W, He, We,
             RHe, RWe, pad, size, rcp, alpha_cutoff):
+    fz = None  # Mosaic v1 path: no fence (exactness gated by v3)
     HW = H * W
     Ke = He * We
     cutoff = jnp.float32(alpha_cutoff)
@@ -108,14 +126,15 @@ def _kernel(ry_ref, rx_ref, plane_ref, muv_ref, qn_ref, geo_ref,
     # Conservative raster mask (cpu_raster.h:102-124).
     sxf = px.astype(jnp.float32)
     syf = py.astype(jnp.float32)
+    from .levelline import guard as _g
     qnx = [qn_ref[0, 2 * e:2 * e + 1, :] for e in range(3)]
     qny = [qn_ref[0, 2 * e + 1:2 * e + 2, :] for e in range(3)]
     acc = None
     for e in range(3):
         nx = qny[(e + 1) % 3] - qny[e]
         ny = qnx[e] - qnx[(e + 1) % 3]
-        cc = -(nx * qnx[e] + ny * qny[e])
-        ev = (nx * sxf + ny * syf) + cc
+        cc = -(_g(jnp, nx * qnx[e], fz) + _g(jnp, ny * qny[e], fz))
+        ev = (_g(jnp, nx * sxf, fz) + _g(jnp, ny * syf, fz)) + cc
         bx = jnp.where(nx > 0, jnp.float32(0), nx)
         by = jnp.where(ny > 0, jnp.float32(0), ny)
         ok = (ev + bx + by) < jnp.float32(0)
@@ -135,7 +154,7 @@ def _kernel(ry_ref, rx_ref, plane_ref, muv_ref, qn_ref, geo_ref,
 
     a_inc, b_inc = level_line_values_kernel(
         jnp, None, tp, px, py, gx, gy, gz, gw, size, rcp, alpha_cutoff,
-        degenerate=False)
+        degenerate=False, fz=fz)
     above = jnp.where(mask, a_inc, zero_i).sum(axis=0, keepdims=True,
                                                dtype=jnp.int32)
     below = jnp.where(mask, b_inc, zero_i).sum(axis=0, keepdims=True,
@@ -154,14 +173,16 @@ def _kernel(ry_ref, rx_ref, plane_ref, muv_ref, qn_ref, geo_ref,
     b = pick(We)      # I0x1 (y+1)
     c = pick(1)       # I1x0 (x+1)
     d = pick(We + 1)  # I1x1
-    p0px = muv_ref[0, 0:1, :] * jnp.float32(float(size[0])) - jnp.float32(0.5)
-    p0py = muv_ref[0, 1:2, :] * jnp.float32(float(size[1])) - jnp.float32(0.5)
+    p0px = _g(jnp, muv_ref[0, 0:1, :] * jnp.float32(float(size[0])),
+              fz) - jnp.float32(0.5)
+    p0py = _g(jnp, muv_ref[0, 1:2, :] * jnp.float32(float(size[1])),
+              fz) - jnp.float32(0.5)
     wxf = p0px - jnp.floor(p0px)
     wyf = p0py - jnp.floor(p0py)
     onef = jnp.float32(1.0)
-    ac = a * (onef - wxf) + c * wxf
-    bd = b * (onef - wxf) + d * wxf
-    seed = ac * (onef - wyf) + bd * wyf
+    ac = _g(jnp, a * (onef - wxf), fz) + _g(jnp, c * wxf, fz)
+    bd = _g(jnp, b * (onef - wxf), fz) + _g(jnp, d * wxf, fz)
+    seed = _g(jnp, ac * (onef - wyf), fz) + _g(jnp, bd * wyf, fz)
     seed_above = cutoff < seed
     above = above + jnp.where(seed_above, one_i, zero_i)
     below = below + jnp.where(~seed_above, one_i, zero_i)
@@ -334,16 +355,18 @@ def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
 TILE = 32  # texel tile edge
 
 
-def _kernel_v3(tidx_ref, tile_ref, muv_ref, qn_ref, geo_ref,
+def _kernel_v3(tidx_ref, tile_ref, muv_ref, qn_ref, geo_ref, fz_ref,
                above_ref, below_ref, *, H, W, He, We, TSA,
                size, rcp, alpha_cutoff):
     _kernel_body(tile_ref[0], muv_ref, qn_ref, geo_ref, above_ref,
                  below_ref, H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
-                 size=size, rcp=rcp, alpha_cutoff=alpha_cutoff)
+                 size=size, rcp=rcp, alpha_cutoff=alpha_cutoff,
+                 fz=fz_ref[0, 0])
 
 
 def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
-                 H, W, He, We, RHe, RWe, size, rcp, alpha_cutoff):
+                 H, W, He, We, RHe, RWe, size, rcp, alpha_cutoff,
+                 fz=None):
     HW = H * W
     Ke = He * We
     cutoff = jnp.float32(alpha_cutoff)
@@ -394,14 +417,15 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
 
     sxf = px.astype(jnp.float32)
     syf = py.astype(jnp.float32)
+    from .levelline import guard as _g
     qnx = [qn_ref[0, 2 * e:2 * e + 1, :] for e in range(3)]
     qny = [qn_ref[0, 2 * e + 1:2 * e + 2, :] for e in range(3)]
     acc = None
     for e in range(3):
         nx = qny[(e + 1) % 3] - qny[e]
         ny = qnx[e] - qnx[(e + 1) % 3]
-        cc = -(nx * qnx[e] + ny * qny[e])
-        ev = (nx * sxf + ny * syf) + cc
+        cc = -(_g(jnp, nx * qnx[e], fz) + _g(jnp, ny * qny[e], fz))
+        ev = (_g(jnp, nx * sxf, fz) + _g(jnp, ny * syf, fz)) + cc
         bx = jnp.where(nx > 0, jnp.float32(0), nx)
         by = jnp.where(ny > 0, jnp.float32(0), ny)
         ok = (ev + bx + by) < jnp.float32(0)
@@ -421,7 +445,7 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
 
     a_inc, b_inc = level_line_values_kernel(
         jnp, None, tp, px, py, gx, gy, gz, gw, size, rcp, alpha_cutoff,
-        degenerate=False)
+        degenerate=False, fz=fz)
     above = jnp.where(mask, a_inc, zero_i).sum(axis=0, keepdims=True,
                                                dtype=jnp.int32)
     below = jnp.where(mask, b_inc, zero_i).sum(axis=0, keepdims=True,
@@ -438,14 +462,16 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
     b = pick(We)
     c = pick(1)
     d = pick(We + 1)
-    p0px = muv_ref[0, 0:1, :] * jnp.float32(float(size[0])) - jnp.float32(0.5)
-    p0py = muv_ref[0, 1:2, :] * jnp.float32(float(size[1])) - jnp.float32(0.5)
+    p0px = _g(jnp, muv_ref[0, 0:1, :] * jnp.float32(float(size[0])),
+              fz) - jnp.float32(0.5)
+    p0py = _g(jnp, muv_ref[0, 1:2, :] * jnp.float32(float(size[1])),
+              fz) - jnp.float32(0.5)
     wxf = p0px - jnp.floor(p0px)
     wyf = p0py - jnp.floor(p0py)
     onef = jnp.float32(1.0)
-    ac = a * (onef - wxf) + c * wxf
-    bd = b * (onef - wxf) + d * wxf
-    seed = ac * (onef - wyf) + bd * wyf
+    ac = _g(jnp, a * (onef - wxf), fz) + _g(jnp, c * wxf, fz)
+    bd = _g(jnp, b * (onef - wxf), fz) + _g(jnp, d * wxf, fz)
+    seed = _g(jnp, ac * (onef - wyf), fz) + _g(jnp, bd * wyf, fz)
     seed_above = cutoff < seed
     above = above + jnp.where(seed_above, one_i, zero_i)
     below = below + jnp.where(~seed_above, one_i, zero_i)
@@ -456,10 +482,12 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
 
 @partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
                                    "rcp", "alpha_cutoff", "nblk"))
-def _run_v3(tilesE, tidx, muv_r, qn_r, geo, *, H, W, He, We, TSA, size, rcp,
-            alpha_cutoff, nblk):
+def _run_v3(tilesE, tidx, muv_r, qn_r, geo, fzv=None, *, H, W, He, We,
+            TSA, size, rcp, alpha_cutoff, nblk):
     kern = partial(_kernel_v3, H=H, W=W, He=He, We=We, TSA=TSA, size=size,
                    rcp=rcp, alpha_cutoff=alpha_cutoff)
+    if fzv is None:  # constant fallback: fence inert under interpret
+        fzv = jnp.zeros((1, 1), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
@@ -472,6 +500,8 @@ def _run_v3(tilesE, tidx, muv_r, qn_r, geo, *, H, W, He, We, TSA, size, rcp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GEO_ROWS, B), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
@@ -483,7 +513,7 @@ def _run_v3(tilesE, tidx, muv_r, qn_r, geo, *, H, W, He, We, TSA, size, rcp,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32),
                    jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32)),
-    )(tidx, tilesE, muv_r, qn_r, geo)
+    )(tidx, tilesE, muv_r, qn_r, geo, fzv)
     return a.reshape(nblk, B), b.reshape(nblk, B)
 
 
@@ -609,7 +639,9 @@ def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
 
 
 def run_job_v3(job):
-    return _run_v3(*job["args"], **job["kw"])
+    import numpy as _np
+    fzv = jnp.asarray(_np.zeros((1, 1), _np.int32)) if KERNEL_FENCE else None
+    return _run_v3(*job["args"], fzv, **job["kw"])
 
 
 def gather_v3(job, a_b, b_b):

@@ -164,16 +164,22 @@ def _bary_cols(index, level: int):
     return iu.astype(jnp.float32) * ls, iv.astype(jnp.float32) * ls, d
 
 
-def _corner_cols(tri6, bu, bv, bd):
+def _corner_cols(tri6, bu, bv, bd, fz=None):
     """InterpolateTriangleUV in column form (geometry.h:241-248):
     p = p0*(1-u-v) + p1*u + p2*v for the three subtriangle corners.
-    tri6: 6 scalar-or-(N,) columns (p0x,p0y,p1x,p1y,p2x,p2y)."""
+    tri6: 6 scalar-or-(N,) columns (p0x,p0y,p1x,p1y,p2x,p2y).  Products
+    are contraction-guarded so corner UVs are bit-identical to the host
+    bird path (kernels.levelline.guard)."""
+    from .levelline import guard
     p0x, p0y, p1x, p1y, p2x, p2y = tri6
     onef = jnp.float32(1.0)
 
     def corner(u_, v_):
         w_ = onef - u_ - v_
-        return p0x * w_ + p1x * u_ + p2x * v_, p0y * w_ + p1y * u_ + p2y * v_
+        return (guard(jnp, p0x * w_, fz) + guard(jnp, p1x * u_, fz)
+                + guard(jnp, p2x * v_, fz),
+                guard(jnp, p0y * w_, fz) + guard(jnp, p1y * u_, fz)
+                + guard(jnp, p2y * v_, fz))
 
     ax, ay = corner(bu, bv)
     bx, by = corner(bu + bd, bv)
@@ -203,15 +209,16 @@ def _class_plane(planeP, Hb, Wb, cutoff, margin):
                                jnp.int8(0)))
 
 
-def _window_origin(tri6, bu, bv, bd, w, h):
+def _window_origin(tri6, bu, bv, bd, w, h, fz=None):
     """floor(min corner * size - 0.5) per element (column form), minus the
     one-texel insurance applied by the caller."""
-    (ax, ay), (bx, by), (cx, cy) = _corner_cols(tri6, bu, bv, bd)
+    (ax, ay), (bx, by), (cx, cy) = _corner_cols(tri6, bu, bv, bd, fz)
     wf = jnp.float32(float(w))
     hf = jnp.float32(float(h))
     half = jnp.float32(0.5)
-    qxm = jnp.minimum(jnp.minimum(ax, bx), cx) * wf - half
-    qym = jnp.minimum(jnp.minimum(ay, by), cy) * hf - half
+    from .levelline import guard
+    qxm = guard(jnp, jnp.minimum(jnp.minimum(ax, bx), cx) * wf, fz) - half
+    qym = guard(jnp, jnp.minimum(jnp.minimum(ay, by), cy) * hf, fz) - half
     return (jnp.floor(qxm).astype(jnp.int32),
             jnp.floor(qym).astype(jnp.int32))
 
@@ -221,7 +228,8 @@ def _tri6_of(uv_flat, t):
     return tuple(u[..., k] for k in range(6))
 
 
-def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads):
+def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads,
+               fz=None):
     """Combined-over-mips side for subtriangles given by curve index
     `ids` at `level` belonging to item `tvec` (column arrays)."""
     bu, bv, bd = _bary_cols(ids.astype(jnp.uint32), level)
@@ -229,7 +237,7 @@ def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads):
     side = None
     for mi, (w, h) in enumerate(mips):
         pad = pads[mi]
-        x0, y0 = _window_origin(tri6, bu, bv, bd, w, h)
+        x0, y0 = _window_origin(tri6, bu, bv, bd, w, h, fz)
         cls = planes_cls[mi]
         s = cls[y0 - 1 + pad, x0 - 1 + pad]
         if side is None:
@@ -245,7 +253,7 @@ def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads):
 
 @partial(jax.jit, static_argnames=("subdiv", "lg", "C_cap", "K_cap", "mips",
                                    "pads", "ntxs", "all_active"))
-def _stageAB(cls_g, cls_u, uv_flat, ccw, active, *, subdiv, lg, C_cap,
+def _stageAB(cls_g, cls_u, uv_flat, ccw, active, fz, *, subdiv, lg, C_cap,
              K_cap, mips, pads, ntxs, all_active):
     """Returns (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
     slots)."""
@@ -317,7 +325,7 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, *, subdiv, lg, C_cap,
     for mi, (w, h) in enumerate(mips):
         pad = pads[mi]
         ntx = ntxs[mi]
-        x0, y0 = _window_origin(tri6, bu, bv, bd, w, h)
+        x0, y0 = _window_origin(tri6, bu, bv, bd, w, h, fz)
         tile = ((y0 + pad) // TILE) * ntx + (x0 + pad) // TILE
         tile = jnp.where(kvalid, tile, _INVALID_TILE)
         order = jnp.argsort(tile, stable=True)
@@ -352,7 +360,7 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, *, subdiv, lg, C_cap,
 @partial(jax.jit, static_argnames=("subdiv", "K_cap", "nblk", "w", "h",
                                    "pad", "ntx", "H", "W", "rcp",
                                    "alpha_cutoff"))
-def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, *, subdiv,
+def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
                 K_cap, nblk, w, h, pad, ntx, H, W, rcp, alpha_cutoff):
     """Build the (nblk, rows, B) slot stream on device and run the exact
     Pallas kernel; returns (above, below) int32 (K_cap,) in survivor
@@ -363,13 +371,14 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, *, subdiv,
     sv_m = (ids % M).astype(jnp.uint32)
     bu, bv, bd = _bary_cols(sv_m, subdiv)
     tri6 = _tri6_of(uv_flat, sv_t)
-    (ax, ay), (bx2, by2), (cx, cy) = _corner_cols(tri6, bu, bv, bd)
+    (ax, ay), (bx2, by2), (cx, cy) = _corner_cols(tri6, bu, bv, bd, fz)
     wf = jnp.float32(float(w))
     hf = jnp.float32(float(h))
     half = jnp.float32(0.5)
-    qs = [(ax * wf - half, ay * hf - half),
-          (bx2 * wf - half, by2 * hf - half),
-          (cx * wf - half, cy * hf - half)]
+    from .levelline import guard as _g
+    qs = [(_g(jnp, ax * wf, fz) - half, _g(jnp, ay * hf, fz) - half),
+          (_g(jnp, bx2 * wf, fz) - half, _g(jnp, by2 * hf, fz) - half),
+          (_g(jnp, cx * wf, fz) - half, _g(jnp, cy * hf, fz) - half)]
     x0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][0], qs[1][0]),
                                qs[2][0])).astype(jnp.int32)
     y0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][1], qs[1][1]),
@@ -422,6 +431,7 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, *, subdiv,
 
     a_b, b_b = pk._run_v3(
         tilesE, block_tile, muv_r, qn_r, geo,
+        fz.reshape(1, 1) if pk.KERNEL_FENCE else None,
         H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
         size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk)
     a_flat = a_b.reshape(-1)
@@ -629,7 +639,8 @@ class _BatchCtx:
 
     def stage_ab(self, C_cap, K_cap):
         return _stageAB(tuple(self.cls_g), tuple(self.cls_u), self.uvJ,
-                        self.ccwJ, self.actJ, subdiv=self.subdiv,
+                        self.ccwJ, self.actJ, jnp.int32(0),
+                        subdiv=self.subdiv,
                         lg=self.lg, C_cap=C_cap, K_cap=K_cap,
                         mips=tuple(self.mips), pads=tuple(self.pads),
                         ntxs=tuple(self.ntxs), all_active=self.all_active)
@@ -640,7 +651,8 @@ class _BatchCtx:
         w, h = self.mips[mip]
         return _stageC_mip(
             self.tilesEs[mip], self.uvJ, self.ccwJ, ids, kvalid,
-            slots[mip][0], slots[mip][1], subdiv=self.subdiv, K_cap=K_cap,
+            slots[mip][0], slots[mip][1], jnp.int32(0),
+            subdiv=self.subdiv, K_cap=K_cap,
             nblk=nblk, w=w, h=h, pad=self.pads[mip], ntx=self.ntxs[mip],
             H=self.HWu[mip][0], W=self.HWu[mip][1], rcp=self.rcps[mip],
             alpha_cutoff=float(self.cfg.alpha_cutoff))

@@ -37,15 +37,16 @@ def make_mesh(devices=None, axis: str = OMM_AXIS) -> Mesh:
 
 
 def _classify_block(plane, muv, ccw_flag, *, size, size_log2, is_pow2, rcp,
-                    W, H, addr_mode, alpha_cutoff, border_alpha):
+                    W, H, addr_mode, alpha_cutoff, border_alpha, fz=None):
     """Level-line classify of a block of micro-tris (same math as
     kernels.jax_classify.block_fn)."""
     seed = _bilinear_seed(plane, muv[:, 0, :], size, size_log2, is_pow2,
-                          addr_mode, border_alpha)
+                          addr_mode, border_alpha, fz)
     seed_above = jnp.float32(alpha_cutoff) < seed
 
+    from ..kernels.levelline import guard as _gq
     rf = jnp.asarray(np.array(size, dtype=np.float32))
-    q = muv * rf + jnp.float32(-0.5)
+    q = _gq(jnp, muv * rf, fz) + jnp.float32(-0.5)
     qn = jnp.where(ccw_flag, q, q[:, ::-1, :])
     amin = qn.min(axis=-2)
     amax = qn.max(axis=-2)
@@ -59,11 +60,12 @@ def _classify_block(plane, muv, ccw_flag, *, size, size_log2, is_pow2, rcp,
     B = muv.shape[0]
     x = jnp.broadcast_to(x, (B, H, W))
     y = jnp.broadcast_to(y, (B, H, W))
-    mask = inb & conservative_raster_mask(jnp, qn, x, y)
+    mask = inb & conservative_raster_mask(jnp, qn, x, y, fz)
 
     a_inc, b_inc = level_line_texel_kernel(
         jnp, muv, make_tri_params(jnp, muv), x, y, plane, size, size_log2,
-        is_pow2, rcp, addr_mode, alpha_cutoff, border_alpha, degenerate=False)
+        is_pow2, rcp, addr_mode, alpha_cutoff, border_alpha, degenerate=False,
+        fz=fz)
     zero = jnp.int32(0)
     above = jnp.where(mask, a_inc, zero).sum(axis=(-1, -2), dtype=jnp.int32)
     below = jnp.where(mask, b_inc, zero).sum(axis=(-1, -2), dtype=jnp.int32)
@@ -81,12 +83,13 @@ def classify_item_sharded(mesh: Mesh, plane, uv_tri, ccw: bool, *, subdiv,
     n_dev = mesh.devices.size
     assert M % n_dev == 0, "4^N must divide the mesh size"
 
-    def shard_fn(idx_shard, uv_tri_rep, ccw_rep, plane_rep):
-        muv = bird.micro_triangle_uvs(uv_tri_rep, idx_shard, subdiv, xp=jnp)
+    def shard_fn(idx_shard, uv_tri_rep, ccw_rep, plane_rep, fz):
+        muv = bird.micro_triangle_uvs(uv_tri_rep, idx_shard, subdiv, xp=jnp,
+                                      fz=fz)
         above, below = _classify_block(
             plane_rep, muv, ccw_rep, size=size, size_log2=size_log2,
             is_pow2=is_pow2, rcp=rcp, W=W, H=H, addr_mode=addr_mode,
-            alpha_cutoff=alpha_cutoff, border_alpha=border_alpha)
+            alpha_cutoff=alpha_cutoff, border_alpha=border_alpha, fz=fz)
         states = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
                                          cutoff_le, above, below)
         hist = jnp.zeros(4, jnp.int32).at[states].add(1)
@@ -96,11 +99,12 @@ def classify_item_sharded(mesh: Mesh, plane, uv_tri, ccw: bool, *, subdiv,
     idx = jnp.arange(M, dtype=jnp.uint32)
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(OMM_AXIS), P(), P(), P()),
+        in_specs=(P(OMM_AXIS), P(), P(), P(), P()),
         out_specs=(P(OMM_AXIS), P()),
     )
     fn = jax.jit(mapped)
-    return fn(idx, jnp.asarray(uv_tri, jnp.float32), jnp.asarray(ccw), plane)
+    return fn(idx, jnp.asarray(uv_tri, jnp.float32), jnp.asarray(ccw), plane,
+              jnp.int32(0))
 
 
 def sharded_bake_step(mesh: Mesh, plane, uv_tris, ccws, *, subdiv, size,
@@ -114,13 +118,14 @@ def sharded_bake_step(mesh: Mesh, plane, uv_tris, ccws, *, subdiv, size,
     n_dev = mesh.devices.size
     assert M % n_dev == 0
 
-    def shard_fn(idx_shard, uv_tris_rep, ccws_rep, plane_rep):
+    def shard_fn(idx_shard, uv_tris_rep, ccws_rep, plane_rep, fz):
         def one(uv_tri, ccw):
-            muv = bird.micro_triangle_uvs(uv_tri, idx_shard, subdiv, xp=jnp)
+            muv = bird.micro_triangle_uvs(uv_tri, idx_shard, subdiv, xp=jnp,
+                                          fz=fz)
             return _classify_block(
                 plane_rep, muv, ccw, size=size, size_log2=size_log2,
                 is_pow2=is_pow2, rcp=rcp, W=W, H=H, addr_mode=addr_mode,
-                alpha_cutoff=alpha_cutoff, border_alpha=border_alpha)
+                alpha_cutoff=alpha_cutoff, border_alpha=border_alpha, fz=fz)
 
         above, below = jax.vmap(one)(uv_tris_rep, ccws_rep)
         states = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
@@ -132,11 +137,11 @@ def sharded_bake_step(mesh: Mesh, plane, uv_tris, ccws, *, subdiv, size,
     idx = jnp.arange(M, dtype=jnp.uint32)
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(OMM_AXIS), P(), P(), P()),
+        in_specs=(P(OMM_AXIS), P(), P(), P(), P()),
         out_specs=(P(None, OMM_AXIS), P()),
     )
     return jax.jit(mapped)(idx, jnp.asarray(uv_tris, jnp.float32),
-                           jnp.asarray(ccws), plane)
+                           jnp.asarray(ccws), plane, jnp.int32(0))
 
 
 def sharded_group_resolve(mesh: Mesh, cls_plane, uv_tris, *, subdiv, lg,
@@ -156,11 +161,11 @@ def sharded_group_resolve(mesh: Mesh, cls_plane, uv_tris, *, subdiv, lg,
     assert NG % n_dev == 0, "4^lg must divide the mesh size"
     w, h = size
 
-    def shard_fn(gidx_shard, uv_rep, cls_rep):
+    def shard_fn(gidx_shard, uv_rep, cls_rep, fz):
         bu, bv, bd = _bary_cols(gidx_shard.astype(jnp.uint32), lg)
         tri6 = tuple(uv_rep[:, k:k + 1] for k in range(6))
         x0, y0 = _window_origin(tri6, bu[None, :], bv[None, :],
-                                bd[None, :], w, h)
+                                bd[None, :], w, h, fz)
         side = cls_rep[y0 - 1 + pad, x0 - 1 + pad]  # (T, NG/n_dev)
         counts = jnp.stack([
             jnp.sum(side == 1, dtype=jnp.int32),
@@ -173,7 +178,7 @@ def sharded_group_resolve(mesh: Mesh, cls_plane, uv_tris, *, subdiv, lg,
                           .reshape(-1, 6))
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(OMM_AXIS), P(), P()),
+        in_specs=(P(OMM_AXIS), P(), P(), P()),
         out_specs=(P(None, OMM_AXIS), P()),
     )
-    return jax.jit(mapped)(gidx, uv_flat, cls_plane)
+    return jax.jit(mapped)(gidx, uv_flat, cls_plane, jnp.int32(0))

@@ -183,7 +183,8 @@ class Texture:
         v = self.load(safe, mip, xp)
         return xp.where(is_border, xp.float32(border_alpha), v)
 
-    def bilinear(self, mode: TextureAddressMode, p, mip: int, xp=np):
+    def bilinear(self, mode: TextureAddressMode, p, mip: int, xp=np,
+                 fz=None):
         """Runtime bilinear sample (texture_impl.cpp:261-278).
 
         p: (..., 2) fp32 in [0,1] UV.  Border mode falls back to wrapped
@@ -191,8 +192,10 @@ class Texture:
         borderAlpha — parity quirk).
         """
         info = self.info[mip]
+        from .kernels.levelline import guard as _gp
         sizef = xp.asarray(np.array(info.size, dtype=np.float32))
-        pixel = xp.asarray(p, dtype=xp.float32) * sizef - xp.float32(0.5)
+        pixel = _gp(xp, xp.asarray(p, dtype=xp.float32) * sizef, fz) \
+            - xp.float32(0.5)
         pixel_floor = xp.floor(pixel)
         c00, c10, c01, c11 = gather_tex_coord4(
             mode, pixel_floor.astype(xp.int32),
@@ -211,9 +214,10 @@ class Texture:
         wx = w[..., 0]
         wy = w[..., 1]
         one = xp.float32(1.0)
-        ac = a * (one - wx) + c * wx
-        bd = b * (one - wx) + d * wx
-        return ac * (one - wy) + bd * wy
+        from .kernels.levelline import guard
+        ac = guard(xp, a * (one - wx), fz) + guard(xp, c * wx, fz)
+        bd = guard(xp, b * (one - wx), fz) + guard(xp, d * wx, fz)
+        return guard(xp, ac * (one - wy), fz) + guard(xp, bd * wy, fz)
 
     # -- SAT ----------------------------------------------------------------
     def sat_query(self, s, e, mip: int) -> np.ndarray:

@@ -216,3 +216,34 @@ def test_viewer_session_tweak_rebake(tmp_path):
     p = vs.save_blob(str(tmp_path / "tweaked.bin"))
     vs2 = ViewerSession(p)
     assert vs2.stats() == vs.stats()
+
+
+def test_capi_flat_surface_roundtrip():
+    """Flat omm.h-style facade (capi.py): create baker/texture, bake,
+    serialize round-trip, stats, static GPU data."""
+    import numpy as np
+    from omm_tpu import capi, TextureFormat, BakeInputDesc
+    from fixtures import standard_circle
+
+    bk = capi.omm_create_baker()
+    tex = capi.omm_cpu_create_texture(bk, [standard_circle(32, 32)],
+                                      TextureFormat.FP32)
+    desc = BakeInputDesc(
+        texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0]], np.float32),
+        index_buffer=np.array([0, 1, 2], np.uint32), index_count=3,
+        max_subdivision_level=3)
+    res = capi.omm_cpu_bake(bk, desc)
+    s = capi.omm_debug_get_stats(res)
+    assert (s.total_opaque + s.total_transparent + s.total_unknown_opaque
+            + s.total_unknown_transparent) == 4 ** 3
+    blob = capi.omm_cpu_serialize(bk, input_descs=[desc],
+                                  result_descs=[res], compress=True)
+    d = capi.omm_cpu_deserialize(bk, blob)
+    assert len(d.result_descs) == 1
+    sd = capi.omm_gpu_get_static_resource_data("STATIC_INDEX_BUFFER")
+    assert sd["size"] > 0
+    pipe = capi.omm_gpu_create_pipeline(bk)
+    assert capi.omm_gpu_get_pipeline_desc(pipe) is not None
+    capi.omm_cpu_destroy_texture(bk, tex)
+    capi.omm_destroy_baker(bk)
