@@ -70,7 +70,7 @@ def quad_mesh(n_quads: int, n_uv_variants: int = 6, seed: int = 3):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="numpy",
-                    choices=["numpy", "jax", "pallas"])
+                    choices=["numpy", "jax", "pallas", "auto"])
     ap.add_argument("--subdiv", type=int, default=7)
     ap.add_argument("--quads", type=int, default=200)
     ap.add_argument("--atlas", type=int, default=512)

@@ -761,6 +761,16 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         raise BakeError(Result.INVALID_ARGUMENT,
                         "EnableAABBTesting requires DisableLevelLineIntersection")
 
+    if backend == "auto":
+        # Route by workload size: the device pipeline amortizes its host
+        # round-trips and jit compiles over millions of micro-triangles
+        # (the reference makes the same CPU-vs-GPU-baker tradeoff,
+        # docs/integration_guide.md:110); small deduplicated bakes are
+        # faster on the host oracle.
+        total_utri = sum(get_num_micro_triangles(it.subdivision_level)
+                         for it in items)
+        backend = "pallas" if total_utri >= (1 << 22) else "numpy"
+
     if backend == "numpy":
         xp = np
         classify = None

@@ -188,7 +188,7 @@ def main(argv=None):
     b.add_argument("--dynamic-subdivision-scale", type=float, default=0.0)
     b.add_argument("--two-state", action="store_true")
     b.add_argument("--backend", default="jax",
-                   choices=["numpy", "jax", "pallas"])
+                   choices=["numpy", "jax", "pallas", "auto"])
     b.add_argument("--out", help="write serialized result blob")
     b.add_argument("--compress", action="store_true")
     b.set_defaults(fn=cmd_bake)

@@ -202,3 +202,18 @@ def test_twophase_pipelined_batches(monkeypatch):
         want = engine.resample_fine_item(tex, cfg, t, subdiv,
                                          np.full(M, 3, np.uint8))
         assert (st == want).all()
+
+
+def test_auto_backend_small_routes_to_host():
+    """backend='auto' must bake small workloads without device work and
+    match the oracle exactly."""
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0]], np.float32),
+        index_buffer=np.array([0, 1, 2], np.uint32), index_count=3,
+        max_subdivision_level=5)
+    a = omm.bake(desc, backend="auto")
+    n = omm.bake(desc)
+    assert np.array_equal(a.array_data, n.array_data)
+    assert np.array_equal(a.index_buffer, n.index_buffer)
