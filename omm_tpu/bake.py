@@ -795,6 +795,25 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
                 and cfg.filter == TextureFilterMode.Linear
                 and not cfg.disable_level_line)
 
+    if backend in ("jax", "pallas") and \
+            cfg.filter == TextureFilterMode.Nearest \
+            and not cfg.disable_fine:
+        # Nearest-filter fast path: the phase-1 window resolve settles the
+        # off-contour bulk on device; survivors stay UnknownOpaque for the
+        # exact host pass below (kernels/twophase.resolve_nearest_phase1).
+        from .kernels.twophase import resolve_nearest_phase1
+        by_level: dict[int, list[int]] = {}
+        for i, it in enumerate(items):
+            if not bool(geom.is_degenerate(it.uv_tri)):
+                by_level.setdefault(it.subdivision_level, []).append(i)
+        for level, idxs in by_level.items():
+            res = resolve_nearest_phase1(
+                tex, cfg, [(items[i].uv_tri, items[i].states) for i in idxs],
+                level)
+            if res is not None:
+                for i, st in zip(idxs, res):
+                    items[i].states = st
+
     if backend == "pallas":
         # Batch all device-eligible work items per subdivision level
         # through the hierarchical two-phase engine (one device pipeline,

@@ -826,3 +826,103 @@ def classify_work_item_twophase(texture: Texture, cfg, uv_tri: np.ndarray,
     """Single-item wrapper over classify_work_items_batch."""
     return classify_work_items_batch(texture, cfg, [(uv_tri, states)],
                                      subdiv)[0]
+
+
+# ---------------------------------------------------------------------------
+# nearest-filter phase-1 resolve (bake_cpu_impl.cpp:969-1022 semantics)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("subdiv", "mips", "pads"))
+def _nearest_sides(cls_planes, uv_flat, *, subdiv, mips, pads):
+    """Per-micro-triangle side for nearest-filter items: the kernel loads
+    single texels at wrapped coords over the conservative window
+    [floor(min(q)), ceil(max(q))) with q = muv*size (NO -0.5 offset), and
+    counts above/below by a direct `cutoff < alpha` compare — so a
+    strictly one-sided texel window determines the state with no rounding
+    slack at all.  Returns (T, M) int8 combined over mips."""
+    T = uv_flat.shape[0]
+    M = get_num_micro_triangles(subdiv)
+    bu, bv, bd = _bary_cols(jnp.arange(M, dtype=jnp.uint32), subdiv)
+    tri6 = tuple(uv_flat[:, k:k + 1] for k in range(6))
+    (ax, ay), (bx, by), (cx, cy) = _corner_cols(tri6, bu[None, :],
+                                                bv[None, :], bd[None, :])
+    side = None
+    for mi, (w, h) in enumerate(mips):
+        pad = pads[mi]
+        wf = jnp.float32(float(w))
+        hf = jnp.float32(float(h))
+        from .levelline import guard as _g
+        qxm = _g(jnp, jnp.minimum(jnp.minimum(ax, bx), cx) * wf)
+        qym = _g(jnp, jnp.minimum(jnp.minimum(ay, by), cy) * hf)
+        x0 = jnp.floor(qxm).astype(jnp.int32)
+        y0 = jnp.floor(qym).astype(jnp.int32)
+        s = cls_planes[mi][y0 - 1 + pad, x0 - 1 + pad]
+        side = s if side is None else jnp.where(s == side, side,
+                                                jnp.int8(0))
+    return side
+
+
+def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
+    """Phase-1 window resolve for nearest-filter work items: resolved
+    micro-triangles get their final state; survivors stay UnknownOpaque
+    for the exact host pass (engine.resample_fine_item).  Exactness: the
+    nearest kernel has no seed sample and no interpolation, so above=0
+    (all window texels <= cutoff) forces state cutoff_le and below=0
+    forces cutoff_gt — except when the conservative raster covers zero
+    texels (above=below=0 -> cutoff_le), which is only possible for
+    micro-triangles small enough that fp32 edge-function rounding can
+    empty the mask; the span gate below keeps those on the exact path.
+    Returns the updated per-item state list or None (preconditions)."""
+    if (cfg.filter != TextureFilterMode.Nearest
+            or cfg.addr_mode == TextureAddressMode.Border
+            or subdiv < 2):
+        return None
+    for uv_tri, _ in items:
+        if bool(geom.is_degenerate(uv_tri)):
+            return None
+        for mip in range(texture.mip_count):
+            w, h = texture.size(mip)
+            q = uv_tri.astype(np.float64) * np.array([w, h], np.float64)
+            span = (q.max(axis=0) - q.min(axis=0)) * 2.0 ** -subdiv
+            # span gate: micro-triangles far above fp32 edge-test noise
+            if span.min() < 0.25:
+                return None
+            Hb, Wb = _span_window(texture, uv_tri, subdiv, mip)
+            TSA = TILE + max(Hb + 2, Wb + 2)
+            pad = TSA
+            tmin = np.floor(q.min(axis=0)) - 2
+            tmax = np.ceil(q.max(axis=0)) + 2
+            if (tmin[0] < 1 - pad or tmin[1] < 1 - pad
+                    or tmax[0] + Wb + 6 > w + pad
+                    or tmax[1] + Hb + 6 > h + pad):
+                return None
+
+    cutoff = float(cfg.alpha_cutoff)
+    mips, pads, cls_planes = [], [], []
+    for mip in range(texture.mip_count):
+        Hb = max(_span_window(texture, it[0], subdiv, mip)[0]
+                 for it in items)
+        Wb = max(_span_window(texture, it[0], subdiv, mip)[1]
+                 for it in items)
+        TSA = TILE + max(Hb + 2, Wb + 2)
+        pad = TSA
+        mips.append(texture.size(mip))
+        pads.append(pad)
+        cls_planes.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
+                                      TSA, Hb, Wb, cutoff, PHASE1_MARGIN))
+
+    uv_flat = np.stack([it[0].reshape(6) for it in items]).astype(np.float32)
+    side = np.asarray(_nearest_sides(
+        tuple(cls_planes), jnp.asarray(uv_flat), subdiv=subdiv,
+        mips=tuple(mips), pads=tuple(pads)))
+
+    st_gt = np.uint8(int(cfg.cutoff_gt))
+    st_le = np.uint8(int(cfg.cutoff_le))
+    out = []
+    for t, (uv_tri, states) in enumerate(items):
+        st = states.copy()
+        act = states == UO
+        st[act & (side[t] == 1)] = st_gt
+        st[act & (side[t] == -1)] = st_le
+        out.append(st)
+    return out
