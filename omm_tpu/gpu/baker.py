@@ -219,18 +219,22 @@ class Pipeline:
                  backend: str = "jax") -> DispatchChain:
         self._validate(cfg)
         levels = self._subdiv_levels(cfg)
-        tri_count = cfg.index_count // 3
-        passes = [Pass("Clear", "clear", {}),
-                  Pass("Init", "setup", {}),
-                  Pass("WorkSetup", "setup",
-                       {"dedup": not (cfg.bake_flags
-                                      & GpuBakeFlags.DisableTexCoordDeduplication)})]
-        for lvl in sorted(set(int(l) for l in levels)):
-            passes.append(Pass(f"Level {lvl}", "classify",
-                               {"level": lvl,
-                                "count": int((levels == lvl).sum())}))
-        passes.append(Pass("DescPatch", "desc_patch", {}))
-        passes.append(Pass("IndexWrite", "index_write", {}))
+        do_setup = bool(cfg.bake_flags & GpuBakeFlags.PerformSetup)
+        do_bake = bool(cfg.bake_flags & GpuBakeFlags.PerformBake)
+        passes = []
+        if do_setup:
+            passes += [Pass("Clear", "clear", {}),
+                       Pass("Init", "setup", {}),
+                       Pass("WorkSetup", "setup",
+                            {"dedup": not (cfg.bake_flags
+                                           & GpuBakeFlags.DisableTexCoordDeduplication)})]
+        if do_bake:
+            for lvl in sorted(set(int(l) for l in levels)):
+                passes.append(Pass(f"Level {lvl}", "classify",
+                                   {"level": lvl,
+                                    "count": int((levels == lvl).sum())}))
+            passes.append(Pass("DescPatch", "desc_patch", {}))
+            passes.append(Pass("IndexWrite", "index_write", {}))
 
         def execute():
             return self._execute(cfg, levels, backend)
@@ -275,21 +279,33 @@ class Pipeline:
                 out[i] = cfg.max_subdivision_level
         return out
 
-    def _execute(self, cfg: DispatchConfigDesc, levels: np.ndarray,
-                 backend: str):
-        tex = cfg.alpha_texture
+    def _schedule_key(self, cfg: DispatchConfigDesc,
+                      levels: np.ndarray) -> bytes:
+        """Identity of a setup's inputs: the bake-only path (the
+        reference's SetupBeforeBuild resume,
+        omm_work_setup_bake_only_cs.cs.hlsl) must see the same geometry
+        the setup scheduled."""
+        from .. import native
+        h = native.xxh64(
+            np.ascontiguousarray(cfg.tex_coords, np.float32).tobytes()
+            + np.ascontiguousarray(cfg.index_buffer, np.uint32).tobytes()
+            + levels.tobytes()
+            + bytes([int(cfg.global_format),
+                     1 if (cfg.bake_flags
+                           & GpuBakeFlags.DisableTexCoordDeduplication)
+                     else 0]))
+        return h
+
+    def _work_setup(self, cfg: DispatchConfigDesc, levels: np.ndarray):
+        """WorkSetup: first-occurrence dedup on (UVs, level) like the CAS
+        hash table (omm_work_setup_cs.cs.hlsl:26-153) but via a dict."""
         tris = np.asarray(cfg.tex_coords, np.float32)[
             np.asarray(cfg.index_buffer, np.int64)[:cfg.index_count]
         ].reshape(-1, 3, 2)
-        tri_count = len(tris)
         dedup = not (cfg.bake_flags & GpuBakeFlags.DisableTexCoordDeduplication)
-        disable_special = bool(cfg.bake_flags & GpuBakeFlags.DisableSpecialIndices)
-
-        # WorkSetup: first-occurrence dedup on (UVs, level) like the CAS
-        # hash table (omm_work_setup_cs.cs.hlsl:26-153) but via a dict.
         items: list[WorkItem] = []
         seen: dict = {}
-        for i in range(tri_count):
+        for i in range(len(tris)):
             if not np.isfinite(tris[i]).all():
                 continue
             key = (tris[i].tobytes(), int(levels[i]))
@@ -302,6 +318,39 @@ class Pipeline:
                                       primitive_indices=[i]))
             else:
                 items[hit].primitive_indices.append(i)
+        return items
+
+    def _execute(self, cfg: DispatchConfigDesc, levels: np.ndarray,
+                 backend: str):
+        tex = cfg.alpha_texture
+        disable_special = bool(cfg.bake_flags & GpuBakeFlags.DisableSpecialIndices)
+        do_setup = bool(cfg.bake_flags & GpuBakeFlags.PerformSetup)
+        do_bake = bool(cfg.bake_flags & GpuBakeFlags.PerformBake)
+        skey = self._schedule_key(cfg, levels)
+
+        if do_setup:
+            items = self._work_setup(cfg, levels)
+            self._setup_store = getattr(self, "_setup_store", {})
+            self._setup_store[skey] = items
+            if not do_bake:
+                # setup-only: persist the schedule, report planned sizes
+                # (the reference's PerformSetup leaves the scheduling
+                # buffers for a later bake-only dispatch)
+                post = PostDispatchInfo(
+                    out_omm_array_size_in_bytes=sum(
+                        max(get_num_micro_triangles(it.subdivision_level)
+                            * get_bit_count(cfg.global_format) >> 3, 1)
+                        for it in items),
+                    out_omm_desc_size_in_bytes=8 * len(items))
+                return None, post
+        else:
+            store = getattr(self, "_setup_store", {})
+            if skey not in store:
+                raise BakeError(
+                    Result.INVALID_ARGUMENT,
+                    "PerformBake without a prior PerformSetup for these "
+                    "inputs (SetupBeforeBuild requires the setup phase)")
+            items = store[skey]
 
         rcfg = engine.ResampleConfig(
             addr_mode=cfg.runtime_sampler.addressing_mode,
@@ -317,17 +366,33 @@ class Pipeline:
             enable_aabb_testing=bool(cfg.bake_flags
                                      & GpuBakeFlags.DisableLevelLineIntersection),
         )
-        if backend == "jax":
-            from ..kernels.jax_classify import classify_work_item_jax
+        # bake on a copy so a stored setup can be re-baked (the
+        # reference's bake-only dispatch is repeatable)
+        import copy as _copy
+        items = [_copy.copy(it) for it in items]
         for it in items:
-            degen = bool(geom.is_degenerate(it.uv_tri))
-            if (backend == "jax" and not degen
-                    and rcfg.filter == TextureFilterMode.Linear
-                    and not rcfg.disable_level_line):
-                it.states = classify_work_item_jax(tex, rcfg, it.uv_tri,
-                                                   it.subdivision_level,
-                                                   it.states)
-            else:
+            it.states = it.states.copy()
+
+        done = [False] * len(items)
+        if backend == "jax":
+            # batch eligible items per level through the two-phase engine
+            from ..kernels.twophase import classify_work_items_batches
+            by_level: dict = {}
+            for idx, it in enumerate(items):
+                if (not bool(geom.is_degenerate(it.uv_tri))
+                        and rcfg.filter == TextureFilterMode.Linear
+                        and not rcfg.disable_level_line):
+                    by_level.setdefault(it.subdivision_level, []).append(idx)
+            for lvl, idxs in by_level.items():
+                res = classify_work_items_batches(
+                    tex, rcfg,
+                    [[(items[i].uv_tri, items[i].states) for i in idxs]],
+                    lvl)[0]
+                for i, st in zip(idxs, res):
+                    items[i].states = st
+                    done[i] = True
+        for it, d in zip(items, done):
+            if not d:
                 it.states = engine.resample_fine_item(
                     tex, rcfg, it.uv_tri, it.subdivision_level, it.states)
 

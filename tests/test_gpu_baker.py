@@ -139,3 +139,49 @@ def test_gpu_batching_plan():
     info = gpu.Pipeline().get_pre_dispatch_info(cfg)
     assert info.max_batch_count > 1
     assert info.transient_pool_buffer_sizes[0] <= int(gpu.ScratchMemoryBudget.MB_4) * 2
+
+
+def test_gpu_setup_before_build_split():
+    """PerformSetup then PerformBake (the reference's SetupBeforeBuild
+    matrix axis): the split dispatch equals the single-phase bake, the
+    bake-only phase is repeatable, and bake-without-setup is rejected."""
+    import numpy as np
+    import pytest as _pytest
+    import omm_tpu as omm
+    from omm_tpu import gpu
+    from omm_tpu.types import BakeError
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(32, 32)], omm.TextureFormat.FP32)
+    base = dict(alpha_texture=tex,
+                tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]],
+                                    np.float32),
+                index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32),
+                index_count=6, max_subdivision_level=4,
+                dynamic_subdivision_scale=0.0)
+
+    pipe = gpu.Pipeline()
+    ref, _ = pipe.dispatch(gpu.DispatchConfigDesc(**base),
+                           backend="numpy").execute()
+
+    pipe2 = gpu.Pipeline()
+    cfg_bake = gpu.DispatchConfigDesc(
+        bake_flags=gpu.GpuBakeFlags.PerformBake, **base)
+    with _pytest.raises(BakeError):
+        pipe2.dispatch(cfg_bake, backend="numpy").execute()
+
+    cfg_setup = gpu.DispatchConfigDesc(
+        bake_flags=gpu.GpuBakeFlags.PerformSetup, **base)
+    chain_s = pipe2.dispatch(cfg_setup, backend="numpy")
+    assert any(p.label == "WorkSetup" for p in chain_s.passes)
+    assert not any(p.label == "IndexWrite" for p in chain_s.passes)
+    none_result, post_s = chain_s.execute()
+    assert none_result is None and post_s.out_omm_desc_size_in_bytes > 0
+
+    chain_b = pipe2.dispatch(cfg_bake, backend="numpy")
+    assert not any(p.label == "WorkSetup" for p in chain_b.passes)
+    r1, _ = chain_b.execute()
+    r2, _ = pipe2.dispatch(cfg_bake, backend="numpy").execute()  # repeat
+    for r in (r1, r2):
+        assert np.array_equal(r.array_data, ref.array_data)
+        assert np.array_equal(r.index_buffer, ref.index_buffer)
