@@ -106,3 +106,58 @@ def test_sharded_group_resolve_matches_single_device():
     assert c.sum() == 2 * NG
     assert c[0] == (want == 1).sum()
     assert c[2] == (want == 0).sum()
+
+
+def test_multihost_partition_and_gather():
+    """Multi-host bake-farm partitioning (parallel/multihost.py):
+    deterministic balanced splits, per-partition bakes, and the merged
+    results cover every triangle with states identical to a whole-mesh
+    bake of the same sub-meshes."""
+    import numpy as np
+    import omm_tpu as omm
+    from omm_tpu.parallel import multihost as mh
+    from fixtures import standard_circle
+
+    # partitioning is deterministic and balanced by 4^subdiv cost
+    costs = [4 ** 3] * 6 + [4 ** 5] * 2
+    parts = mh.partition_items(costs, 3)
+    assert [p.process_id for p in parts] == [0, 1, 2]
+    all_idx = np.concatenate([p.item_indices for p in parts])
+    assert np.array_equal(np.sort(all_idx), np.arange(len(costs)))
+    assert mh.partition_items(costs, 1)[0].item_indices.shape == (8,)
+
+    # single-process init is a no-op
+    assert mh.init_distributed() == (0, 1)
+
+    # two-"host" bake of a 4-quad mesh == per-partition reference bakes
+    tex = omm.Texture([standard_circle(32, 32)], omm.TextureFormat.FP32)
+    rng = np.random.RandomState(0)
+    uvs, idxb = [], []
+    for q in range(4):
+        b = rng.rand(2).astype(np.float32) * 0.4
+        base = len(uvs)
+        uvs += [b, b + [0, 0.3], b + [0.3, 0], b + [0.3, 0.3]]
+        idxb += [base, base + 1, base + 2, base + 3, base + 1, base + 2]
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=np.asarray(uvs, np.float32),
+        index_buffer=np.asarray(idxb, np.uint32), index_count=len(idxb),
+        max_subdivision_level=3)
+    tri_count = len(idxb) // 3
+    parts = mh.partition_items([4 ** 3] * tri_count, 2)
+    blobs = [mh.bake_partition(desc, p, backend="numpy") for p in parts]
+    results = mh.gather_results(blobs)
+    assert len(results) == 2
+    covered = 0
+    for p, r in zip(parts, results):
+        refs = np.asarray(r.index_buffer)
+        assert len(refs) == len(p.item_indices)
+        covered += len(refs)
+        # partition result equals an independent bake of the sub-mesh
+        idx = np.asarray(desc.index_buffer).reshape(-1, 3)[p.item_indices]
+        sub = omm.BakeInputDesc(
+            texture=tex, tex_coords=desc.tex_coords,
+            index_buffer=idx.reshape(-1).astype(np.uint32),
+            index_count=idx.size, max_subdivision_level=3)
+        want = omm.bake(sub)
+        assert np.array_equal(r.array_data, want.array_data)
+    assert covered == tri_count
