@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
 
 from . import debug as debug_mod
 from . import serialize as serialize_mod

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from . import serialize as _ser
 from .baker import Baker
-from .bake import bake as _bake
 from .debug import save_as_images as _save_images
 from .stats import get_stats as _get_stats
 from .texture import Texture

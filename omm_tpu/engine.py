@@ -17,7 +17,7 @@ import numpy as np
 
 from . import bird, geom
 from .kernels.levelline import (conservative_raster_mask,
-                                get_state_from_coverage, is_zero,
+                                get_state_from_coverage,
                                 level_line_texel_kernel, make_tri_params)
 from .kernels.raster import conservative_line_cells
 from .texture import Texture, gather_tex_coord4, get_tex_coord

@@ -30,10 +30,10 @@ import numpy as np
 
 from .. import engine, geom
 from ..bake import (compute_area_heuristic, create_usage_histograms,
-                    micromap_spatial_sort, pack_states, serialize_result,
+                    micromap_spatial_sort, serialize_result,
                     Options, WorkItem)
 from ..texture import Texture
-from ..types import (BakeError, BakeInputDesc, BakeResult, Format,
+from ..types import (BakeError, BakeInputDesc, Format,
                      IndexFormat, OpacityState, Result, SamplerDesc,
                      SpecialIndex, TextureFilterMode, UnknownStatePromotion,
                      get_bit_count, get_num_micro_triangles,

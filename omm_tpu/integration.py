@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .types import BakeResult, IndexFormat, get_bit_count
+from .types import BakeResult, IndexFormat
 
 
 @dataclass

@@ -13,7 +13,7 @@ lax.map to bound peak memory at any subdivision level.
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp

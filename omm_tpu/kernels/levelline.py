@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..texture import gather_tex_coord4, get_tex_coord
+from ..texture import gather_tex_coord4
 from ..types import (Format, OpacityState, TextureAddressMode,
                      UnknownStatePromotion)
 

@@ -12,12 +12,11 @@ from __future__ import annotations
 import io
 import struct
 from dataclasses import dataclass, field
-from typing import Optional
 
 import numpy as np
 
 from . import native
-from .bit_tricks import xy_to_morton, morton_to_xy, next_pow2
+from .bit_tricks import xy_to_morton, next_pow2
 from .types import (BakeError, BakeInputDesc, BakeResult, Format, IndexFormat,
                     MicromapDesc, Result, SamplerDesc, SpecialIndex,
                     TexCoordFormat, TextureFlags, TextureFormat, UsageCount,

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .types import (BakeResult, DebugStats, Format, IndexFormat,
+from .types import (BakeResult, DebugStats, Format,
                     OpacityState, SpecialIndex, get_num_micro_triangles)
 
 

@@ -19,8 +19,8 @@ import numpy as np
 from . import debug, serialize as ser
 from .bake import bake
 from .stats import get_stats
-from .types import (BakeInputDesc, BakeResult, Format, TextureAddressMode,
-                    TextureFilterMode, UnknownStatePromotion)
+from .types import (BakeInputDesc, BakeResult, Format,
+                    UnknownStatePromotion)
 
 # The parameter set the reference viewer exposes as tweakable widgets
 # (viewer_app.cpp:1114-1216).
