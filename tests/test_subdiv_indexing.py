@@ -171,3 +171,51 @@ def test_rejection_threshold():
     res = omm.bake(desc)
     assert (res.index_buffer
             == int(omm.SpecialIndex.FullyUnknownTransparent)).all()
+
+
+def test_max_array_data_size_downsampling():
+    """maxArrayDataSize budget (bake_cpu_impl.cpp:1557-1688): the baker
+    greedily downsamples the least-valuable OMMs (coverage per byte)
+    until the array fits; every triangle still resolves and downsampled
+    blocks use lower subdivision levels."""
+    import numpy as np
+    import omm_tpu as omm
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    rng = np.random.RandomState(5)
+    uvs, idxb = [], []
+    for q in range(6):
+        b = rng.rand(2).astype(np.float32) * 0.5
+        base = len(uvs)
+        uvs += [b, b + [0, 0.4], b + [0.4, 0], b + [0.4, 0.4]]
+        idxb += [base, base + 1, base + 2, base + 3, base + 1, base + 2]
+    common = dict(texture=tex, tex_coords=np.asarray(uvs, np.float32),
+                  index_buffer=np.asarray(idxb, np.uint32),
+                  index_count=len(idxb), max_subdivision_level=6)
+
+    full = omm.bake(omm.BakeInputDesc(**common))
+    budget = max(len(full.array_data) // 4, 64)
+    tight = omm.bake(omm.BakeInputDesc(max_array_data_size=budget,
+                                       **common))
+    assert len(full.array_data) > budget
+    assert len(tight.array_data) < budget
+    # every triangle still has a valid reference
+    refs = np.asarray(tight.index_buffer).astype(np.int64)
+    assert ((refs >= 0) & (refs < len(tight.desc_array))
+            | (refs < 0)).all()
+    # downsampling lowered subdivision levels (never raised them)
+    assert max(d.subdivision_level for d in tight.desc_array) \
+        <= max(d.subdivision_level for d in full.desc_array)
+    assert sum(d.subdivision_level for d in tight.desc_array) \
+        < sum(d.subdivision_level for d in full.desc_array) \
+        or len(tight.desc_array) < len(full.desc_array)
+    # stats stay self-consistent
+    s = omm.get_stats(tight)
+    total = (s.total_opaque + s.total_transparent + s.total_unknown_opaque
+             + s.total_unknown_transparent)
+    per_tri = sum(
+        omm.get_num_micro_triangles(
+            tight.desc_array[refs[t]].subdivision_level)
+        for t in range(len(refs)) if refs[t] >= 0)
+    assert total == per_tri
