@@ -60,251 +60,6 @@ B = 128  # micro-triangles per grid step (lane count)
 GEO_ROWS = 10
 
 
-def _kernel(ry_ref, rx_ref, plane_ref, muv_ref, qn_ref, geo_ref,
-            above_ref, below_ref, region_ref, sem, *, H, W, He, We,
-            RHe, RWe, pad, size, rcp, alpha_cutoff):
-    fz = None  # Mosaic v1 path: no fence (exactness gated by v3)
-    HW = H * W
-    Ke = He * We
-    cutoff = jnp.float32(alpha_cutoff)
-    one_i = jnp.int32(1)
-    zero_i = jnp.int32(0)
-
-    i = pl.program_id(0)
-    ry = ry_ref[i]
-    rx = rx_ref[i]
-    copy = pltpu.make_async_copy(
-        plane_ref.at[pl.ds(ry - 1 + pad, RHe), pl.ds(rx - 1 + pad, RWe)],
-        region_ref, sem)
-    copy.start()
-
-    oy = geo_ref[0, 4:5, :]
-    ox = geo_ref[0, 5:6, :]
-    sdy = geo_ref[0, 6:7, :]
-    sdx = geo_ref[0, 7:8, :]
-    val = geo_ref[0, 8:9, :] != 0
-
-    xio = jax.lax.broadcasted_iota(jnp.int32, (RWe, B), 0)
-    yio = jax.lax.broadcasted_iota(jnp.int32, (RHe, B), 0)
-
-    copy.wait()
-    region = region_ref[...]
-
-    # Column select: C1[dx][y, i] = region[y, ox_i + dx]  (MXU).
-    C1 = []
-    for dx in range(We):
-        colhot = (xio == (ox + dx)).astype(jnp.float32)
-        C1.append(jax.lax.dot_general(
-            region, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32))  # (RHe, B)
-
-    # Row select: ext[(dy, dx)][i] = C1[dx][oy_i + dy, i].
-    rows = []
-    for dy in range(He):
-        for dx in range(We):
-            m = jnp.where((yio - dy) == oy, C1[dx], jnp.float32(0.0))
-            rows.append(m.sum(axis=0, keepdims=True))
-    ext = jnp.concatenate(rows, axis=0)  # (Ke, B)
-
-    ext3 = ext.reshape(He, We, B)
-    gx = ext3[0:H, 0:W].reshape(HW, B)
-    gy = ext3[1:H + 1, 0:W].reshape(HW, B)
-    gz = ext3[1:H + 1, 1:W + 1].reshape(HW, B)
-    gw = ext3[0:H, 1:W + 1].reshape(HW, B)
-
-    x0 = geo_ref[0, 0:1, :]
-    y0 = geo_ref[0, 1:2, :]
-    x1 = geo_ref[0, 2:3, :]
-    y1 = geo_ref[0, 3:4, :]
-
-    dxg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
-    dyg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) // W
-    px = x0 + dxg
-    py = y0 + dyg
-
-    # Conservative raster mask (cpu_raster.h:102-124).
-    sxf = px.astype(jnp.float32)
-    syf = py.astype(jnp.float32)
-    from .levelline import guard as _g
-    qnx = [qn_ref[0, 2 * e:2 * e + 1, :] for e in range(3)]
-    qny = [qn_ref[0, 2 * e + 1:2 * e + 2, :] for e in range(3)]
-    acc = None
-    for e in range(3):
-        nx = qny[(e + 1) % 3] - qny[e]
-        ny = qnx[e] - qnx[(e + 1) % 3]
-        cc = -(_g(jnp, nx * qnx[e], fz) + _g(jnp, ny * qny[e], fz))
-        ev = (_g(jnp, nx * sxf, fz) + _g(jnp, ny * syf, fz)) + cc
-        bx = jnp.where(nx > 0, jnp.float32(0), nx)
-        by = jnp.where(ny > 0, jnp.float32(0), ny)
-        ok = (ev + bx + by) < jnp.float32(0)
-        acc = ok if acc is None else (acc & ok)
-    mask = acc & (px < x1) & (py < y1)
-
-    tp = {}
-    for k, nm in enumerate(("p0", "p1", "p2")):
-        tp[nm + "x"] = muv_ref[0, 2 * k:2 * k + 1, :]
-        tp[nm + "y"] = muv_ref[0, 2 * k + 1:2 * k + 2, :]
-    tp["p0p2x"] = tp["p0x"] - tp["p2x"]
-    tp["p0p2y"] = tp["p0y"] - tp["p2y"]
-    tp["p1p0x"] = tp["p1x"] - tp["p0x"]
-    tp["p1p0y"] = tp["p1y"] - tp["p0y"]
-    tp["p2p1x"] = tp["p2x"] - tp["p1x"]
-    tp["p2p1y"] = tp["p2y"] - tp["p1y"]
-
-    a_inc, b_inc = level_line_values_kernel(
-        jnp, None, tp, px, py, gx, gy, gz, gw, size, rcp, alpha_cutoff,
-        degenerate=False, fz=fz)
-    above = jnp.where(mask, a_inc, zero_i).sum(axis=0, keepdims=True,
-                                               dtype=jnp.int32)
-    below = jnp.where(mask, b_inc, zero_i).sum(axis=0, keepdims=True,
-                                               dtype=jnp.int32)
-
-    # Seed bilinear at p0 (bake_cpu_impl.cpp:886-891): the quad at the
-    # seed texel, selected from ext by window-relative offset.
-    kf = jax.lax.broadcasted_iota(jnp.int32, (Ke, B), 0)
-    soff = sdy * We + sdx
-
-    def pick(shift):
-        sel = (kf == (soff + shift)).astype(jnp.float32)
-        return (ext * sel).sum(axis=0, keepdims=True)
-
-    a = pick(0)       # I0x0
-    b = pick(We)      # I0x1 (y+1)
-    c = pick(1)       # I1x0 (x+1)
-    d = pick(We + 1)  # I1x1
-    p0px = _g(jnp, muv_ref[0, 0:1, :] * jnp.float32(float(size[0])),
-              fz) - jnp.float32(0.5)
-    p0py = _g(jnp, muv_ref[0, 1:2, :] * jnp.float32(float(size[1])),
-              fz) - jnp.float32(0.5)
-    wxf = p0px - jnp.floor(p0px)
-    wyf = p0py - jnp.floor(p0py)
-    onef = jnp.float32(1.0)
-    ac = _g(jnp, a * (onef - wxf), fz) + _g(jnp, c * wxf, fz)
-    bd = _g(jnp, b * (onef - wxf), fz) + _g(jnp, d * wxf, fz)
-    seed = _g(jnp, ac * (onef - wyf), fz) + _g(jnp, bd * wyf, fz)
-    seed_above = cutoff < seed
-    above = above + jnp.where(seed_above, one_i, zero_i)
-    below = below + jnp.where(~seed_above, one_i, zero_i)
-
-    above_ref[0] = jnp.where(val, above, zero_i)
-    below_ref[0] = jnp.where(val, below, zero_i)
-
-
-@partial(jax.jit, static_argnames=("H", "W", "He", "We", "RHe", "RWe",
-                                   "pad", "size", "rcp", "alpha_cutoff",
-                                   "nblk"))
-def _run(planeP, ry, rx, muv_r, qn_r, geo, *, H, W, He, We, RHe, RWe, pad,
-         size, rcp, alpha_cutoff, nblk):
-    kern = partial(_kernel, H=H, W=W, He=He, We=We, RHe=RHe, RWe=RWe,
-                   pad=pad, size=size, rcp=rcp, alpha_cutoff=alpha_cutoff)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded plane (HBM)
-            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GEO_ROWS, B), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((RHe, RWe), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
-    )
-    a, b = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32),
-                   jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32)),
-    )(ry, rx, planeP, muv_r, qn_r, geo)
-    return a.reshape(nblk, B), b.reshape(nblk, B)
-
-
-def prepare_jobs(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
-    """Host-side schedule for one work item: per-mip block/region layout
-    plus packed device arrays.  Returns None when the fast path doesn't
-    apply (caller falls back)."""
-    if (cfg.addr_mode == TextureAddressMode.Border
-            or cfg.filter != TextureFilterMode.Linear
-            or cfg.disable_level_line
-            or bool(geom.is_degenerate(uv_tri))):
-        return None
-
-    M = get_num_micro_triangles(subdiv)
-    ccw = bool(geom.is_ccw(uv_tri))
-    jobs = []
-    for mip in range(texture.mip_count):
-        pc = mx._host_precompute(texture, uv_tri, subdiv, mip,
-                                 candidates=(B,))
-        w, h = texture.size(mip)
-        if pc["RW"] > mx.MAX_REGION or pc["RH"] > mx.MAX_REGION:
-            return None
-        pad = max(pc["RW"] + pc["W"] + 3, pc["RH"] + pc["H"] + 3)
-        if (pc["rx"].min() - 1 < -pad or pc["ry"].min() - 1 < -pad
-                or (pc["rx"].max() - 1 + pc["RW"] + pc["W"] + 2) > w + pad
-                or (pc["ry"].max() - 1 + pc["RH"] + pc["H"] + 2) > h + pad):
-            return None
-        if ((pc["sx"] < pc["x0"]).any() or (pc["sy"] < pc["y0"]).any()
-                or (pc["sx"] > pc["x0"] + pc["W"]).any()
-                or (pc["sy"] > pc["y0"] + pc["H"]).any()):
-            return None
-
-        info = texture.info[mip]
-        nblk, padM = pc["nblk"], pc["padM"]
-        H, W = pc["H"], pc["W"]
-        He, We = H + 2, W + 2
-
-        def padv(v, fill=0):
-            return np.concatenate(
-                [v, np.full((padM - M,) + v.shape[1:], fill, v.dtype)])
-
-        q = pc["q"]
-        qn = np.where(ccw, q, q[:, ::-1, :]).astype(np.float32)
-        rxb = np.repeat(pc["rx"], B)
-        ryb = np.repeat(pc["ry"], B)
-        x0 = padv(pc["x0"])
-        y0 = padv(pc["y0"])
-        oy = (y0 - (ryb - 1)).astype(np.int32)
-        ox = (x0 - (rxb - 1)).astype(np.int32)
-        sdy = (padv(pc["sy"]) - y0).astype(np.int32)
-        sdx = (padv(pc["sx"]) - x0).astype(np.int32)
-        valid = np.zeros(padM, np.int32)
-        valid[:M] = 1
-
-        def rows6(a3):
-            vv = padv(a3).reshape(padM, 6)
-            return jnp.asarray(
-                np.transpose(vv.reshape(nblk, B, 6), (0, 2, 1))
-                .astype(np.float32))
-
-        geo = np.stack([x0, y0, padv(pc["x1"]), padv(pc["y1"]), oy, ox,
-                        sdy, sdx, valid, np.zeros(padM, np.int32)], axis=1)
-        geo = jnp.asarray(np.transpose(geo.reshape(nblk, B, GEO_ROWS),
-                                       (0, 2, 1)).astype(np.int32))
-
-        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad,
-                                             cfg.addr_mode))
-        jobs.append(dict(
-            args=(planeP, jnp.asarray(pc["ry"]), jnp.asarray(pc["rx"]),
-                  rows6(pc["muv"]), rows6(qn), geo),
-            kw=dict(H=H, W=W, He=He, We=We, RHe=pc["RH"] + He,
-                    RWe=pc["RW"] + We, pad=pad, size=(w, h),
-                    rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
-                    alpha_cutoff=float(cfg.alpha_cutoff), nblk=nblk),
-            M=M))
-    return jobs
-
-
-def run_job(job):
-    return _run(*job["args"], **job["kw"])
-
-
 def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
                               subdiv: int, states: np.ndarray):
     """Drop-in fine-pass using the tile-pipelined Pallas kernel; falls back
