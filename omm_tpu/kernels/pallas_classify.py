@@ -1,23 +1,28 @@
-"""Pallas TPU kernel for micro-triangle classification.
+"""Pallas TPU kernel for exact micro-triangle classification.
 
-One grid step classifies a block of B consecutive bird-curve
-micro-triangles.  The kernel DMAs its texel region from the (wrap-mode
-pre-padded) alpha plane in HBM — region origins arrive via scalar prefetch —
-and gathers every micro-triangle's (H+2)x(W+2) texel window from the region
-without any per-element addressing:
+The tile-streamed (v3) engine: micro-triangles arrive pre-sorted by
+32-texel texture tile (the two-phase driver builds the schedule on
+device — kernels/twophase.py); each grid step streams one halo tile
+(tile + window apron) through VMEM via a scalar-prefetch-driven
+BlockSpec index map (automatic double buffering) and classifies a block
+of B=128 micro-triangles:
 
-  column select   C1_dx = region @ colhot_dx     (MXU matmul per dx shift)
+  column select   C1_dx = tile @ colhot_dx     (MXU matmul per dx shift)
   row select      ext[(dy,dx)] = sum_y C1_dx[y] * [y == oy_i + dy]
                                                   (sublane mask-reduce)
 
 The level-line math then runs in (HW, B) layout — micro-triangles along
-lanes — through the shared level_line_values_kernel, so fp32 op order
-matches the numpy oracle exactly.  The matmuls are exact: the one-hot
-operand is exactly 0/1 and precision=HIGHEST.
+lanes — through the shared level_line_values_kernel, so the fp32 op
+order matches the numpy oracle exactly.  The matmuls are exact: the
+one-hot operand is exactly 0/1 and precision=HIGHEST.  An optional
+runtime fence token (fz) guards against fp contraction when the kernel
+body executes through XLA:CPU (interpret mode); Mosaic's TPU codegen is
+verified non-contracting, so real chips skip it (KERNEL_FENCE).
 
 This is the "conservative raster as matmul" engine anticipated in
-SURVEY.md §7 step 4; backend='pallas' (bake.py) and bench.py use it, with
-fallback to the XLA-gather path when the fast-path preconditions fail.
+SURVEY.md §7 step 4; the two-phase batch driver (backend='pallas' in
+bake.py) and bench.py run survivors through it, with fallback to the
+XLA-gather path when the fast-path preconditions fail.
 """
 from __future__ import annotations
 
