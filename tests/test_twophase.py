@@ -265,3 +265,23 @@ def test_nearest_filter_phase1_resolve():
     c = omm.bake(desc, backend="pallas")
     assert np.array_equal(a.array_data, b.array_data)
     assert np.array_equal(a.array_data, c.array_data)
+
+
+@pytest.mark.slow
+def test_twophase_no_pallas_fallback():
+    """Without interpret-mode patching, Pallas cannot lower on CPU: the
+    batch engine must transparently fall back to the XLA gather path and
+    stay bit-exact."""
+    from omm_tpu.kernels import twophase as tp
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 4
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(2, seed=9)
+    items = [(t, np.full(M, 3, np.uint8)) for t in tris]
+    got = tp.classify_work_items_batch(tex, cfg, items, subdiv)
+    for t, st in zip(tris, got):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (st == want).all()
