@@ -43,13 +43,24 @@ MAX_REGION = 64       # fallback threshold for region edge (texels)
 
 
 def padded_plane(texture: Texture, mip: int, pad: int,
-                 addr_mode: TextureAddressMode) -> np.ndarray:
+                 addr_mode: TextureAddressMode,
+                 border_alpha: float = 0.0) -> np.ndarray:
     """Plane extended by `pad` texels on each side with the address mode's
     wrapped texels, so any load with coords in [-pad, size+pad) is a plain
-    in-bounds read (replaces per-texel GetTexCoord in the hot loop)."""
+    in-bounds read (replaces per-texel GetTexCoord in the hot loop).
+
+    Border mode fills the pad with border_alpha — the exact value the
+    reference's kernels substitute for the kTexCoordBorder sentinel
+    (util/texture.h:21-91; kernels read alpha values only, so value-level
+    substitution is bit-exact)."""
     plane = texture.load_plane(mip)
     w, h = texture.size(mip)
     info = texture.info[mip]
+    if addr_mode == TextureAddressMode.Border:
+        out = np.full((h + 2 * pad, w + 2 * pad), np.float32(border_alpha),
+                      dtype=np.float32)
+        out[pad:pad + h, pad:pad + w] = plane
+        return out
     cx = np.arange(-pad, w + pad, dtype=np.int32)
     cy = np.arange(-pad, h + pad, dtype=np.int32)
     wx = get_tex_coord(addr_mode, np.stack([cx, np.zeros_like(cx)], -1),
@@ -250,16 +261,23 @@ def classify_work_item_mxu(texture: Texture, cfg, uv_tri: np.ndarray,
 
     Returns updated states, or None when the fast path's preconditions
     don't hold (caller falls back to the gather path)."""
-    if cfg.addr_mode == TextureAddressMode.Border:
-        return None  # runtime-bilinear seed quirk differs; use fallback
     active = states == UO
     if not active.any():
         return states
 
+    border = cfg.addr_mode == TextureAddressMode.Border
     per_mip = []
     for mip in range(texture.mip_count):
         pc = _host_precompute(texture, uv_tri, subdiv, mip)
         w, h = texture.size(mip)
+        if border:
+            # Border runtime-bilinear seed quirk: the oracle clamps the
+            # kTexCoordBorder sentinel instead of applying borderAlpha
+            # (texture.Texture.bilinear).  The padded plane reproduces
+            # borderAlpha, so require every seed 2x2 footprint in-bounds.
+            if ((pc["sx"] < 0).any() or (pc["sy"] < 0).any()
+                    or (pc["sx"] > w - 2).any() or (pc["sy"] > h - 2).any()):
+                return None
         if pc["RW"] > MAX_REGION or pc["RH"] > MAX_REGION:
             return None
         # Pad covers the worst-case region overshoot so every region slice
@@ -286,7 +304,8 @@ def classify_work_item_mxu(texture: Texture, cfg, uv_tri: np.ndarray,
     for mip, (pc, pad) in enumerate(per_mip):
         w, h = texture.size(mip)
         info = texture.info[mip]
-        planeP = jnp.asarray(padded_plane(texture, mip, pad, cfg.addr_mode))
+        planeP = jnp.asarray(padded_plane(texture, mip, pad, cfg.addr_mode,
+                                          float(cfg.border_alpha)))
         nblk = pc["nblk"]
         padM = pc["padM"]
         B = pc["block"]

@@ -295,11 +295,11 @@ def _halo_tiles(planeP, TS, TSA):
 
 def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
     """Tile-sorted schedule.  Returns (jobs, inverse permutation) or None."""
-    if (cfg.addr_mode == TextureAddressMode.Border
-            or cfg.filter != TextureFilterMode.Linear
+    if (cfg.filter != TextureFilterMode.Linear
             or cfg.disable_level_line
             or bool(geom.is_degenerate(uv_tri))):
         return None
+    border = cfg.addr_mode == TextureAddressMode.Border
 
     M = get_num_micro_triangles(subdiv)
     ccw = bool(geom.is_ccw(uv_tri))
@@ -320,10 +320,18 @@ def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
                 or (pc["sx"] > pc["x0"] + W).any()
                 or (pc["sy"] > pc["y0"] + H).any()):
             return None
+        if border:
+            # Border seed quirk (see mxu_classify.classify_work_item_mxu):
+            # require every seed 2x2 footprint in-bounds so the padded
+            # plane's borderAlpha fill matches the oracle's seed reads.
+            if ((pc["sx"] < 0).any() or (pc["sy"] < 0).any()
+                    or (pc["sx"] > w - 2).any() or (pc["sy"] > h - 2).any()):
+                return None
 
         info = texture.info[mip]
         planeP = jnp.asarray(mx.padded_plane(texture, mip, pad,
-                                             cfg.addr_mode))
+                                             cfg.addr_mode,
+                                             float(cfg.border_alpha)))
         tilesE, nty, ntx = _halo_tiles(planeP, TILE, TSA)
 
         x0p = pc["x0"] + pad

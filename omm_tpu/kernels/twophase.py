@@ -82,11 +82,13 @@ def _tex_cache(texture: Texture) -> dict:
     return c
 
 
-def _planes_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int):
-    key = ("tiles", mip, int(addr_mode), pad, TSA)
+def _planes_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
+                   border_alpha: float = 0.0):
+    key = ("tiles", mip, int(addr_mode), pad, TSA, float(border_alpha))
     c = _tex_cache(texture)
     if key not in c:
-        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad, addr_mode))
+        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad, addr_mode,
+                                             border_alpha))
         tilesE, nty, ntx = pk._halo_tiles(planeP, TILE, TSA)
         c[key] = (planeP, tilesE, nty, ntx)
     return c[key]
@@ -130,13 +132,16 @@ def _class_plane_jit(planeP, *, Hb, Wb, cutoff, margin):
 
 
 def _cls_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
-                Hb: int, Wb: int, cutoff: float, margin: float):
+                Hb: int, Wb: int, cutoff: float, margin: float,
+                border_alpha: float = 0.0):
     """Device-cached int8 class plane (textures are reused across many
     batches; the min/max filters run once per window class)."""
-    key = ("cls", mip, int(addr_mode), pad, TSA, Hb, Wb, cutoff, margin)
+    key = ("cls", mip, int(addr_mode), pad, TSA, Hb, Wb, cutoff, margin,
+           float(border_alpha))
     c = _tex_cache(texture)
     if key not in c:
-        planeP, _, _, _ = _planes_cached(texture, mip, addr_mode, pad, TSA)
+        planeP, _, _, _ = _planes_cached(texture, mip, addr_mode, pad, TSA,
+                                         border_alpha)
         c[key] = _class_plane_jit(planeP, Hb=Hb, Wb=Wb, cutoff=cutoff,
                                   margin=margin)
     return c[key]
@@ -551,12 +556,30 @@ def _group_level(texture: Texture, uv_tris, subdiv: int) -> int:
 
 def _fast_path_ok(texture: Texture, cfg, uv_tri: np.ndarray,
                   subdiv: int, lg: int) -> bool:
-    if (cfg.addr_mode == TextureAddressMode.Border
-            or cfg.filter != TextureFilterMode.Linear
+    if (cfg.filter != TextureFilterMode.Linear
             or getattr(cfg, "disable_level_line", False)
             or subdiv < 2
             or bool(geom.is_degenerate(uv_tri))):
         return False
+    if cfg.addr_mode == TextureAddressMode.Border:
+        # Border seed quirk (texture.Texture.bilinear): the oracle clamps
+        # the sentinel instead of applying borderAlpha, while the padded
+        # plane substitutes borderAlpha.  Admit only items whose every
+        # micro-triangle seed 2x2 bilinear footprint is in-bounds — checked
+        # exactly, with the oracle's own fp32 op order (p0 * sizef - 0.5).
+        # Per-texel kernel gathers may still reach border texels (cells can
+        # extend one texel past the outermost seed): those reads come from
+        # the borderAlpha-filled padding, matching the reference kernels.
+        M = get_num_micro_triangles(subdiv)
+        p0 = bird.micro_triangle_uvs(
+            uv_tri, np.arange(M, dtype=np.uint32), subdiv)[:, 0, :]
+        for mip in range(texture.mip_count):
+            w, h = texture.size(mip)
+            s = np.floor(p0 * np.array([w, h], np.float32)
+                         - np.float32(0.5))
+            if (s < 0).any() or (s[:, 0] > w - 2).any() \
+                    or (s[:, 1] > h - 2).any():
+                return False
     for mip in range(texture.mip_count):
         Hb, Wb = _span_window(texture, uv_tri, subdiv, mip)
         Hg, Wg = _span_window(texture, uv_tri, lg, mip)
@@ -611,18 +634,19 @@ class _BatchCtx:
                      for i in fast)
             TSA = TILE + max(Hb + 2, Wb + 2)
             pad = TSA
+            ba = float(getattr(cfg, "border_alpha", 0.0))
             _, tilesE, nty, ntx = _planes_cached(texture, mip,
-                                                 cfg.addr_mode, pad, TSA)
+                                                 cfg.addr_mode, pad, TSA, ba)
             self.mips.append(texture.size(mip))
             self.pads.append(pad)
             self.HWu.append((Hb, Wb))
             self.ntxs.append(ntx)
             self.cls_g.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
                                           TSA, Hg, Wg, cutoff,
-                                          PHASE1_MARGIN))
+                                          PHASE1_MARGIN, ba))
             self.cls_u.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
                                           TSA, Hb, Wb, cutoff,
-                                          PHASE1_MARGIN))
+                                          PHASE1_MARGIN, ba))
             self.tilesEs.append(tilesE)
             info = texture.info[mip]
             self.rcps.append((float(info.rcp_size[0]),
@@ -872,10 +896,10 @@ def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
     texels (above=below=0 -> cutoff_le), which is only possible for
     micro-triangles small enough that fp32 edge-function rounding can
     empty the mask; the span gate below keeps those on the exact path.
-    Returns the updated per-item state list or None (preconditions)."""
-    if (cfg.filter != TextureFilterMode.Nearest
-            or cfg.addr_mode == TextureAddressMode.Border
-            or subdiv < 2):
+    Returns the updated per-item state list or None (preconditions).
+    Border mode is admitted: the nearest kernel has no seed sample, so the
+    borderAlpha-filled padded plane is value-exact everywhere."""
+    if cfg.filter != TextureFilterMode.Nearest or subdiv < 2:
         return None
     for uv_tri, _ in items:
         if bool(geom.is_degenerate(uv_tri)):
@@ -909,7 +933,9 @@ def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
         mips.append(texture.size(mip))
         pads.append(pad)
         cls_planes.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
-                                      TSA, Hb, Wb, cutoff, PHASE1_MARGIN))
+                                      TSA, Hb, Wb, cutoff, PHASE1_MARGIN,
+                                      float(getattr(cfg, "border_alpha",
+                                                    0.0))))
 
     uv_flat = np.stack([it[0].reshape(6) for it in items]).astype(np.float32)
     side = np.asarray(_nearest_sides(

@@ -57,8 +57,12 @@ def test_pallas_schedule_fallbacks():
                 cutoff_le=omm.OpacityState.Transparent)
     uv = np.array([[0.1, 0.1], [0.15, 0.9], [0.9, 0.85]], np.float32)
 
+    # Border now rides the fast path UNLESS a seed bilinear footprint
+    # leaves the texture (the oracle's clamp-the-sentinel seed quirk).
     cfg = engine.ResampleConfig(addr_mode=omm.TextureAddressMode.Border, **base)
-    assert pk.prepare_jobs_v3(tex, cfg, uv, 4) is None
+    assert pk.prepare_jobs_v3(tex, cfg, uv, 4) is not None
+    crossing = np.array([[-0.2, 0.1], [0.3, 1.2], [1.1, 0.5]], np.float32)
+    assert pk.prepare_jobs_v3(tex, cfg, crossing, 4) is None
 
     cfg = engine.ResampleConfig(addr_mode=omm.TextureAddressMode.Clamp, **base)
     degen = np.array([[0.1, 0.1], [0.2, 0.2], [0.3, 0.3]], np.float32)

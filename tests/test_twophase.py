@@ -285,3 +285,117 @@ def test_twophase_no_pallas_fallback():
         want = engine.resample_fine_item(tex, cfg, t, subdiv,
                                          np.full(M, 3, np.uint8))
         assert (st == want).all()
+
+
+# ---------------------------------------------------------------------------
+# Border address mode on the fast path
+# ---------------------------------------------------------------------------
+
+def _border_tex():
+    """Edge texels just below the cutoff so borderAlpha-blending flips
+    states when a triangle tip reaches past the last texel center."""
+    plane = np.full((64, 64), 0.1, np.float32)
+    plane[:, -1] = 0.45
+    plane[-1, :] = 0.45
+    plane[20:40, 20:40] = 0.9
+    return omm.Texture([plane], omm.TextureFormat.FP32)
+
+
+@pytest.mark.slow
+def test_twophase_border_fast_path_sensitive(monkeypatch):
+    """Edge-hugging triangle: fast-path admitted, bit-exact for border
+    alphas on both sides of the cutoff, and the two fills must produce
+    different states (proves border texels are actually read)."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = _border_tex()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    hi = 0.9953  # tip past the last texel center, seeds still in-bounds
+    tri = np.array([[0.3, 0.3], [hi, 0.35], [0.35, hi]], np.float32)
+    cfg_hi = _cfg(addr_mode=omm.TextureAddressMode.Border, border_alpha=0.9)
+    lg = tp._group_level(tex, [tri], subdiv)
+    assert tp._fast_path_ok(tex, cfg_hi, tri, subdiv, lg)
+
+    wants = {}
+    for ba in (0.1, 0.9):
+        cfg = _cfg(addr_mode=omm.TextureAddressMode.Border, border_alpha=ba)
+        got = tp.classify_work_items_batch(
+            tex, cfg, [(tri, np.full(M, 3, np.uint8))], subdiv)[0]
+        want = engine.resample_fine_item(tex, cfg, tri, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (got == want).all(), f"border ba={ba} mismatch"
+        wants[ba] = want
+    assert not (wants[0.1] == wants[0.9]).all(), \
+        "test shape never reads border texels"
+
+
+@pytest.mark.slow
+def test_twophase_border_oob_seed_falls_back(monkeypatch):
+    """Triangle crossing outside the texture: seed footprints go OOB, the
+    fast path must decline (oracle seed clamps the border sentinel) and
+    the batch engine's fallback stays bit-exact."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = _border_tex()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tri = np.array([[-0.2, 0.1], [0.3, 1.2], [1.1, 0.5]], np.float32)
+    cfg = _cfg(addr_mode=omm.TextureAddressMode.Border, border_alpha=0.9)
+    lg = tp._group_level(tex, [tri], subdiv)
+    assert not tp._fast_path_ok(tex, cfg, tri, subdiv, lg)
+    got = tp.classify_work_items_batch(
+        tex, cfg, [(tri, np.full(M, 3, np.uint8))], subdiv)[0]
+    want = engine.resample_fine_item(tex, cfg, tri, subdiv,
+                                     np.full(M, 3, np.uint8))
+    assert (got == want).all()
+
+
+@pytest.mark.slow
+def test_nearest_phase1_border_crossing():
+    """Nearest filter has no seed sample, so Border rides phase-1 even for
+    triangles crossing outside the texture; resolved states must match the
+    oracle and survivors stay UnknownOpaque."""
+    from omm_tpu.kernels import twophase as tp
+
+    tex = _border_tex()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tri = np.array([[-0.2, 0.1], [0.3, 1.2], [1.1, 0.5]], np.float32)
+    for ba in (0.1, 0.9):
+        cfg = _cfg(addr_mode=omm.TextureAddressMode.Border,
+                   filter=omm.TextureFilterMode.Nearest, border_alpha=ba)
+        res = tp.resolve_nearest_phase1(
+            tex, cfg, [(tri, np.full(M, 3, np.uint8))], subdiv)
+        assert res is not None
+        st = res[0]
+        resolved = st != 3
+        assert resolved.sum() > 0
+        want = engine.resample_fine_item(tex, cfg, tri, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (st[resolved] == want[resolved]).all()
+
+
+@pytest.mark.slow
+def test_mxu_border_gate_and_parity():
+    """MXU engine: edge-hugging Border item admitted + bit-exact; item
+    with OOB seed footprints declined."""
+    from omm_tpu.kernels.mxu_classify import classify_work_item_mxu
+
+    tex = _border_tex()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    cfg = _cfg(addr_mode=omm.TextureAddressMode.Border, border_alpha=0.9)
+    tri = np.array([[0.3, 0.3], [0.9953, 0.35], [0.35, 0.9953]], np.float32)
+    out = classify_work_item_mxu(tex, cfg, tri, subdiv,
+                                 np.full(M, 3, np.uint8))
+    assert out is not None
+    want = engine.resample_fine_item(tex, cfg, tri, subdiv,
+                                     np.full(M, 3, np.uint8))
+    assert (np.asarray(out) == want).all()
+
+    crossing = np.array([[-0.2, 0.1], [0.3, 1.2], [1.1, 0.5]], np.float32)
+    assert classify_work_item_mxu(tex, cfg, crossing, subdiv,
+                                  np.full(M, 3, np.uint8)) is None
