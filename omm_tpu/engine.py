@@ -213,8 +213,11 @@ def _nearest_mip_pass(xp, texture: Texture, cfg: ResampleConfig,
 def _degenerate_mip_pass(texture: Texture, cfg: ResampleConfig,
                          micro_uvs: np.ndarray, mip: int):
     """One mip of the degenerate (line) level-line pass
-    (bake_cpu_impl.cpp:896-904).  Host numpy; degenerate UV triangles are
-    rare.  Includes the seed bilinear sample."""
+    (bake_cpu_impl.cpp:896-904).  The DDA cell walks are sequential per
+    micro-triangle, but the per-cell level-line kernel runs as ONE batched
+    call over the padded (B, Kmax) cell lists — above/below are integer
+    counts, so regrouping the per-cell sums is exact.  Includes the seed
+    bilinear sample."""
     xp = np
     info = texture.info[mip]
     w, h = info.size
@@ -229,23 +232,32 @@ def _degenerate_mip_pass(texture: Texture, cfg: ResampleConfig,
 
     aabb_s, aabb_e = geom.tri_aabb(micro_uvs)
     plane = texture.load_plane(mip)
-    for i in range(B):
-        cells = conservative_line_cells(aabb_s[i], aabb_e[i], (w, h),
-                                        (-0.5, -0.5))
-        if len(cells) == 0:
-            continue
-        x = cells[:, 0][None, :, None]
-        y = cells[:, 1][None, :, None]
-        with np.errstate(all="ignore"):
-            a_inc, b_inc = level_line_texel_kernel(
-                xp, micro_uvs[i:i + 1], make_tri_params(xp, micro_uvs[i:i + 1]),
-                x, y, plane, (w, h), info.size_log2, info.is_pow2,
-                (float(info.rcp_size[0]), float(info.rcp_size[1])),
-                cfg.addr_mode, cfg.alpha_cutoff, cfg.border_alpha,
-                degenerate=True,
-                aabb_s=aabb_s[i:i + 1], aabb_e=aabb_e[i:i + 1])
-        above[i] += int(a_inc.sum())
-        below[i] += int(b_inc.sum())
+    cell_lists = [conservative_line_cells(aabb_s[i], aabb_e[i], (w, h),
+                                          (-0.5, -0.5)) for i in range(B)]
+    kmax = max((len(c) for c in cell_lists), default=0)
+    if kmax == 0:
+        return above, below
+    x = np.zeros((B, kmax), dtype=np.int32)
+    y = np.zeros((B, kmax), dtype=np.int32)
+    mask = np.zeros((B, kmax), dtype=bool)
+    for i, cells in enumerate(cell_lists):
+        k = len(cells)
+        if k:
+            x[i, :k] = cells[:, 0]
+            y[i, :k] = cells[:, 1]
+            mask[i, :k] = True
+    with np.errstate(all="ignore"):
+        a_inc, b_inc = level_line_texel_kernel(
+            xp, micro_uvs, make_tri_params(xp, micro_uvs),
+            x[:, :, None], y[:, :, None], plane, (w, h),
+            info.size_log2, info.is_pow2,
+            (float(info.rcp_size[0]), float(info.rcp_size[1])),
+            cfg.addr_mode, cfg.alpha_cutoff, cfg.border_alpha,
+            degenerate=True, aabb_s=aabb_s, aabb_e=aabb_e)
+    zero = np.int32(0)
+    m3 = mask[:, :, None]
+    above += np.where(m3, a_inc, zero).sum(axis=(-1, -2)).astype(np.int32)
+    below += np.where(m3, b_inc, zero).sum(axis=(-1, -2)).astype(np.int32)
     return above, below
 
 

@@ -31,8 +31,11 @@ Levels of resolution (all on device):
      tile-sorted across the whole batch.  Survivor compaction, tile
      sorting, group padding and the per-slot geometry stream are all
      built on device; the host only reads the survivor counts (sync #1)
-     to pick power-of-two capacity buckets, then fetches the final
-     2-bit-packed states (sync #2).
+     to pick power-of-two capacity buckets, then fetches a compressed
+     payload — phase-1 side classes plus exact survivor states, 2-bit
+     packed, ~10x smaller than the full state array — and reconstructs
+     the per-micro-tri states host-side (sync #2).  In speculative
+     steady state both syncs collapse into the one compressed fetch.
 
 Multi-mip bakes (bake_cpu_impl.cpp:872-911) resolve at level A/B only
 when every mip agrees on the same side; anything else — including
@@ -506,29 +509,63 @@ def _stageD(gside, fside, cand_t, cand_m, cvalid, ids, kvalid, mip_counts,
     return packed
 
 
-@partial(jax.jit, static_argnames=("subdiv", "lg", "fmt", "promotion",
+def _pack2_seq(v):
+    """(4n,) uint8 values in 0..3 -> (n,) uint8, sequential 2-bit pack."""
+    r = v.reshape(-1, 4)
+    return (r[:, 0] | (r[:, 1] << 2) | (r[:, 2] << 4)
+            | (r[:, 3] << 6)).astype(jnp.uint8)
+
+
+def _unpack2_seq(b: np.ndarray) -> np.ndarray:
+    """(n,) uint8 -> (4n,) uint8; host inverse of _pack2_seq."""
+    out = np.empty(b.shape[0] * 4, np.uint8)
+    out[0::4] = b & 3
+    out[1::4] = (b >> 2) & 3
+    out[2::4] = (b >> 4) & 3
+    out[3::4] = (b >> 6) & 3
+    return out
+
+
+@partial(jax.jit, static_argnames=("fmt", "promotion",
                                    "cutoff_gt", "cutoff_le", "nblk_caps"))
-def _stageD_spec(gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
-                 mip_counts, meta, *, subdiv, lg, fmt, promotion,
+def _stageD_spec(gside, fside, mip_counts, meta, *, fmt, promotion,
                  cutoff_gt, cutoff_le, nblk_caps):
-    """Speculative-mode stage D: the packed states plus one extra row
-    carrying the int32 meta vector [CG, K, flag, padM...] (flag includes
-    per-mip slot-capacity overflow), so the whole batch needs a single
-    host fetch.  An overflowing batch is recomputed via the synchronous
-    path — its states row content is never consumed."""
-    packed = _stageD(gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
-                     mip_counts, subdiv=subdiv, lg=lg, fmt=fmt,
-                     promotion=promotion, cutoff_gt=cutoff_gt,
-                     cutoff_le=cutoff_le)
+    """Speculative-mode stage D, compressed-fetch variant: ONE uint8
+    vector [meta int32s | gside 2-bit | fside 2-bit | survivor-final
+    2-bit] — ~10x smaller than the full per-micro-tri pack, sized so the
+    host->device link (the pipeline's bottleneck on a tunnel-attached
+    chip) carries only the phase-1 side classes plus exact survivor
+    states.  The host reconstructs the full state array from the same
+    deterministic compaction order the device used (_reconstruct_compact).
+    flag != 0 (capacity overflow) sends the batch to the synchronous
+    path; the payload content is then never consumed."""
+    from .levelline import get_state_from_coverage
+
+    K_cap = mip_counts[0][0].shape[0]
+    above = jnp.zeros((K_cap,), jnp.int32)
+    below = jnp.zeros((K_cap,), jnp.int32)
+    alive = jnp.ones((K_cap,), bool)
+    for a, b in mip_counts:
+        above = above + jnp.where(alive, a, 0)
+        below = below + jnp.where(alive, b, 0)
+        st = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                     cutoff_le, above, below)
+        alive = alive & ~((st == UO) | (st == UT))
+    final = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                    cutoff_le, above, below)
+
     flag = meta[2]
     for mi, cap in enumerate(nblk_caps):
         flag = jnp.maximum(flag, jnp.where(meta[3 + mi] > cap * B,
                                            jnp.int32(1), jnp.int32(0)))
     mv = jnp.concatenate([meta[:2], flag[None], meta[3:]]).astype(jnp.int32)
     mrow = jax.lax.bitcast_convert_type(mv, jnp.uint8).reshape(-1)
-    row = jnp.zeros((1, packed.shape[1]), jnp.uint8) \
-        .at[0, :mrow.shape[0]].set(mrow)
-    return jnp.concatenate([packed, row], axis=0)
+    return jnp.concatenate([
+        mrow,
+        _pack2_seq((gside + 1).astype(jnp.uint8).reshape(-1)),
+        _pack2_seq((fside + 1).astype(jnp.uint8).reshape(-1)),
+        _pack2_seq(final.astype(jnp.uint8)),
+    ])
 
 
 def _unpack_states(packed: np.ndarray, M: int) -> np.ndarray:
@@ -693,6 +730,63 @@ class _BatchCtx:
                 st[act] = unp[act]
                 self.out[i] = st
 
+    def finish_compact(self, buf: np.ndarray, C_cap: int, K_cap: int,
+                       CG: int, K: int):
+        """Reconstruct full per-item states from the compressed payload
+        (meta | gside | fside | finals) and write them back.  Mirrors
+        _stageD's scatter order: group base -> candidate rows -> exact
+        survivor finals, using the same deterministic scan-order
+        compaction as _stageAB."""
+        T, M, lg = self.T, self.M, self.lg
+        NG = 4 ** lg
+        G = M // NG
+        hdr = 4 * (3 + len(self.mips))
+        o0 = hdr
+        o1 = o0 + T * NG // 4
+        o2 = o1 + C_cap * G // 4
+        gside = _unpack2_seq(buf[o0:o1]).astype(np.int8) - 1  # (T*NG,)
+        fside = _unpack2_seq(buf[o1:o2]).astype(np.int8) - 1  # (C_cap*G,)
+        finals = _unpack2_seq(buf[o2:o2 + K_cap // 4])        # (K_cap,)
+
+        st_gt = np.uint8(int(self.cfg.cutoff_gt))
+        st_le = np.uint8(int(self.cfg.cutoff_le))
+
+        def map_side(s):
+            return np.where(s == 1, st_gt,
+                            np.where(s == -1, st_le, np.uint8(0)))
+
+        base = np.repeat(map_side(gside), G)  # (T*M,) group-resolved
+
+        # candidate groups: scan-order compaction of unresolved groups
+        if self.all_active:
+            unres = gside == 0
+        else:
+            gact = self.active.reshape(T, NG, G).any(axis=2).reshape(-1)
+            unres = (gside == 0) & gact
+        cand = np.flatnonzero(unres)[:CG]           # flat t*NG + g
+        rows = map_side(fside).reshape(C_cap, G)
+        base.reshape(T * NG, G)[cand] = rows[:CG]
+
+        # exact-kernel survivors: scan order over the candidate stream
+        cm = ((cand[:, None] % NG) * G
+              + np.arange(G, dtype=np.int64)[None, :]).reshape(-1)
+        ct = np.repeat(cand // NG, G)
+        surv = fside.reshape(C_cap, G)[:CG].reshape(-1) == 0
+        if not self.all_active:
+            surv &= self.active[ct, cm]
+        sids = (ct * M + cm)[surv]
+        base[sids] = finals[:K][: sids.shape[0]]
+
+        base = base.reshape(T, M)
+        for t, i in enumerate(self.fast):
+            if self.all_active:
+                self.out[i] = base[t]
+            else:
+                st = self.items[i][1].copy()
+                act = self.active[t]
+                st[act] = base[t][act]
+                self.out[i] = st
+
 
 def _run_batch_sync(ctx: _BatchCtx):
     """Capacity-discovering two-sync path; updates the caps cache (incl.
@@ -751,7 +845,7 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
     capacities; overflow is detected in the meta row of the one fetched
     array.  Returns the device array or None if speculation unavailable."""
     entry = ctx.caps.get(ctx.cap_key)
-    if entry is None or len(entry) < 3 or ctx.M // 4 < 4 * (3 + len(ctx.mips)):
+    if entry is None or len(entry) < 3:
         return None
     C_cap, K_cap, nblks = entry
     try:
@@ -760,11 +854,11 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
          slots) = res
         mip_counts = tuple(ctx.stage_c(mip, res, K_cap, nblks[mip])
                            for mip in range(len(ctx.mips)))
-        return _stageD_spec(
-            gside, fside, cand_t, cand_m, cvalid, ids, kvalid, mip_counts,
-            meta, subdiv=ctx.subdiv, lg=ctx.lg, fmt=ctx.cfg.fmt,
+        dev = _stageD_spec(
+            gside, fside, mip_counts, meta, fmt=ctx.cfg.fmt,
             promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
             cutoff_le=ctx.cfg.cutoff_le, nblk_caps=nblks)
+        return (dev, C_cap, K_cap)
     except Exception:  # Mosaic lowering gap on this toolchain
         return None
 
@@ -808,18 +902,20 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     import concurrent.futures as cf
     pool = cf.ThreadPoolExecutor(max_workers=2)
     try:
-        futs = [pool.submit(np.asarray, dev) if dev is not None else None
-                for dev in pending]
+        futs = [pool.submit(np.asarray, p[0]) if p is not None else None
+                for p in pending]
         nmip = texture.mip_count
-        for ctx, fut in zip(ctxs, futs):
+        for ctx, p, fut in zip(ctxs, pending, futs):
             if ctx is None:
                 continue
             ok = False
             if fut is not None:
-                arr = fut.result()  # the batch's one sync
-                mrow = arr[ctx.T, :4 * (3 + nmip)].view(np.int32)
+                buf = fut.result()  # the batch's one sync
+                mrow = buf[:4 * (3 + nmip)].view(np.int32)
                 if int(mrow[2]) == 0:
-                    ctx.finish(arr[:ctx.T])
+                    _, C_cap, K_cap = p
+                    ctx.finish_compact(buf, C_cap, K_cap,
+                                       int(mrow[0]), int(mrow[1]))
                     ok = True
             if not ok:
                 ok = _run_batch_sync(ctx)
