@@ -26,6 +26,7 @@ XLA-gather path when the fast-path preconditions fail.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -59,7 +60,7 @@ def _kernel_fence_default() -> bool:
 
 
 KERNEL_FENCE = _kernel_fence_default()
-B = 128  # micro-triangles per grid step (lane count)
+B = int(os.environ.get("OMM_PALLAS_BLOCK", "128"))  # micro-tris per grid step
 
 # geo rows: x0, y0, x1, y1, oy, ox, sdy, sdx, valid, spare
 GEO_ROWS = 10
@@ -112,7 +113,7 @@ def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
 # buffering).  Same math as the v2 kernel.
 # ---------------------------------------------------------------------------
 
-TILE = 32  # texel tile edge
+TILE = int(os.environ.get("OMM_PALLAS_TILE", "32"))  # texel tile edge
 
 
 def _kernel_v3(tidx_ref, tile_ref, muv_ref, qn_ref, geo_ref, fz_ref,

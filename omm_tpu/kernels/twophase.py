@@ -840,24 +840,53 @@ def _run_batch_sync(ctx: _BatchCtx):
     return True
 
 
+@partial(jax.jit, static_argnames=("subdiv", "lg", "C_cap", "K_cap", "mips",
+                                   "pads", "ntxs", "all_active", "nblks",
+                                   "HWs", "rcps", "alpha_cutoff", "fmt",
+                                   "promotion", "cutoff_gt", "cutoff_le"))
+def _spec_chain(cls_g, cls_u, tilesEs, uv_flat, ccw, active, fz, *, subdiv,
+                lg, C_cap, K_cap, mips, pads, ntxs, all_active, nblks, HWs,
+                rcps, alpha_cutoff, fmt, promotion, cutoff_gt, cutoff_le):
+    """The whole speculative batch (stages A+B, per-mip C, compact D) as
+    ONE jit dispatch: on a tunnel-attached chip every dispatch pays
+    host-link latency, so the chain must cross the link once, not
+    3 + mip_count times."""
+    res = _stageAB(cls_g, cls_u, uv_flat, ccw, active, fz, subdiv=subdiv,
+                   lg=lg, C_cap=C_cap, K_cap=K_cap, mips=mips, pads=pads,
+                   ntxs=ntxs, all_active=all_active)
+    (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta, slots) = res
+    mip_counts = []
+    for mip, (w, h) in enumerate(mips):
+        mip_counts.append(_stageC_mip(
+            tilesEs[mip], uv_flat, ccw, ids, kvalid, slots[mip][0],
+            slots[mip][1], fz, subdiv=subdiv, K_cap=K_cap, nblk=nblks[mip],
+            w=w, h=h, pad=pads[mip], ntx=ntxs[mip], H=HWs[mip][0],
+            W=HWs[mip][1], rcp=rcps[mip], alpha_cutoff=alpha_cutoff))
+    return _stageD_spec(gside, fside, tuple(mip_counts), meta, fmt=fmt,
+                        promotion=promotion, cutoff_gt=cutoff_gt,
+                        cutoff_le=cutoff_le, nblk_caps=nblks)
+
+
 def _enqueue_batch_spec(ctx: _BatchCtx):
-    """Single-sync speculative pipeline: every stage enqueued with cached
-    capacities; overflow is detected in the meta row of the one fetched
-    array.  Returns the device array or None if speculation unavailable."""
+    """Single-sync speculative pipeline: the whole stage chain is ONE jit
+    dispatch with cached capacities; overflow is detected in the meta
+    header of the one fetched payload.  Returns (device payload, C_cap,
+    K_cap) or None if speculation unavailable."""
     entry = ctx.caps.get(ctx.cap_key)
     if entry is None or len(entry) < 3:
         return None
     C_cap, K_cap, nblks = entry
     try:
-        res = ctx.stage_ab(C_cap, K_cap)
-        (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
-         slots) = res
-        mip_counts = tuple(ctx.stage_c(mip, res, K_cap, nblks[mip])
-                           for mip in range(len(ctx.mips)))
-        dev = _stageD_spec(
-            gside, fside, mip_counts, meta, fmt=ctx.cfg.fmt,
+        dev = _spec_chain(
+            tuple(ctx.cls_g), tuple(ctx.cls_u), tuple(ctx.tilesEs),
+            ctx.uvJ, ctx.ccwJ, ctx.actJ, jnp.int32(0), subdiv=ctx.subdiv,
+            lg=ctx.lg, C_cap=C_cap, K_cap=K_cap, mips=tuple(ctx.mips),
+            pads=tuple(ctx.pads), ntxs=tuple(ctx.ntxs),
+            all_active=ctx.all_active, nblks=tuple(nblks),
+            HWs=tuple(ctx.HWu), rcps=tuple(ctx.rcps),
+            alpha_cutoff=float(ctx.cfg.alpha_cutoff), fmt=ctx.cfg.fmt,
             promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
-            cutoff_le=ctx.cfg.cutoff_le, nblk_caps=nblks)
+            cutoff_le=ctx.cfg.cutoff_le)
         return (dev, C_cap, K_cap)
     except Exception:  # Mosaic lowering gap on this toolchain
         return None
