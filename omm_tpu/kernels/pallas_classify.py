@@ -116,16 +116,134 @@ def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
 TILE = int(os.environ.get("OMM_PALLAS_TILE", "32"))  # texel tile edge
 
 
-def _kernel_v3(tidx_ref, tile_ref, muv_ref, qn_ref, geo_ref, fz_ref,
+def bary_cols(index, level: int):
+    """index2bary (bird.h:73-118) in column form: returns (u, v, d) fp32
+    so the corners are (u,v), (u+d,v), (u,v+d) — same fp ops as
+    bird.index2bary.  Lowerable under Mosaic (uint32 bit ops on 2-D
+    vectors)."""
+    from .. import bird
+    iu, iv, iw = bird.index2dbary(index, jnp)
+    mask = jnp.uint32((1 << level) - 1)
+    iu = iu & mask
+    iv = iv & mask
+    iw = iw & mask
+    upright = ((iu & 1) ^ (iv & 1) ^ (iw & 1)).astype(bool)
+    one = jnp.uint32(1)
+    iu = jnp.where(upright, iu, iu + one)
+    iv = jnp.where(upright, iv, iv + one)
+    ls = jnp.float32(np.float32(2.0) ** np.float32(-level))
+    d = jnp.where(upright, ls, -ls).astype(jnp.float32)
+    # cast via int32: Mosaic has no uint32->f32 rule; values < 2^level
+    # so the detour is value-exact on every backend
+    fu = iu.astype(jnp.int32).astype(jnp.float32)
+    fv = iv.astype(jnp.int32).astype(jnp.float32)
+    return fu * ls, fv * ls, d
+
+
+def corner_cols(tri6, bu, bv, bd, fz=None):
+    """InterpolateTriangleUV in column form (geometry.h:241-248):
+    p = p0*(1-u-v) + p1*u + p2*v for the three subtriangle corners.
+    tri6: 6 scalar-or-(...,) columns (p0x,p0y,p1x,p1y,p2x,p2y).  Products
+    are contraction-guarded so corner UVs are bit-identical to the host
+    bird path (kernels.levelline.guard)."""
+    from .levelline import guard
+    p0x, p0y, p1x, p1y, p2x, p2y = tri6
+    onef = jnp.float32(1.0)
+
+    def corner(u_, v_):
+        w_ = onef - u_ - v_
+        return (guard(jnp, p0x * w_, fz) + guard(jnp, p1x * u_, fz)
+                + guard(jnp, p2x * v_, fz),
+                guard(jnp, p0y * w_, fz) + guard(jnp, p1y * u_, fz)
+                + guard(jnp, p2y * v_, fz))
+
+    ax, ay = corner(bu, bv)
+    bx, by = corner(bu + bd, bv)
+    cx, cy = corner(bu, bv + bd)
+    return (ax, ay), (bx, by), (cx, cy)
+
+
+def derive_slot_geometry(ids, uv6T, ccw1T, bt, fz, *, subdiv, pad, ntx,
+                         size):
+    """Per-slot geometry from survivor ids + the tiny per-item UV table —
+    replaces 22 scattered rows with one (ids) plus an exact one-hot MXU
+    table lookup.  Reproduces _stageC_mip's exact fp32 op order.
+
+    ids: (1, B) int32 flat survivor id t*M + m, -1 = invalid slot.
+    uv6T: (6, T) fp32; ccw1T: (1, T) fp32 0/1; bt: scalar int32 tile id.
+    Returns (muv_rows, qn_rows, x0, y0, x1, y1, ox, oy, sdy, sdx, val).
+    """
+    M = 1 << (2 * subdiv)
+    val = ids >= 0
+    idc = jnp.where(val, ids, 0)
+    sv_t = idc >> (2 * subdiv)
+    sv_m = (idc & (M - 1)).astype(jnp.uint32)
+
+    T = uv6T.shape[1]
+    tio = jax.lax.broadcasted_iota(jnp.int32, (T, ids.shape[1]), 0)
+    th = (tio == sv_t).astype(jnp.float32)  # exact one-hot (T, B)
+    tri6m = jax.lax.dot_general(
+        uv6T, th, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (6, B)
+    tri6 = tuple(tri6m[r:r + 1, :] for r in range(6))
+    ccw = jax.lax.dot_general(
+        ccw1T, th, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32) > jnp.float32(0.5)
+
+    bu, bv, bd = bary_cols(sv_m, subdiv)
+    (ax, ay), (bx2, by2), (cx, cy) = corner_cols(tri6, bu, bv, bd, fz)
+    w, h = size
+    wf = jnp.float32(float(w))
+    hf = jnp.float32(float(h))
+    half = jnp.float32(0.5)
+    from .levelline import guard as _g
+    qs = [(_g(jnp, ax * wf, fz) - half, _g(jnp, ay * hf, fz) - half),
+          (_g(jnp, bx2 * wf, fz) - half, _g(jnp, by2 * hf, fz) - half),
+          (_g(jnp, cx * wf, fz) - half, _g(jnp, cy * hf, fz) - half)]
+    x0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][0], qs[1][0]),
+                               qs[2][0])).astype(jnp.int32)
+    y0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][1], qs[1][1]),
+                               qs[2][1])).astype(jnp.int32)
+    x1 = jnp.ceil(jnp.maximum(jnp.maximum(qs[0][0], qs[1][0]),
+                              qs[2][0])).astype(jnp.int32)
+    y1 = jnp.ceil(jnp.maximum(jnp.maximum(qs[0][1], qs[1][1]),
+                              qs[2][1])).astype(jnp.int32)
+    sx = jnp.floor(qs[0][0]).astype(jnp.int32)
+    sy = jnp.floor(qs[0][1]).astype(jnp.int32)
+
+    flip = ~ccw
+    qn_rows = []
+    for k in range(3):
+        src = [qs[k], qs[2 - k]]
+        qn_rows.append(jnp.where(flip, src[1][0], src[0][0]))
+        qn_rows.append(jnp.where(flip, src[1][1], src[0][1]))
+
+    muv_rows = [ax, ay, bx2, by2, cx, cy]
+
+    btx = bt % ntx
+    bty = bt // ntx
+    ox = (x0 + pad - btx * TILE).astype(jnp.int32)
+    oy = (y0 + pad - bty * TILE).astype(jnp.int32)
+    return (muv_rows, qn_rows, x0, y0, x1, y1, ox, oy,
+            sy - y0, sx - x0, val)
+
+
+def _kernel_v3(tidx_ref, tile_ref, ids_ref, uv6T_ref, ccw_ref, fz_ref,
                above_ref, below_ref, *, H, W, He, We, TSA,
-               size, rcp, alpha_cutoff):
-    _kernel_body(tile_ref[0], muv_ref, qn_ref, geo_ref, above_ref,
-                 below_ref, H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
-                 size=size, rcp=rcp, alpha_cutoff=alpha_cutoff,
-                 fz=fz_ref[0, 0])
+               size, rcp, alpha_cutoff, subdiv, pad, ntx):
+    fz = fz_ref[0, 0]
+    bt = tidx_ref[pl.program_id(0)]
+    geom_rows = derive_slot_geometry(
+        ids_ref[0], uv6T_ref[...], ccw_ref[...], bt, fz, subdiv=subdiv,
+        pad=pad, ntx=ntx, size=size)
+    _kernel_body(tile_ref[0], geom_rows, above_ref, below_ref,
+                 H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
+                 size=size, rcp=rcp, alpha_cutoff=alpha_cutoff, fz=fz)
 
 
-def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
+def _kernel_body(region, geom_rows, above_ref, below_ref, *,
                  H, W, He, We, RHe, RWe, size, rcp, alpha_cutoff,
                  fz=None):
     HW = H * W
@@ -134,42 +252,39 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
     one_i = jnp.int32(1)
     zero_i = jnp.int32(0)
 
-    oy = geo_ref[0, 4:5, :]
-    ox = geo_ref[0, 5:6, :]
-    sdy = geo_ref[0, 6:7, :]
-    sdx = geo_ref[0, 7:8, :]
-    val = geo_ref[0, 8:9, :] != 0
+    (muv_rows, qn_rows, x0, y0, x1, y1, ox, oy, sdy, sdx,
+     val) = geom_rows
 
-    xio = jax.lax.broadcasted_iota(jnp.int32, (RWe, B), 0)
-    yio = jax.lax.broadcasted_iota(jnp.int32, (RHe, B), 0)
+    # Column select at We*B lanes in ONE matmul: lane group dx holds
+    # C6[y, dx*B + i] = region[y, ox_i + dx].  The one-hot operand is
+    # exact 0/1, so the fp32 HIGHEST-precision contraction adds zeros and
+    # one exact value — bit-exact gather semantics on the MXU.
+    xio6 = jax.lax.broadcasted_iota(jnp.int32, (RWe, We * B), 0)
+    ox6 = jnp.concatenate([ox + dx for dx in range(We)], axis=1)
+    colhot = (xio6 == ox6).astype(jnp.float32)
+    C6 = jax.lax.dot_general(
+        region, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (RHe, We*B)
 
-    # Column select: C1[dx][y, i] = region[y, ox_i + dx]  (MXU).
-    C1 = []
-    for dx in range(We):
-        colhot = (xio == (ox + dx)).astype(jnp.float32)
-        C1.append(jax.lax.dot_general(
-            region, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32))  # (RHe, B)
-
-    # Row select: ext[(dy, dx)][i] = C1[dx][oy_i + dy, i].
-    rows = []
+    # Row select, one wide pass per dy: m[dy][dx*B + i] = C6[oy_i+dy, ..].
+    yio6 = jax.lax.broadcasted_iota(jnp.int32, (RHe, We * B), 0)
+    oy6 = jnp.concatenate([oy] * We, axis=1)
+    rows6 = []
     for dy in range(He):
-        for dx in range(We):
-            m = jnp.where((yio - dy) == oy, C1[dx], jnp.float32(0.0))
-            rows.append(m.sum(axis=0, keepdims=True))
-    ext = jnp.concatenate(rows, axis=0)  # (Ke, B)
+        m = jnp.where(yio6 == (oy6 + dy), C6, jnp.float32(0.0))
+        rows6.append(m.sum(axis=0, keepdims=True))  # (1, We*B)
+
+    # Reassemble (Ke, B), k = dy*We + dx (pure lane-block copies).
+    ext = jnp.concatenate(
+        [jax.lax.slice(rows6[dy], (0, dx * B), (1, (dx + 1) * B))
+         for dy in range(He) for dx in range(We)], axis=0)  # (Ke, B)
 
     ext3 = ext.reshape(He, We, B)
     gx = ext3[0:H, 0:W].reshape(HW, B)
     gy = ext3[1:H + 1, 0:W].reshape(HW, B)
     gz = ext3[1:H + 1, 1:W + 1].reshape(HW, B)
     gw = ext3[0:H, 1:W + 1].reshape(HW, B)
-
-    x0 = geo_ref[0, 0:1, :]
-    y0 = geo_ref[0, 1:2, :]
-    x1 = geo_ref[0, 2:3, :]
-    y1 = geo_ref[0, 3:4, :]
 
     dxg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) % W
     dyg = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0) // W
@@ -179,8 +294,8 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
     sxf = px.astype(jnp.float32)
     syf = py.astype(jnp.float32)
     from .levelline import guard as _g
-    qnx = [qn_ref[0, 2 * e:2 * e + 1, :] for e in range(3)]
-    qny = [qn_ref[0, 2 * e + 1:2 * e + 2, :] for e in range(3)]
+    qnx = [qn_rows[2 * e] for e in range(3)]
+    qny = [qn_rows[2 * e + 1] for e in range(3)]
     acc = None
     for e in range(3):
         nx = qny[(e + 1) % 3] - qny[e]
@@ -195,8 +310,8 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
 
     tp = {}
     for k, nm in enumerate(("p0", "p1", "p2")):
-        tp[nm + "x"] = muv_ref[0, 2 * k:2 * k + 1, :]
-        tp[nm + "y"] = muv_ref[0, 2 * k + 1:2 * k + 2, :]
+        tp[nm + "x"] = muv_rows[2 * k]
+        tp[nm + "y"] = muv_rows[2 * k + 1]
     tp["p0p2x"] = tp["p0x"] - tp["p2x"]
     tp["p0p2y"] = tp["p0y"] - tp["p2y"]
     tp["p1p0x"] = tp["p1x"] - tp["p0x"]
@@ -223,9 +338,9 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
     b = pick(We)
     c = pick(1)
     d = pick(We + 1)
-    p0px = _g(jnp, muv_ref[0, 0:1, :] * jnp.float32(float(size[0])),
+    p0px = _g(jnp, muv_rows[0] * jnp.float32(float(size[0])),
               fz) - jnp.float32(0.5)
-    p0py = _g(jnp, muv_ref[0, 1:2, :] * jnp.float32(float(size[1])),
+    p0py = _g(jnp, muv_rows[1] * jnp.float32(float(size[1])),
               fz) - jnp.float32(0.5)
     wxf = p0px - jnp.floor(p0px)
     wyf = p0py - jnp.floor(p0py)
@@ -242,24 +357,32 @@ def _kernel_body(region, muv_ref, qn_ref, geo_ref, above_ref, below_ref, *,
 
 
 @partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
-                                   "rcp", "alpha_cutoff", "nblk"))
-def _run_v3(tilesE, tidx, muv_r, qn_r, geo, fzv=None, *, H, W, He, We,
-            TSA, size, rcp, alpha_cutoff, nblk):
+                                   "rcp", "alpha_cutoff", "nblk", "subdiv",
+                                   "pad", "ntx"))
+def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
+            TSA, size, rcp, alpha_cutoff, nblk, subdiv, pad, ntx):
+    """ids_r: (nblk, 1, B) int32 survivor ids (-1 = empty slot); uv6T:
+    (6, T) fp32 per-item UV columns; ccw1T: (1, T) fp32 0/1 winding.  The
+    kernel derives each slot's geometry from its id (bird curve + one-hot
+    table lookup) — the host/XLA side scatters ONE int32 row per slot
+    instead of 22 (scatters were the stage-C bottleneck on chip)."""
     kern = partial(_kernel_v3, H=H, W=W, He=He, We=We, TSA=TSA, size=size,
-                   rcp=rcp, alpha_cutoff=alpha_cutoff)
+                   rcp=rcp, alpha_cutoff=alpha_cutoff, subdiv=subdiv,
+                   pad=pad, ntx=ntx)
     if fzv is None:  # constant fallback: fence inert under interpret
         fzv = jnp.zeros((1, 1), jnp.int32)
+    T = uv6T.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((1, TSA, TSA), lambda i, tidx_ref: (tidx_ref[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, B), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((6, T), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GEO_ROWS, B), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, T), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -274,7 +397,7 @@ def _run_v3(tilesE, tidx, muv_r, qn_r, geo, fzv=None, *, H, W, He, We,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32),
                    jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32)),
-    )(tidx, tilesE, muv_r, qn_r, geo, fzv)
+    )(tidx, tilesE, ids_r, uv6T, ccw1T, fzv)
     return a.reshape(nblk, B), b.reshape(nblk, B)
 
 
@@ -363,46 +486,19 @@ def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
             src += cnt
 
         valid = sel >= 0
-        safe = np.where(valid, sel, 0)
-
-        def take(v, fill=0):
-            out = v[safe]
-            if v.dtype == np.float32:
-                out = np.where(valid.reshape((-1,) + (1,) * (v.ndim - 1)),
-                               out, np.float32(fill))
-            return out
-
-        q = pc["q"]
-        qn_full = np.where(ccw, q, q[:, ::-1, :]).astype(np.float32)
-        x0s = np.where(valid, pc["x0"][safe], 0).astype(np.int32)
-        y0s = np.where(valid, pc["y0"][safe], 0).astype(np.int32)
-        x1s = np.where(valid, pc["x1"][safe], 0).astype(np.int32)
-        y1s = np.where(valid, pc["y1"][safe], 0).astype(np.int32)
-        sdy = np.where(valid, pc["sy"][safe] - pc["y0"][safe], 0).astype(np.int32)
-        sdx = np.where(valid, pc["sx"][safe] - pc["x0"][safe], 0).astype(np.int32)
-        btx = np.repeat(block_tile % ntx, B).astype(np.int64)
-        bty = np.repeat(block_tile // ntx, B).astype(np.int64)
-        ox = (x0s + pad - btx * TILE).astype(np.int32)
-        oy = (y0s + pad - bty * TILE).astype(np.int32)
-
-        def rows6(a3):
-            vv = take(a3).reshape(padM, 6)
-            return jnp.asarray(
-                np.transpose(vv.reshape(nblk, B, 6), (0, 2, 1))
-                .astype(np.float32))
-
-        geo = np.stack([x0s, y0s, x1s, y1s, oy, ox, sdy, sdx,
-                        valid.astype(np.int32),
-                        np.zeros(padM, np.int32)], axis=1)
-        geo = jnp.asarray(np.transpose(geo.reshape(nblk, B, GEO_ROWS),
-                                       (0, 2, 1)).astype(np.int32))
+        # slot ids: item t=0, so flat id == micro-tri index; -1 = empty
+        ids_r = jnp.asarray(
+            np.where(valid, sel, -1).astype(np.int32).reshape(nblk, 1, B))
+        uv6T = jnp.asarray(uv_tri.reshape(6, 1).astype(np.float32))
+        ccw1T = jnp.asarray(
+            np.array([[1.0 if ccw else 0.0]], np.float32))
 
         jobs.append(dict(
-            args=(tilesE, jnp.asarray(block_tile), rows6(pc["muv"]),
-                  rows6(qn_full), geo),
+            args=(tilesE, jnp.asarray(block_tile), ids_r, uv6T, ccw1T),
             kw=dict(H=H, W=W, He=He, We=We, TSA=TSA, size=(w, h),
                     rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
-                    alpha_cutoff=float(cfg.alpha_cutoff), nblk=nblk),
+                    alpha_cutoff=float(cfg.alpha_cutoff), nblk=nblk,
+                    subdiv=subdiv, pad=pad, ntx=ntx),
             sel=sel, valid=valid, M=M))
     return jobs
 

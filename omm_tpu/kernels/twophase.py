@@ -154,45 +154,11 @@ def _cls_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
 # device building blocks (column layout throughout: no (N, 3, 2) arrays)
 # ---------------------------------------------------------------------------
 
-def _bary_cols(index, level: int):
-    """index2bary (bird.h:73-118) in column form: returns (u, v, d) fp32
-    so the corners are (u,v), (u+d,v), (u,v+d) — same fp ops as
-    bird.index2bary."""
-    iu, iv, iw = bird.index2dbary(index, jnp)
-    mask = jnp.uint32((1 << level) - 1)
-    iu = iu & mask
-    iv = iv & mask
-    iw = iw & mask
-    upright = ((iu & 1) ^ (iv & 1) ^ (iw & 1)).astype(bool)
-    one = jnp.uint32(1)
-    iu = jnp.where(upright, iu, iu + one)
-    iv = jnp.where(upright, iv, iv + one)
-    ls = jnp.float32(np.float32(2.0) ** np.float32(-level))
-    d = jnp.where(upright, ls, -ls).astype(jnp.float32)
-    return iu.astype(jnp.float32) * ls, iv.astype(jnp.float32) * ls, d
-
-
-def _corner_cols(tri6, bu, bv, bd, fz=None):
-    """InterpolateTriangleUV in column form (geometry.h:241-248):
-    p = p0*(1-u-v) + p1*u + p2*v for the three subtriangle corners.
-    tri6: 6 scalar-or-(N,) columns (p0x,p0y,p1x,p1y,p2x,p2y).  Products
-    are contraction-guarded so corner UVs are bit-identical to the host
-    bird path (kernels.levelline.guard)."""
-    from .levelline import guard
-    p0x, p0y, p1x, p1y, p2x, p2y = tri6
-    onef = jnp.float32(1.0)
-
-    def corner(u_, v_):
-        w_ = onef - u_ - v_
-        return (guard(jnp, p0x * w_, fz) + guard(jnp, p1x * u_, fz)
-                + guard(jnp, p2x * v_, fz),
-                guard(jnp, p0y * w_, fz) + guard(jnp, p1y * u_, fz)
-                + guard(jnp, p2y * v_, fz))
-
-    ax, ay = corner(bu, bv)
-    bx, by = corner(bu + bd, bv)
-    cx, cy = corner(bu, bv + bd)
-    return (ax, ay), (bx, by), (cx, cy)
+# column-form bird index/corner math shared with the Pallas kernel (the
+# kernel derives slot geometry in-kernel from survivor ids — one source
+# of truth keeps XLA and Mosaic paths bit-identical)
+_bary_cols = pk.bary_cols
+_corner_cols = pk.corner_cols
 
 
 def _class_plane(planeP, Hb, Wb, cutoff, margin):
@@ -370,78 +336,29 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, fz, *, subdiv, lg, C_cap,
                                    "alpha_cutoff"))
 def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
                 K_cap, nblk, w, h, pad, ntx, H, W, rcp, alpha_cutoff):
-    """Build the (nblk, rows, B) slot stream on device and run the exact
-    Pallas kernel; returns (above, below) int32 (K_cap,) in survivor
-    order."""
-    M = get_num_micro_triangles(subdiv)
+    """Build the (nblk, 1, B) slot id stream on device and run the exact
+    Pallas kernel (which derives each slot's geometry in-kernel from the
+    id + the tiny per-item UV table); returns (above, below) int32
+    (K_cap,) in survivor order."""
     padM = nblk * B
-    sv_t = (ids // M).astype(jnp.int32)
-    sv_m = (ids % M).astype(jnp.uint32)
-    bu, bv, bd = _bary_cols(sv_m, subdiv)
-    tri6 = _tri6_of(uv_flat, sv_t)
-    (ax, ay), (bx2, by2), (cx, cy) = _corner_cols(tri6, bu, bv, bd, fz)
-    wf = jnp.float32(float(w))
-    hf = jnp.float32(float(h))
-    half = jnp.float32(0.5)
-    from .levelline import guard as _g
-    qs = [(_g(jnp, ax * wf, fz) - half, _g(jnp, ay * hf, fz) - half),
-          (_g(jnp, bx2 * wf, fz) - half, _g(jnp, by2 * hf, fz) - half),
-          (_g(jnp, cx * wf, fz) - half, _g(jnp, cy * hf, fz) - half)]
-    x0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][0], qs[1][0]),
-                               qs[2][0])).astype(jnp.int32)
-    y0 = jnp.floor(jnp.minimum(jnp.minimum(qs[0][1], qs[1][1]),
-                               qs[2][1])).astype(jnp.int32)
-    x1 = jnp.ceil(jnp.maximum(jnp.maximum(qs[0][0], qs[1][0]),
-                              qs[2][0])).astype(jnp.int32)
-    y1 = jnp.ceil(jnp.maximum(jnp.maximum(qs[0][1], qs[1][1]),
-                              qs[2][1])).astype(jnp.int32)
-    sx = jnp.floor(qs[0][0]).astype(jnp.int32)
-    sy = jnp.floor(qs[0][1]).astype(jnp.int32)
-
-    # raster triangle: CCW normalize (flip corner order when not CCW)
-    flip = ~ccw[sv_t]
-    qn = []
-    for k in range(3):
-        src = [qs[k], qs[2 - k]]
-        qn.append((jnp.where(flip, src[1][0], src[0][0]),
-                   jnp.where(flip, src[1][1], src[0][1])))
-
-    # micro-tri UV corners (muv rows): p0..p2 in UV space
-    muv_rows = [ax, ay, bx2, by2, cx, cy]
-    qn_rows = [qn[0][0], qn[0][1], qn[1][0], qn[1][1], qn[2][0], qn[2][1]]
-
     ok = kvalid & (slot < padM)
     tgt = jnp.where(ok, slot, padM)  # OOB drops
 
-    btx = tile % ntx
-    bty = tile // ntx
-    ox = (x0 + pad - btx * TILE).astype(jnp.int32)
-    oy = (y0 + pad - bty * TILE).astype(jnp.int32)
-
-    def scat6(cols):
-        v = jnp.stack(cols, axis=1)  # (K_cap, 6)
-        out = jnp.zeros((padM, 6), jnp.float32).at[tgt].set(v, mode="drop")
-        return out.reshape(nblk, B, 6).transpose(0, 2, 1)
-
-    muv_r = scat6(muv_rows)
-    qn_r = scat6(qn_rows)
-
-    geo_cols = jnp.stack(
-        [x0, y0, x1, y1, oy, ox, sy - y0, sx - x0,
-         jnp.ones((K_cap,), jnp.int32), jnp.zeros((K_cap,), jnp.int32)],
-        axis=1)
-    geo = (jnp.zeros((padM, GEO_ROWS), jnp.int32)
-           .at[tgt].set(geo_cols, mode="drop")
-           .reshape(nblk, B, GEO_ROWS).transpose(0, 2, 1))
+    ids_slot = (jnp.full((padM,), -1, jnp.int32)
+                .at[tgt].set(ids, mode="drop")
+                .reshape(nblk, 1, B))
+    uv6T = uv_flat.T.astype(jnp.float32)          # (6, T)
+    ccw1T = ccw.astype(jnp.float32).reshape(1, -1)  # (1, T)
 
     block_tile = (jnp.zeros((nblk,), jnp.int32)
                   .at[tgt // B].max(tile, mode="drop"))
 
     a_b, b_b = pk._run_v3(
-        tilesE, block_tile, muv_r, qn_r, geo,
+        tilesE, block_tile, ids_slot, uv6T, ccw1T,
         fz.reshape(1, 1) if pk.KERNEL_FENCE else None,
         H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
-        size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk)
+        size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk,
+        subdiv=subdiv, pad=pad, ntx=ntx)
     a_flat = a_b.reshape(-1)
     b_flat = b_b.reshape(-1)
     safe = jnp.minimum(tgt, padM - 1)
