@@ -558,6 +558,14 @@ def _fast_path_ok(texture: Texture, cfg, uv_tri: np.ndarray,
 class _BatchCtx:
     """Host-side preparation of one fast-path batch (no device work)."""
 
+    @property
+    def active(self):
+        a = getattr(self, "_active_cache", None)
+        if a is None:
+            a = np.stack([self.items[i][1] == UO for i in self.fast])
+            self._active_cache = a
+        return a
+
     def __init__(self, texture, cfg, items, subdiv, fast, out):
         self.texture = texture
         self.cfg = cfg
@@ -571,8 +579,9 @@ class _BatchCtx:
         self.uv_flat = np.stack(
             [items[i][0].reshape(6) for i in fast]).astype(np.float32)
         self.ccw = np.array([bool(geom.is_ccw(items[i][0])) for i in fast])
-        self.active = np.stack([items[i][1] == UO for i in fast])
-        self.all_active = bool(self.active.all())
+        # avoid materializing the (T, M) mask in the common all-active
+        # case (fresh bakes): it is a 16MB alloc per batch on the host
+        self.all_active = all(bool((items[i][1] == UO).all()) for i in fast)
 
         cutoff = float(cfg.alpha_cutoff)
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
@@ -815,8 +824,15 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     batches' device execution.  Returns a list of per-batch state lists."""
     from .jax_classify import classify_work_item_jax
 
+    # build each batch's context and enqueue its speculative chain
+    # IMMEDIATELY (the device starts on batch 0 while later batches'
+    # host prep runs); slow-path items are deferred until every chain is
+    # queued, then fetches go through a small thread pool so a batch's
+    # host-side reconstruction overlaps the next batch's transfer
     results = []
     ctxs = []
+    pending = []
+    slow = []
     for items in batches:
         out = [None] * len(items)
         todo = []
@@ -832,18 +848,16 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
             if _fast_path_ok(texture, cfg, items[i][0], subdiv, lg):
                 fast.append(i)
             else:
-                out[i] = classify_work_item_jax(texture, cfg, items[i][0],
-                                                subdiv, items[i][1])
+                slow.append((items, out, i))
         ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out) if fast \
             else None
         ctxs.append(ctx)
         results.append(out)
+        pending.append(_enqueue_batch_spec(ctx) if ctx is not None else None)
 
-    # enqueue every speculative chain before fetching anything, then fetch
-    # through a small thread pool so a batch's host-side unpack overlaps
-    # the next batch's result transfer
-    pending = [(_enqueue_batch_spec(ctx) if ctx is not None else None)
-               for ctx in ctxs]
+    for items, out, i in slow:
+        out[i] = classify_work_item_jax(texture, cfg, items[i][0],
+                                        subdiv, items[i][1])
 
     import concurrent.futures as cf
     pool = cf.ThreadPoolExecutor(max_workers=2)
