@@ -846,6 +846,14 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         if _device_eligible(it):
             return classify(tex, cfg, it.uv_tri, it.subdivision_level,
                             it.states)
+        if (backend in ("jax", "pallas") and not cfg.disable_fine
+                and cfg.filter == TextureFilterMode.Nearest
+                and not bool(geom.is_degenerate(it.uv_tri))):
+            # nearest-filter survivors (the contour left by the phase-1
+            # window resolve) classify on device too
+            from .kernels.jax_classify import classify_nearest_survivors
+            return classify_nearest_survivors(
+                tex, cfg, it.uv_tri, it.subdivision_level, it.states)
         return engine.resample_fine_item(tex, cfg, it.uv_tri,
                                          it.subdivision_level, it.states,
                                          xp=xp)

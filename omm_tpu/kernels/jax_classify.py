@@ -216,3 +216,148 @@ def classify_work_item_jax(texture: Texture, cfg, uv_tri: np.ndarray,
     out = states.copy()
     out[active] = final[active].astype(np.uint8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# nearest-filter survivors (device pass over the active micro-triangles)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "addr_mode", "alpha_cutoff", "border_alpha", "mip_meta", "win_wh",
+    "fmt", "promotion", "cutoff_gt", "cutoff_le"))
+def _classify_nearest(planes, muvs, ccw, fz, *, addr_mode, alpha_cutoff,
+                      border_alpha, mip_meta, win_wh, fmt, promotion,
+                      cutoff_gt, cutoff_le):
+    """Nearest-filter fine pass over a compacted micro-triangle set
+    (engine._nearest_mip_pass semantics, bake_cpu_impl.cpp:969-1022):
+    conservative raster with zero offset over [floor(min q), ceil(max q)),
+    one texel load per covered cell, no seed sample.  Mip accumulation
+    uses the reference's early-unknown-exit alive-masking.  Returns
+    (above, below) int32 (S,)."""
+    from ..texture import TEXCOORD_BORDER, get_tex_coord
+    from ..types import TextureAddressMode
+    from .levelline import get_state_from_coverage
+    from .levelline import guard as _g
+
+    S = muvs.shape[0]
+    above = jnp.zeros(S, dtype=jnp.int32)
+    below = jnp.zeros(S, dtype=jnp.int32)
+    alive = jnp.ones(S, dtype=bool)
+    border = addr_mode == int(TextureAddressMode.Border) \
+        or addr_mode == TextureAddressMode.Border
+
+    for mip, (size, size_log2, is_pow2, _rcp) in enumerate(mip_meta):
+        W, H = win_wh[mip]
+        plane = planes[mip]
+        rf = jnp.asarray(np.array(size, dtype=np.float32))
+        q = _g(jnp, muvs * rf, fz)
+        qn = jnp.where(ccw[:, None, None], q, q[:, ::-1, :])
+        amin = qn.min(axis=-2)
+        amax = qn.max(axis=-2)
+        ix0 = jnp.floor(amin[:, 0]).astype(jnp.int32)
+        iy0 = jnp.floor(amin[:, 1]).astype(jnp.int32)
+        ix1 = jnp.ceil(amax[:, 0]).astype(jnp.int32)
+        iy1 = jnp.ceil(amax[:, 1]).astype(jnp.int32)
+        x = ix0[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        y = iy0[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        inb = (x < ix1[:, None, None]) & (y < iy1[:, None, None])
+        x = jnp.broadcast_to(x, (S, H, W))
+        y = jnp.broadcast_to(y, (S, H, W))
+        mask = inb & conservative_raster_mask(jnp, qn, x, y, fz)
+
+        coord = get_tex_coord(addr_mode, jnp.stack([x, y], axis=-1),
+                              np.array(size, np.int32),
+                              np.array(size_log2, np.int32), is_pow2, jnp)
+        if border:
+            isb = (coord[..., 0] == TEXCOORD_BORDER) \
+                | (coord[..., 1] == TEXCOORD_BORDER)
+            safe = jnp.where(isb[..., None], 0, coord)
+            alpha = plane[safe[..., 1], safe[..., 0]]
+            alpha = jnp.where(isb, jnp.float32(border_alpha), alpha)
+        else:
+            alpha = plane[coord[..., 1], coord[..., 0]]
+        above_t = jnp.float32(alpha_cutoff) < alpha
+        zero = jnp.int32(0)
+        one = jnp.int32(1)
+        a_inc = jnp.where(mask & above_t, one, zero).sum(
+            axis=(-1, -2), dtype=jnp.int32)
+        b_inc = jnp.where(mask & ~above_t, one, zero).sum(
+            axis=(-1, -2), dtype=jnp.int32)
+        above = above + jnp.where(alive, a_inc, zero)
+        below = below + jnp.where(alive, b_inc, zero)
+        if len(mip_meta) > 1:
+            st = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                         cutoff_le, above, below)
+            unknown = (st == UO) \
+                | (st == int(OpacityState.UnknownTransparent))
+            alive = alive & ~unknown
+    return above, below
+
+
+def classify_nearest_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
+                               subdiv: int, states: np.ndarray) -> np.ndarray:
+    """Device fine-pass for nearest-filter work items, processing ONLY the
+    micro-triangles still UnknownOpaque (the contour survivors left by
+    kernels/twophase.resolve_nearest_phase1).  Compacted on host, padded
+    to power-of-two buckets to bound the jit cache, classified densely on
+    device, scattered back.  Bit-exact with engine.resample_fine_item
+    (nearest branch)."""
+    sel = np.flatnonzero(states == UO)
+    if sel.size == 0:
+        return states
+
+    muvs_all = bird.micro_triangle_uvs(uv_tri, sel.astype(np.uint32),
+                                       subdiv)  # (S, 3, 2) fp32
+    planes = tuple(jnp.asarray(texture.load_plane(m))
+                   for m in range(texture.mip_count))
+    mip_meta = tuple(
+        (texture.info[m].size, texture.info[m].size_log2,
+         texture.info[m].is_pow2,
+         (float(texture.info[m].rcp_size[0]),
+          float(texture.info[m].rcp_size[1])))
+        for m in range(texture.mip_count))
+
+    out = states.copy()
+    from .levelline import get_state_from_coverage as gsc
+    for lo in range(0, sel.size, BLOCK):
+        block = sel[lo:lo + BLOCK]
+        muvs = muvs_all[lo:lo + BLOCK]
+        ccw = geom.is_ccw(muvs)
+
+        # static window bounds (zero-offset footprint), padded buckets
+        win = []
+        for m in range(texture.mip_count):
+            rf = np.array(texture.size(m), dtype=np.float32)
+            q = muvs.astype(np.float32) * rf
+            W = int(np.max(np.ceil(q[..., 0].max(axis=-1))
+                           - np.floor(q[..., 0].min(axis=-1))))
+            H = int(np.max(np.ceil(q[..., 1].max(axis=-1))
+                           - np.floor(q[..., 1].min(axis=-1))))
+            win.append((max(_bucket_pow2(W), 2), max(_bucket_pow2(H), 2)))
+        Sp = _bucket_pow2(len(block))
+        if Sp > len(block):  # pad with row 0 (valid geometry, dropped)
+            padrows = np.broadcast_to(muvs[:1], (Sp - len(block), 3, 2))
+            muvs = np.concatenate([muvs, padrows])
+            ccw = np.concatenate([ccw, np.broadcast_to(ccw[:1],
+                                                       (Sp - len(block),))])
+
+        above, below = _classify_nearest(
+            planes, jnp.asarray(muvs, jnp.float32), jnp.asarray(ccw),
+            jnp.int32(0), addr_mode=cfg.addr_mode,
+            alpha_cutoff=float(cfg.alpha_cutoff),
+            border_alpha=float(cfg.border_alpha), mip_meta=mip_meta,
+            win_wh=tuple(win), fmt=cfg.fmt, promotion=cfg.promotion,
+            cutoff_gt=cfg.cutoff_gt, cutoff_le=cfg.cutoff_le)
+        above = np.asarray(above)[:len(block)]
+        below = np.asarray(below)[:len(block)]
+        final = gsc(np, cfg.fmt, cfg.promotion, cfg.cutoff_gt,
+                    cfg.cutoff_le, above, below)
+        out[block] = np.asarray(final, dtype=np.uint8)
+    return out
+
+
+def _bucket_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p

@@ -399,3 +399,56 @@ def test_mxu_border_gate_and_parity():
     crossing = np.array([[-0.2, 0.1], [0.3, 1.2], [1.1, 0.5]], np.float32)
     assert classify_work_item_mxu(tex, cfg, crossing, subdiv,
                                   np.full(M, 3, np.uint8)) is None
+
+
+def test_nearest_survivors_device_pass():
+    """classify_nearest_survivors (kernels/jax_classify.py): the device
+    fine pass over the contour survivors is bit-exact with the host
+    nearest pass across address modes, multi-mip chains and UNORM8."""
+    from omm_tpu.kernels.jax_classify import classify_nearest_survivors
+    from omm_tpu.kernels.twophase import resolve_nearest_phase1
+
+    subdiv = 4
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(2, seed=3)
+    # an out-of-range triangle exercising wrap/mirror/border coords
+    tris.append(np.array([[-0.4, -0.2], [0.3, 1.5], [1.3, 0.4]],
+                         np.float32))
+
+    rng = np.random.RandomState(5)
+    mips2 = [rng.rand(64, 64).astype(np.float32),
+             rng.rand(32, 32).astype(np.float32)]
+    cases = [
+        (omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32),
+         dict()),
+        (omm.Texture([sine_unorm8(64, 64)], omm.TextureFormat.UNORM8),
+         dict()),
+        (omm.Texture(mips2, omm.TextureFormat.FP32), dict()),
+        (omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32),
+         dict(addr_mode=omm.TextureAddressMode.Wrap)),
+        (omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32),
+         dict(addr_mode=omm.TextureAddressMode.MirrorOnce)),
+        (omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32),
+         dict(addr_mode=omm.TextureAddressMode.Border, border_alpha=0.7)),
+        (omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32),
+         dict(fmt=omm.Format.OC1_2_State,
+              cutoff_le=omm.OpacityState.Transparent)),
+    ]
+    for tex, over in cases:
+        cfg = _cfg(filter=omm.TextureFilterMode.Nearest, **over)
+        for t in tris:
+            init = np.full(M, 3, np.uint8)
+            # realistic survivor sets: whatever phase-1 leaves unresolved
+            res = resolve_nearest_phase1(tex, cfg, [(t, init)], subdiv)
+            st0 = res[0] if res is not None else init
+            got = classify_nearest_survivors(tex, cfg, t, subdiv,
+                                             st0.copy())
+            want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                             st0.copy())
+            assert (got == want).all(), (over, t)
+            # and from a fully-unresolved start (all M on device)
+            got_all = classify_nearest_survivors(tex, cfg, t, subdiv,
+                                                 init.copy())
+            want_all = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                                 init.copy())
+            assert (got_all == want_all).all(), (over, t)
