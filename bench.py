@@ -27,7 +27,9 @@ import numpy as np
 TARGET = 100e6  # utri/s/chip (BASELINE.md driver-set target)
 SUBDIV = 9
 N_TRIS = 256
-BATCH = 64  # pipelined sub-batches: fetches overlap later batches' compute
+BATCH = 32  # pipelined sub-batches: fetches overlap later batches' compute
+# (sweep on v5e: 32 tris/sub-batch beats 64/128 — finer batches deepen the
+# enqueue-ahead pipeline so host fetch+reconstruct hides under device time)
 
 
 def _workload():
