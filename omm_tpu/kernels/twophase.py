@@ -225,58 +225,84 @@ def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads,
 # stage A+B: group resolve, micro resolve, survivor compaction, tile slots
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("subdiv", "lg", "C_cap", "K_cap", "mips",
-                                   "pads", "ntxs", "all_active"))
-def _stageAB(cls_g, cls_u, uv_flat, ccw, active, fz, *, subdiv, lg, C_cap,
+@partial(jax.jit, static_argnames=("subdiv", "levels", "caps", "K_cap",
+                                   "mips", "pads", "ntxs", "all_active"))
+def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
              K_cap, mips, pads, ntxs, all_active):
-    """Returns (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
-    slots)."""
+    """Hierarchical descent over `levels` (l0 < ... < subdiv): level 0 is
+    a dense (T, 4^l0) window resolve; each later level expands the
+    previous level's unresolved nodes (compacted to caps[i-1]) into their
+    4^(l_i - l_{i-1}) children and window-tests them; the final level's
+    unresolved (& active) micro-triangles are the exact-kernel survivors.
+
+    cls_levels: per-level tuples of per-mip class planes.
+    Returns (sides, cand_t, cand_m, cvalid, ids, kvalid, meta, slots)
+    with sides a tuple of flat int8 side arrays, one per level, and meta
+    [C_1..C_m, K, flag, per-mip padded slot totals]."""
     T = uv_flat.shape[0]
     M = get_num_micro_triangles(subdiv)
-    NG = 4 ** lg
-    G = M // NG
+    m = len(levels) - 1
+    N0 = 4 ** levels[0]
+    span0 = M // N0
 
-    # ---- A: group sides (T, NG) ----
+    # ---- level 0: dense grid resolve ----
     # (jax.named_scope = the dispatch chain's BeginLabel/EndLabel analog,
     # omm.h:653-661 — stage names appear in jax.profiler traces)
     with jax.named_scope("omm.group_resolve"):
-        gidx = jnp.arange(NG, dtype=jnp.uint32)
-        gI = jnp.tile(gidx, T)
-        gT = jnp.repeat(jnp.arange(T, dtype=jnp.int32), NG)
-        gside = _sides_for(gI, gT, lg, uv_flat, cls_g, mips,
-                           pads).reshape(T, NG)
+        gidx = jnp.arange(N0, dtype=jnp.uint32)
+        node_n = jnp.tile(gidx, T).astype(jnp.int32)
+        node_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), N0)
+        side0 = _sides_for(node_n.astype(jnp.uint32), node_t, levels[0],
+                           uv_flat, cls_levels[0], mips, pads)
+    sides = [side0]
 
-    # group is skippable entirely when none of its members are active
+    # a node is skippable entirely when none of its members are active
     if all_active:
-        unres = gside == 0
+        unres = side0 == 0
     else:
-        gactive = active.reshape(T, NG, G).any(axis=2)
-        unres = (gside == 0) & gactive
+        gactive = active.reshape(T, N0, span0).any(axis=2).reshape(-1)
+        unres = (side0 == 0) & gactive
 
-    # compact unresolved groups to C_cap
-    fu = unres.reshape(-1)
-    posg = jnp.cumsum(fu.astype(jnp.int32)) - 1
-    CG = (posg[-1] + 1).astype(jnp.int32)
-    tgt_g = jnp.where(fu & (posg < C_cap), posg, C_cap)
-    gids = jnp.zeros((C_cap,), jnp.int32).at[tgt_g].set(
-        jnp.arange(T * NG, dtype=jnp.int32), mode="drop")
-    gvalid = jnp.arange(C_cap, dtype=jnp.int32) < jnp.minimum(CG, C_cap)
-    flag = jnp.where(CG > C_cap, jnp.int32(1), jnp.int32(0))
-
-    # ---- B: micro sides for candidate members ----
-    NC = C_cap * G
-    jj = jnp.arange(G, dtype=jnp.int32)
-    cand_t = jnp.repeat(gids // NG, G)
-    cand_m = jnp.repeat((gids % NG) * G, G) + jnp.tile(jj, C_cap)
-    cvalid = jnp.repeat(gvalid, G)
-
-    with jax.named_scope("omm.micro_resolve"):
-        fside = _sides_for(cand_m.astype(jnp.uint32), cand_t, subdiv,
-                           uv_flat, cls_u, mips, pads)
-    if all_active:
-        surv = cvalid & (fside == 0)
-    else:
-        surv = cvalid & active[cand_t, cand_m] & (fside == 0)
+    flag = jnp.int32(0)
+    metas = []
+    nodes = []
+    cand_t = cand_m = cvalid = surv = None
+    for i in range(1, m + 1):
+        li = levels[i]
+        E = 4 ** (li - levels[i - 1])
+        cap = caps[i - 1]
+        # compact unresolved parents (scan order — the host reconstruction
+        # replays the identical compaction from the fetched sides)
+        pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
+        Ci = (pos[-1] + 1).astype(jnp.int32)
+        tgt = jnp.where(unres & (pos < cap), pos, cap)
+        par_t = jnp.zeros((cap,), jnp.int32).at[tgt].set(node_t,
+                                                         mode="drop")
+        par_n = jnp.zeros((cap,), jnp.int32).at[tgt].set(node_n,
+                                                         mode="drop")
+        pvalid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(Ci, cap)
+        flag = jnp.maximum(flag, jnp.where(Ci > cap, jnp.int32(1),
+                                           jnp.int32(0)))
+        metas.append(Ci)
+        # expand E children per parent
+        jj = jnp.arange(E, dtype=jnp.int32)
+        node_t = jnp.repeat(par_t, E)
+        node_n = jnp.repeat(par_n * E, E) + jnp.tile(jj, cap)
+        valid = jnp.repeat(pvalid, E)
+        with jax.named_scope(f"omm.resolve_l{li}"):
+            side_i = _sides_for(node_n.astype(jnp.uint32), node_t, li,
+                                uv_flat, cls_levels[i], mips, pads)
+        sides.append(side_i)
+        nodes.append((node_t, node_n, valid))
+        if i < m:
+            unres = valid & (side_i == 0)
+        else:
+            cand_t, cand_m, cvalid = node_t, node_n, valid
+            if all_active:
+                surv = valid & (side_i == 0)
+            else:
+                surv = (valid & active[cand_t, jnp.minimum(cand_m, M - 1)]
+                        & (side_i == 0))
 
     # compact survivors to K_cap (flat id = t*M + m)
     poss = jnp.cumsum(surv.astype(jnp.int32)) - 1
@@ -295,7 +321,7 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, fz, *, subdiv, lg, C_cap,
     bu, bv, bd = _bary_cols(sv_m, subdiv)
     tri6 = _tri6_of(uv_flat, sv_t)
     slots = []
-    metas = [CG, K, flag]
+    metas = metas + [K, flag]
     for mi, (w, h) in enumerate(mips):
         pad = pads[mi]
         ntx = ntxs[mi]
@@ -323,8 +349,7 @@ def _stageAB(cls_g, cls_u, uv_flat, ccw, active, fz, *, subdiv, lg, C_cap,
         slots.append((slot, tile))
 
     meta = jnp.stack(metas)
-    return (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
-            tuple(slots))
+    return (tuple(sides), tuple(nodes), ids, kvalid, meta, tuple(slots))
 
 
 # ---------------------------------------------------------------------------
@@ -371,20 +396,21 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
 # stage D: accumulate mips, merge all levels, pack 2-bit states
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("subdiv", "lg", "fmt", "promotion",
+@partial(jax.jit, static_argnames=("subdiv", "levels", "fmt", "promotion",
                                    "cutoff_gt", "cutoff_le"))
-def _stageD(gside, fside, cand_t, cand_m, cvalid, ids, kvalid, mip_counts,
-            *, subdiv, lg, fmt, promotion, cutoff_gt, cutoff_le):
+def _stageD(sides, nodes, ids, kvalid, mip_counts,
+            *, subdiv, levels, fmt, promotion, cutoff_gt, cutoff_le):
     """Final 2-bit-packed (T, M/4) uint8 states (strided order: byte k of
     item t holds micro-tris {k, k+M/4, k+2M/4, k+3M/4} — see
-    _unpack_states)."""
+    _unpack_states).  `sides` is the per-level tuple from _stageAB; each
+    level's rows overwrite the coarser base (finer levels refine the
+    contour neighborhood)."""
     from .levelline import get_state_from_coverage
 
     M = get_num_micro_triangles(subdiv)
-    T = gside.shape[0]
-    NG = 4 ** lg
-    G = M // NG
-    C_cap = cvalid.shape[0] // G
+    m = len(levels) - 1
+    N0 = 4 ** levels[0]
+    T = sides[0].shape[0] // N0
     K_cap = ids.shape[0]
 
     above = jnp.zeros((K_cap,), jnp.int32)
@@ -406,15 +432,21 @@ def _stageD(gside, fside, cand_t, cand_m, cvalid, ids, kvalid, mip_counts,
         return jnp.where(s == 1, st_gt, jnp.where(s == -1, st_le,
                                                   jnp.int8(0)))
 
-    # group-resolved base, as (T*NG, G) rows; candidate groups overwrite
-    # whole rows (their group side is 0, and inactive/survivor members are
-    # refined below or ignored by the host writeback)
-    base = jnp.broadcast_to(map_side(gside).reshape(T * NG, 1), (T * NG, G))
-    cand_rows = map_side(fside).reshape(C_cap, G)
-    gidf = cand_t[::G] * NG + (cand_m[::G] // G)
-    row_tgt = jnp.where(cvalid[::G], gidf, T * NG)
-    base = base.at[row_tgt].set(cand_rows, mode="drop")
-    base = base.reshape(T * M)
+    # level-0 base; later levels overwrite whole node rows (their parent
+    # side is 0, and inactive/survivor members are refined below or
+    # ignored by the host writeback)
+    base = jnp.broadcast_to(map_side(sides[0]).reshape(T * N0, 1),
+                            (T * N0, M // N0)).reshape(T * M)
+    for i in range(1, m + 1):
+        li = levels[i]
+        node_t, node_n, valid = nodes[i - 1]
+        span = M // (4 ** li)
+        Nl = T * (4 ** li)
+        rows = jnp.broadcast_to(map_side(sides[i])[:, None],
+                                (sides[i].shape[0], span))
+        row_tgt = jnp.where(valid, node_t * (4 ** li) + node_n, Nl)
+        base = base.reshape(Nl, span).at[row_tgt].set(
+            rows, mode="drop").reshape(T * M)
     # exact-kernel survivors
     stgt = jnp.where(kvalid, ids, T * M)
     base = base.at[stgt].set(final.astype(jnp.int8), mode="drop")
@@ -445,17 +477,17 @@ def _unpack2_seq(b: np.ndarray) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("fmt", "promotion",
                                    "cutoff_gt", "cutoff_le", "nblk_caps"))
-def _stageD_spec(gside, fside, mip_counts, meta, *, fmt, promotion,
+def _stageD_spec(sides, mip_counts, meta, *, fmt, promotion,
                  cutoff_gt, cutoff_le, nblk_caps):
     """Speculative-mode stage D, compressed-fetch variant: ONE uint8
-    vector [meta int32s | gside 2-bit | fside 2-bit | survivor-final
-    2-bit] — ~10x smaller than the full per-micro-tri pack, sized so the
+    vector [meta int32s | per-level sides 2-bit | survivor-final 2-bit]
+    — far smaller than the full per-micro-tri pack, sized so the
     host->device link (the pipeline's bottleneck on a tunnel-attached
     chip) carries only the phase-1 side classes plus exact survivor
-    states.  The host reconstructs the full state array from the same
-    deterministic compaction order the device used (_reconstruct_compact).
-    flag != 0 (capacity overflow) sends the batch to the synchronous
-    path; the payload content is then never consumed."""
+    states.  The host reconstructs the full state array by replaying the
+    same deterministic scan-order descent the device used
+    (finish_compact).  flag != 0 (capacity overflow) sends the batch to
+    the synchronous path; the payload content is then never consumed."""
     from .levelline import get_state_from_coverage
 
     K_cap = mip_counts[0][0].shape[0]
@@ -471,18 +503,19 @@ def _stageD_spec(gside, fside, mip_counts, meta, *, fmt, promotion,
     final = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
                                     cutoff_le, above, below)
 
-    flag = meta[2]
+    m = len(sides) - 1
+    flag = meta[m + 1]
     for mi, cap in enumerate(nblk_caps):
-        flag = jnp.maximum(flag, jnp.where(meta[3 + mi] > cap * B,
+        flag = jnp.maximum(flag, jnp.where(meta[m + 2 + mi] > cap * B,
                                            jnp.int32(1), jnp.int32(0)))
-    mv = jnp.concatenate([meta[:2], flag[None], meta[3:]]).astype(jnp.int32)
+    mv = jnp.concatenate([meta[:m + 1], flag[None],
+                          meta[m + 2:]]).astype(jnp.int32)
     mrow = jax.lax.bitcast_convert_type(mv, jnp.uint8).reshape(-1)
-    return jnp.concatenate([
-        mrow,
-        _pack2_seq((gside + 1).astype(jnp.uint8).reshape(-1)),
-        _pack2_seq((fside + 1).astype(jnp.uint8).reshape(-1)),
-        _pack2_seq(final.astype(jnp.uint8)),
-    ])
+    return jnp.concatenate(
+        [mrow]
+        + [_pack2_seq((s + 1).astype(jnp.uint8).reshape(-1))
+           for s in sides]
+        + [_pack2_seq(final.astype(jnp.uint8))])
 
 
 def _unpack_states(packed: np.ndarray, M: int) -> np.ndarray:
@@ -506,6 +539,34 @@ def _group_level(texture: Texture, uv_tris, subdiv: int) -> int:
         span = max(span, float((q.max(axis=0) - q.min(axis=0)).max()))
     lg = int(np.ceil(np.log2(max(span / 8.0, 1.0))))
     return max(1, min(subdiv - 1, lg))
+
+
+def _descend_levels(texture: Texture, uv_tris, subdiv: int,
+                    lg: int) -> tuple:
+    """Hierarchical descent schedule (l0, ..., subdiv): start at the
+    COARSEST level whose window class plane still fits the tile padding,
+    then step down by 2 (16 children per unresolved node).  Total window
+    lookups shrink ~3x vs the flat two-level scheme: each level prunes
+    the interior, so only the alpha-contour neighborhood expands."""
+    l0 = lg
+    for lv in range(1, lg):
+        ok = True
+        for uv in uv_tris:
+            for mip in range(texture.mip_count):
+                Hb, Wb = _span_window(texture, uv, subdiv, mip)
+                pad = TILE + max(Hb + 2, Wb + 2)
+                Hg, Wg = _span_window(texture, uv, lv, mip)
+                if max(Hg, Wg) + 6 >= pad:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            l0 = lv
+            break
+    levels = list(range(l0, subdiv, 2))
+    levels.append(subdiv)
+    return tuple(levels)
 
 
 def _fast_path_ok(texture: Texture, cfg, uv_tri: np.ndarray,
@@ -575,6 +636,8 @@ class _BatchCtx:
         self.out = out
         self.M = get_num_micro_triangles(subdiv)
         self.lg = _group_level(texture, [items[i][0] for i in fast], subdiv)
+        self.levels = _descend_levels(
+            texture, [items[i][0] for i in fast], subdiv, self.lg)
         self.T = len(fast)
         self.uv_flat = np.stack(
             [items[i][0].reshape(6) for i in fast]).astype(np.float32)
@@ -585,15 +648,12 @@ class _BatchCtx:
 
         cutoff = float(cfg.alpha_cutoff)
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
-        self.cls_g, self.cls_u, self.tilesEs, self.rcps = [], [], [], []
+        self.tilesEs, self.rcps = [], []
+        self.cls_lv = [[] for _ in self.levels]
         for mip in range(texture.mip_count):
             Hb = max(_span_window(texture, items[i][0], subdiv, mip)[0]
                      for i in fast)
             Wb = max(_span_window(texture, items[i][0], subdiv, mip)[1]
-                     for i in fast)
-            Hg = max(_span_window(texture, items[i][0], self.lg, mip)[0]
-                     for i in fast)
-            Wg = max(_span_window(texture, items[i][0], self.lg, mip)[1]
                      for i in fast)
             TSA = TILE + max(Hb + 2, Wb + 2)
             pad = TSA
@@ -604,12 +664,14 @@ class _BatchCtx:
             self.pads.append(pad)
             self.HWu.append((Hb, Wb))
             self.ntxs.append(ntx)
-            self.cls_g.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
-                                          TSA, Hg, Wg, cutoff,
-                                          PHASE1_MARGIN, ba))
-            self.cls_u.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
-                                          TSA, Hb, Wb, cutoff,
-                                          PHASE1_MARGIN, ba))
+            for li, lv in enumerate(self.levels):
+                Hl = max(_span_window(texture, items[i][0], lv, mip)[0]
+                         for i in fast)
+                Wl = max(_span_window(texture, items[i][0], lv, mip)[1]
+                         for i in fast)
+                self.cls_lv[li].append(
+                    _cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
+                                Hl, Wl, cutoff, PHASE1_MARGIN, ba))
             self.tilesEs.append(tilesE)
             info = texture.info[mip]
             self.rcps.append((float(info.rcp_size[0]),
@@ -622,19 +684,22 @@ class _BatchCtx:
         caps = getattr(texture, "_omm_caps", {})
         texture._omm_caps = caps
         self.caps = caps
-        self.cap_key = (subdiv, self.lg, self.T, self.all_active)
+        self.cap_key = (subdiv, self.levels, self.T, self.all_active)
 
-    def stage_ab(self, C_cap, K_cap):
-        return _stageAB(tuple(self.cls_g), tuple(self.cls_u), self.uvJ,
+    @property
+    def cls_tuple(self):
+        return tuple(tuple(per_mip) for per_mip in self.cls_lv)
+
+    def stage_ab(self, Cs, K_cap):
+        return _stageAB(self.cls_tuple, self.uvJ,
                         self.ccwJ, self.actJ, jnp.int32(0),
-                        subdiv=self.subdiv,
-                        lg=self.lg, C_cap=C_cap, K_cap=K_cap,
+                        subdiv=self.subdiv, levels=self.levels,
+                        caps=tuple(Cs), K_cap=K_cap,
                         mips=tuple(self.mips), pads=tuple(self.pads),
                         ntxs=tuple(self.ntxs), all_active=self.all_active)
 
     def stage_c(self, mip, res, K_cap, nblk):
-        (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta,
-         slots) = res
+        (sides, nodes, ids, kvalid, meta, slots) = res
         w, h = self.mips[mip]
         return _stageC_mip(
             self.tilesEs[mip], self.uvJ, self.ccwJ, ids, kvalid,
@@ -656,23 +721,27 @@ class _BatchCtx:
                 st[act] = unp[act]
                 self.out[i] = st
 
-    def finish_compact(self, buf: np.ndarray, C_cap: int, K_cap: int,
-                       CG: int, K: int):
+    def finish_compact(self, buf: np.ndarray, Cs_cap, K_cap: int,
+                       Cs, K: int):
         """Reconstruct full per-item states from the compressed payload
-        (meta | gside | fside | finals) and write them back.  Mirrors
-        _stageD's scatter order: group base -> candidate rows -> exact
-        survivor finals, using the same deterministic scan-order
-        compaction as _stageAB."""
-        T, M, lg = self.T, self.M, self.lg
-        NG = 4 ** lg
-        G = M // NG
-        hdr = 4 * (3 + len(self.mips))
-        o0 = hdr
-        o1 = o0 + T * NG // 4
-        o2 = o1 + C_cap * G // 4
-        gside = _unpack2_seq(buf[o0:o1]).astype(np.int8) - 1  # (T*NG,)
-        fside = _unpack2_seq(buf[o1:o2]).astype(np.int8) - 1  # (C_cap*G,)
-        finals = _unpack2_seq(buf[o2:o2 + K_cap // 4])        # (K_cap,)
+        (meta | per-level sides | finals) and write them back: replay
+        _stageAB's deterministic scan-order descent, overwriting each
+        level's node rows, then scatter the exact survivor finals."""
+        T, M = self.T, self.M
+        levels = self.levels
+        m = len(levels) - 1
+        N0 = 4 ** levels[0]
+        hdr = 4 * (m + 2 + len(self.mips))
+
+        sizes = [T * N0] + [
+            Cs_cap[i] * 4 ** (levels[i + 1] - levels[i]) for i in range(m)]
+        sides = []
+        o = hdr
+        for s in sizes:
+            sides.append(_unpack2_seq(buf[o:o + s // 4]).astype(np.int8)
+                         - 1)
+            o += s // 4
+        finals = _unpack2_seq(buf[o:o + K_cap // 4])  # (K_cap,)
 
         st_gt = np.uint8(int(self.cfg.cutoff_gt))
         st_le = np.uint8(int(self.cfg.cutoff_le))
@@ -681,26 +750,40 @@ class _BatchCtx:
             return np.where(s == 1, st_gt,
                             np.where(s == -1, st_le, np.uint8(0)))
 
-        base = np.repeat(map_side(gside), G)  # (T*M,) group-resolved
+        base = np.repeat(map_side(sides[0]), M // N0)  # (T*M,)
 
-        # candidate groups: scan-order compaction of unresolved groups
         if self.all_active:
-            unres = gside == 0
+            unres = sides[0] == 0
         else:
-            gact = self.active.reshape(T, NG, G).any(axis=2).reshape(-1)
-            unres = (gside == 0) & gact
-        cand = np.flatnonzero(unres)[:CG]           # flat t*NG + g
-        rows = map_side(fside).reshape(C_cap, G)
-        base.reshape(T * NG, G)[cand] = rows[:CG]
+            gact = self.active.reshape(T, N0, M // N0).any(
+                axis=2).reshape(-1)
+            unres = (sides[0] == 0) & gact
+        node_t = np.repeat(np.arange(T, dtype=np.int64), N0)
+        node_n = np.tile(np.arange(N0, dtype=np.int64), T)
+        for i in range(1, m + 1):
+            li = levels[i]
+            E = 4 ** (li - levels[i - 1])
+            Ci = min(int(Cs[i - 1]), Cs_cap[i - 1])
+            cand = np.flatnonzero(unres)[:Ci]   # scan order
+            node_t = np.repeat(node_t[cand], E)
+            node_n = (np.repeat(node_n[cand] * E, E)
+                      + np.tile(np.arange(E, dtype=np.int64), Ci))
+            side_i = sides[i][:Ci * E]
+            span = M // (4 ** li)
+            rows = map_side(side_i)
+            flat = node_t * (4 ** li) + node_n
+            if span == 1:
+                base[flat] = rows
+            else:
+                base.reshape(T * 4 ** li, span)[flat] = rows[:, None]
+            if i < m:
+                unres = side_i == 0
 
-        # exact-kernel survivors: scan order over the candidate stream
-        cm = ((cand[:, None] % NG) * G
-              + np.arange(G, dtype=np.int64)[None, :]).reshape(-1)
-        ct = np.repeat(cand // NG, G)
-        surv = fside.reshape(C_cap, G)[:CG].reshape(-1) == 0
+        # exact-kernel survivors: scan order over the final-level stream
+        surv = sides[m][:node_t.shape[0]] == 0
         if not self.all_active:
-            surv &= self.active[ct, cm]
-        sids = (ct * M + cm)[surv]
+            surv &= self.active[node_t, node_n]
+        sids = (node_t * M + node_n)[surv]
         base[sids] = finals[:K][: sids.shape[0]]
 
         base = base.reshape(T, M)
@@ -718,30 +801,38 @@ def _run_batch_sync(ctx: _BatchCtx):
     """Capacity-discovering two-sync path; updates the caps cache (incl.
     the per-mip slot-block buckets that enable speculative mode)."""
     cfg = ctx.cfg
+    levels = ctx.levels
+    m = len(levels) - 1
     entry = ctx.caps.get(ctx.cap_key)
     if entry is None:
-        NG = 4 ** ctx.lg
-        C_cap = max(_bucket((ctx.T * NG) // 8), 1024)
-        K_cap = max(_bucket((ctx.T * ctx.M) // 32), 4 * B)
+        # contour scaling: unresolved nodes roughly double per level, and
+        # exact-kernel survivors scale with the contour length (~T * 2^L
+        # micro-triangles straddle the alpha contour), not with area
+        Cs = [max(_bucket(ctx.T * (2 ** levels[i]) * 8), 512)
+              for i in range(m)]
+        K_cap = max(_bucket(min(ctx.T * (2 ** ctx.subdiv) * 16,
+                                ctx.T * ctx.M)), 4 * B)
     else:
-        C_cap, K_cap = entry[0], entry[1]
+        Cs, K_cap = list(entry[0]), entry[1]
 
     for _attempt in range(4):
-        res = ctx.stage_ab(C_cap, K_cap)
-        meta_np = np.asarray(res[7])  # sync #1
-        CG, K, flag = int(meta_np[0]), int(meta_np[1]), int(meta_np[2])
-        if flag == 0 and CG <= C_cap and K <= K_cap:
+        res = ctx.stage_ab(Cs, K_cap)
+        meta_np = np.asarray(res[4])  # sync #1
+        Cs_true = [int(meta_np[i]) for i in range(m)]
+        K, flag = int(meta_np[m]), int(meta_np[m + 1])
+        if flag == 0:
             break
-        C_cap = max(C_cap, _bucket(CG + CG // 8 + 64))
+        Cs = [max(c, _bucket(ct + ct // 8 + 64))
+              for c, ct in zip(Cs, Cs_true)]
         K_cap = max(K_cap, _bucket(K + K // 8 + 64))
     else:
         return None
-    (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta, slots) = res
+    (sides, nodes, ids, kvalid, meta, slots) = res
 
     mip_counts = []
     nblks = []
     for mip in range(len(ctx.mips)):
-        padM = int(meta_np[3 + mip])
+        padM = int(meta_np[m + 2 + mip])
         nblk = max(_bucket((padM + B - 1) // B), 8)
         nblks.append(nblk)
         if K > 0:
@@ -751,36 +842,38 @@ def _run_batch_sync(ctx: _BatchCtx):
                 return None
 
     packed = np.asarray(_stageD(
-        gside, fside, cand_t, cand_m, cvalid, ids, kvalid,
-        tuple(mip_counts), subdiv=ctx.subdiv, lg=ctx.lg, fmt=cfg.fmt,
+        sides, nodes, ids, kvalid,
+        tuple(mip_counts), subdiv=ctx.subdiv, levels=levels, fmt=cfg.fmt,
         promotion=cfg.promotion, cutoff_gt=cfg.cutoff_gt,
         cutoff_le=cfg.cutoff_le))  # sync #2
 
     # remember observed sizes (with headroom) so later batches run the
     # single-sync speculative pipeline
     ctx.caps[ctx.cap_key] = (
-        max(_bucket(CG + CG // 8 + 64), 1024),
+        tuple(max(_bucket(ct + ct // 8 + 64), 512) for ct in Cs_true),
         max(_bucket(K + K // 8 + 64), 4 * B),
         tuple(max(_bucket(n + n // 8 + 8), 8) for n in nblks))
     ctx.finish(packed)
     return True
 
 
-@partial(jax.jit, static_argnames=("subdiv", "lg", "C_cap", "K_cap", "mips",
-                                   "pads", "ntxs", "all_active", "nblks",
-                                   "HWs", "rcps", "alpha_cutoff", "fmt",
-                                   "promotion", "cutoff_gt", "cutoff_le"))
-def _spec_chain(cls_g, cls_u, tilesEs, uv_flat, ccw, active, fz, *, subdiv,
-                lg, C_cap, K_cap, mips, pads, ntxs, all_active, nblks, HWs,
-                rcps, alpha_cutoff, fmt, promotion, cutoff_gt, cutoff_le):
-    """The whole speculative batch (stages A+B, per-mip C, compact D) as
+@partial(jax.jit, static_argnames=("subdiv", "levels", "caps", "K_cap",
+                                   "mips", "pads", "ntxs", "all_active",
+                                   "nblks", "HWs", "rcps", "alpha_cutoff",
+                                   "fmt", "promotion", "cutoff_gt",
+                                   "cutoff_le"))
+def _spec_chain(cls_levels, tilesEs, uv_flat, ccw, active, fz, *, subdiv,
+                levels, caps, K_cap, mips, pads, ntxs, all_active, nblks,
+                HWs, rcps, alpha_cutoff, fmt, promotion, cutoff_gt,
+                cutoff_le):
+    """The whole speculative batch (descent A+B, per-mip C, compact D) as
     ONE jit dispatch: on a tunnel-attached chip every dispatch pays
     host-link latency, so the chain must cross the link once, not
     3 + mip_count times."""
-    res = _stageAB(cls_g, cls_u, uv_flat, ccw, active, fz, subdiv=subdiv,
-                   lg=lg, C_cap=C_cap, K_cap=K_cap, mips=mips, pads=pads,
-                   ntxs=ntxs, all_active=all_active)
-    (gside, fside, cand_t, cand_m, cvalid, ids, kvalid, meta, slots) = res
+    res = _stageAB(cls_levels, uv_flat, ccw, active, fz, subdiv=subdiv,
+                   levels=levels, caps=caps, K_cap=K_cap, mips=mips,
+                   pads=pads, ntxs=ntxs, all_active=all_active)
+    (sides, nodes, ids, kvalid, meta, slots) = res
     mip_counts = []
     for mip, (w, h) in enumerate(mips):
         mip_counts.append(_stageC_mip(
@@ -788,7 +881,7 @@ def _spec_chain(cls_g, cls_u, tilesEs, uv_flat, ccw, active, fz, *, subdiv,
             slots[mip][1], fz, subdiv=subdiv, K_cap=K_cap, nblk=nblks[mip],
             w=w, h=h, pad=pads[mip], ntx=ntxs[mip], H=HWs[mip][0],
             W=HWs[mip][1], rcp=rcps[mip], alpha_cutoff=alpha_cutoff))
-    return _stageD_spec(gside, fside, tuple(mip_counts), meta, fmt=fmt,
+    return _stageD_spec(sides, tuple(mip_counts), meta, fmt=fmt,
                         promotion=promotion, cutoff_gt=cutoff_gt,
                         cutoff_le=cutoff_le, nblk_caps=nblks)
 
@@ -801,19 +894,20 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
     entry = ctx.caps.get(ctx.cap_key)
     if entry is None or len(entry) < 3:
         return None
-    C_cap, K_cap, nblks = entry
+    Cs, K_cap, nblks = entry
     try:
         dev = _spec_chain(
-            tuple(ctx.cls_g), tuple(ctx.cls_u), tuple(ctx.tilesEs),
+            ctx.cls_tuple, tuple(ctx.tilesEs),
             ctx.uvJ, ctx.ccwJ, ctx.actJ, jnp.int32(0), subdiv=ctx.subdiv,
-            lg=ctx.lg, C_cap=C_cap, K_cap=K_cap, mips=tuple(ctx.mips),
+            levels=ctx.levels, caps=tuple(Cs), K_cap=K_cap,
+            mips=tuple(ctx.mips),
             pads=tuple(ctx.pads), ntxs=tuple(ctx.ntxs),
             all_active=ctx.all_active, nblks=tuple(nblks),
             HWs=tuple(ctx.HWu), rcps=tuple(ctx.rcps),
             alpha_cutoff=float(ctx.cfg.alpha_cutoff), fmt=ctx.cfg.fmt,
             promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
             cutoff_le=ctx.cfg.cutoff_le)
-        return (dev, C_cap, K_cap)
+        return (dev, tuple(Cs), K_cap)
     except Exception:  # Mosaic lowering gap on this toolchain
         return None
 
@@ -871,11 +965,13 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
             ok = False
             if fut is not None:
                 buf = fut.result()  # the batch's one sync
-                mrow = buf[:4 * (3 + nmip)].view(np.int32)
-                if int(mrow[2]) == 0:
-                    _, C_cap, K_cap = p
-                    ctx.finish_compact(buf, C_cap, K_cap,
-                                       int(mrow[0]), int(mrow[1]))
+                m = len(ctx.levels) - 1
+                mrow = buf[:4 * (m + 2 + nmip)].view(np.int32)
+                if int(mrow[m + 1]) == 0:
+                    _, Cs_cap, K_cap = p
+                    ctx.finish_compact(buf, Cs_cap, K_cap,
+                                       [int(x) for x in mrow[:m]],
+                                       int(mrow[m]))
                     ok = True
             if not ok:
                 ok = _run_batch_sync(ctx)

@@ -170,7 +170,9 @@ def test_twophase_speculative_overflow_recovers(monkeypatch):
     items = [(t, np.full(M, 3, np.uint8)) for t in tris]
 
     lg = tp._group_level(tex, tris, subdiv)
-    tex._omm_caps = {(subdiv, lg, 2, True): (1024, 512, (8,))}
+    levels = tp._descend_levels(tex, tris, subdiv, lg)
+    tex._omm_caps = {(subdiv, levels, 2, True):
+                     (tuple(1024 for _ in levels[1:]), 512, (8,))}
     got = tp.classify_work_items_batch(tex, cfg, items, subdiv)
     for t, st in zip(tris, got):
         want = engine.resample_fine_item(tex, cfg, t, subdiv,
