@@ -195,11 +195,22 @@ class Pipeline:
             idx_size = tri_count * 4
 
         # Scratch: per-batch micro-tri state buffer; batch count bounds it
-        # under the budget (bake_gpu_impl.cpp:517-584).
+        # under the budget (bake_gpu_impl.cpp:517-584).  A budget below
+        # even ONE primitive's worth of micro-tri scratch cannot be split
+        # further (bake_gpu_impl.cpp:540-542).
         per_tri_scratch = get_num_micro_triangles(max_level) * 8
         budget = int(cfg.max_scratch_memory_size)
+        if budget < per_tri_scratch:
+            raise BakeError(Result.INSUFFICIENT_SCRATCH_MEMORY,
+                            "maxScratchMemorySize below the single-"
+                            "primitive minimum")
         tris_per_batch = max(1, budget // max(per_tri_scratch, 1))
         max_batch_count = (tri_count + tris_per_batch - 1) // max(tris_per_batch, 1)
+        if cfg.bake_flags & GpuBakeFlags.EnableNsightDebugMode:
+            # frame-capture debugging: one primitive per batch
+            # (bake_gpu_impl.cpp:555-559)
+            max_batch_count = tri_count
+            tris_per_batch = 1
         scratch = min(tri_count, tris_per_batch) * per_tri_scratch
 
         return PreDispatchInfo(

@@ -185,3 +185,28 @@ def test_gpu_setup_before_build_split():
     for r in (r1, r2):
         assert np.array_equal(r.array_data, ref.array_data)
         assert np.array_equal(r.index_buffer, ref.index_buffer)
+
+
+def test_gpu_insufficient_scratch_and_nsight_mode():
+    """A budget below one primitive's micro-tri scratch is unsplittable ->
+    INSUFFICIENT_SCRATCH_MEMORY (bake_gpu_impl.cpp:540-542); Nsight debug
+    mode forces one primitive per batch (bake_gpu_impl.cpp:555-559)."""
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    tc = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32)
+    ib = np.array([0, 1, 2, 3, 1, 2], np.uint32)
+
+    cfg = gpu.DispatchConfigDesc(
+        alpha_texture=tex, tex_coords=tc, index_buffer=ib, index_count=6,
+        max_subdivision_level=12, dynamic_subdivision_scale=0.0,
+        max_scratch_memory_size=gpu.ScratchMemoryBudget.MB_4)
+    with pytest.raises(omm.BakeError) as e:
+        gpu.Pipeline().get_pre_dispatch_info(cfg)
+    assert e.value.result == omm.Result.INSUFFICIENT_SCRATCH_MEMORY
+
+    cfg2 = gpu.DispatchConfigDesc(
+        alpha_texture=tex, tex_coords=tc, index_buffer=ib, index_count=6,
+        max_subdivision_level=4, dynamic_subdivision_scale=0.0,
+        bake_flags=gpu.GpuBakeFlags.PerformSetupAndBake
+        | gpu.GpuBakeFlags.EnableNsightDebugMode)
+    info = gpu.Pipeline().get_pre_dispatch_info(cfg2)
+    assert info.max_batch_count == 2  # one per primitive
