@@ -113,7 +113,12 @@ def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
 # buffering).  Same math as the v2 kernel.
 # ---------------------------------------------------------------------------
 
-TILE = int(os.environ.get("OMM_PALLAS_TILE", "32"))  # texel tile edge
+# Texel tile edge for the exact kernel's halo-tile streaming.  64 beats
+# 32 on v5e for the driver workload: contour survivors cluster, so
+# bigger tiles fill their B-lane slot blocks (less tile-boundary padding
+# waste in stage C) while the halo region still fits VMEM comfortably;
+# 128 regresses (region DMA per block outgrows the padding savings).
+TILE = int(os.environ.get("OMM_PALLAS_TILE", "64"))
 
 
 def bary_cols(index, level: int):
