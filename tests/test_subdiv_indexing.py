@@ -219,3 +219,53 @@ def test_max_array_data_size_downsampling():
             tight.desc_array[refs[t]].subdivision_level)
         for t in range(len(refs)) if refs[t] >= 0)
     assert total == per_tri
+
+
+def test_uv16_texcoord_formats():
+    """UV16_FLOAT / UV16_UNORM texcoord decode (geometry.h:191-208,
+    glm::unpackUnorm2x16 / unpackHalf2x16): a bake through the packed
+    16-bit formats equals the UV32 bake of the dequantized coords."""
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(128, 128)], omm.TextureFormat.FP32)
+    uv32 = np.array([[0.0, 0.0], [0.0, 0.75], [0.75, 0.0], [0.75, 0.75]],
+                    np.float32)  # exactly representable in fp16
+    ib = np.array([0, 1, 2, 3, 1, 2], np.uint32)
+
+    def bake_with(coords, fmt):
+        desc = omm.BakeInputDesc(
+            texture=tex, tex_coords=coords, tex_coord_format=fmt,
+            index_buffer=ib, index_count=6, max_subdivision_level=4,
+            dynamic_subdivision_scale=0.0)
+        return omm.bake(desc)
+
+    ref = bake_with(uv32, omm.TexCoordFormat.UV32_FLOAT)
+
+    halves = uv32.astype(np.float16).view(np.uint16).astype(np.uint32)
+    packed_f16 = (halves[:, 0] | (halves[:, 1] << 16)).astype(np.uint32)
+    got = bake_with(packed_f16.view(np.uint8),
+                    omm.TexCoordFormat.UV16_FLOAT)
+    assert np.array_equal(got.array_data, ref.array_data)
+    assert omm.get_stats(got) == omm.get_stats(ref)
+
+    # UNORM path: quantize, then compare against UV32 of the dequantized
+    q = np.round(uv32 * 65535.0).astype(np.uint32)
+    packed_un = (q[:, 0] | (q[:, 1] << 16)).astype(np.uint32)
+    deq = np.stack([(q[:, 0].astype(np.float32) / np.float32(65535.0)),
+                    (q[:, 1].astype(np.float32) / np.float32(65535.0))],
+                   axis=-1).astype(np.float32)
+    ref_un = bake_with(deq, omm.TexCoordFormat.UV32_FLOAT)
+    got_un = bake_with(packed_un.view(np.uint8),
+                       omm.TexCoordFormat.UV16_UNORM)
+    assert np.array_equal(got_un.array_data, ref_un.array_data)
+
+    # strided UV32 fetch (stride > 8 bytes: interleaved vertex data)
+    inter = np.zeros((4, 4), np.float32)
+    inter[:, 0:2] = uv32
+    ref_strided = omm.bake(omm.BakeInputDesc(
+        texture=tex, tex_coords=inter.reshape(-1).view(np.uint8),
+        tex_coord_format=omm.TexCoordFormat.UV32_FLOAT,
+        tex_coord_stride_in_bytes=16,
+        index_buffer=ib, index_count=6, max_subdivision_level=4,
+        dynamic_subdivision_scale=0.0))
+    assert np.array_equal(ref_strided.array_data, ref.array_data)
