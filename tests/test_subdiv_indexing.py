@@ -269,3 +269,46 @@ def test_uv16_texcoord_formats():
         index_buffer=ib, index_count=6, max_subdivision_level=4,
         dynamic_subdivision_scale=0.0))
     assert np.array_equal(ref_strided.array_data, ref.array_data)
+
+
+def test_subdiv_10_bake():
+    """High-subdivision bake (N=10, 1M micro-tris/tri) stays exact:
+    stats sum to 4^N and the packed array length matches the OC1 layout
+    (omm.h:436-440 allows N <= 12 on the CPU path)."""
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex,
+        tex_coords=np.array([[0.05, 0.05], [0.1, 0.9], [0.9, 0.8]],
+                            np.float32),
+        index_buffer=np.array([0, 1, 2], np.uint32), index_count=3,
+        max_subdivision_level=10, dynamic_subdivision_scale=0.0)
+    res = omm.bake(desc)
+    M = omm.get_num_micro_triangles(10)
+    s = omm.get_stats(res)
+    assert (s.total_opaque + s.total_transparent
+            + s.total_unknown_opaque + s.total_unknown_transparent) == M
+    assert len(res.desc_array) == 1
+    assert res.array_data.size == M // 4  # 4-state: 2 bits per micro-tri
+
+    # micro-states decode must agree with a direct fine resample
+    from omm_tpu import engine, stats
+    d = res.desc_array[0]
+    states = stats.decode_states(res.array_data, d.offset,
+                                 d.subdivision_level, d.format)
+    cfg = engine.ResampleConfig(
+        addr_mode=desc.runtime_sampler.addressing_mode,
+        filter=desc.runtime_sampler.filter,
+        alpha_cutoff=desc.alpha_cutoff,
+        border_alpha=desc.runtime_sampler.border_alpha,
+        fmt=desc.format, promotion=desc.unknown_state_promotion,
+        cutoff_gt=desc.alpha_cutoff_greater,
+        cutoff_le=desc.alpha_cutoff_less_equal)
+    tri = desc.tex_coords[:3].astype(np.float32)
+    UO = int(omm.OpacityState.UnknownOpaque)
+    want = engine.resample_fine_item(
+        tex, cfg, tri, 10,
+        engine.resample_coarse_item(tex, cfg, tri, 10,
+                                    np.full(M, UO, np.uint8)))
+    assert np.array_equal(states, want)
