@@ -19,7 +19,7 @@ from . import bird, geom
 from .kernels.levelline import (conservative_raster_mask,
                                 get_state_from_coverage,
                                 level_line_texel_kernel, make_tri_params)
-from .kernels.raster import conservative_line_cells
+from .kernels.raster import conservative_line_cells_batch
 from .texture import Texture, gather_tex_coord4, get_tex_coord
 from .types import (Format, OpacityState, TextureAddressMode,
                     TextureFilterMode, UnknownStatePromotion,
@@ -232,20 +232,8 @@ def _degenerate_mip_pass(texture: Texture, cfg: ResampleConfig,
 
     aabb_s, aabb_e = geom.tri_aabb(micro_uvs)
     plane = texture.load_plane(mip)
-    cell_lists = [conservative_line_cells(aabb_s[i], aabb_e[i], (w, h),
-                                          (-0.5, -0.5)) for i in range(B)]
-    kmax = max((len(c) for c in cell_lists), default=0)
-    if kmax == 0:
-        return above, below
-    x = np.zeros((B, kmax), dtype=np.int32)
-    y = np.zeros((B, kmax), dtype=np.int32)
-    mask = np.zeros((B, kmax), dtype=bool)
-    for i, cells in enumerate(cell_lists):
-        k = len(cells)
-        if k:
-            x[i, :k] = cells[:, 0]
-            y[i, :k] = cells[:, 1]
-            mask[i, :k] = True
+    x, y, mask = conservative_line_cells_batch(aabb_s, aabb_e, (w, h),
+                                               (-0.5, -0.5))
     with np.errstate(all="ignore"):
         a_inc, b_inc = level_line_texel_kernel(
             xp, micro_uvs, make_tri_params(xp, micro_uvs),

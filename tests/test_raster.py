@@ -101,3 +101,26 @@ def test_point_segment():
                                     np.array([0.5, 0.5], np.float32),
                                     (64, 64), (0.0, 0.0))
     assert len(cells) == 1
+
+
+def test_conservative_line_cells_batch_parity():
+    """The vectorized DDA walk visits exactly the scalar walk's cells,
+    in order, for random segments including axis-aligned, reversed and
+    zero-length (point) ones."""
+    from omm_tpu.kernels.raster import conservative_line_cells_batch
+
+    rng = np.random.RandomState(7)
+    p0 = rng.rand(64, 2).astype(np.float32)
+    p1 = rng.rand(64, 2).astype(np.float32)
+    p1[0] = p0[0]                     # point segment
+    p1[1, 1] = p0[1, 1]               # horizontal
+    p1[2, 0] = p0[2, 0]               # vertical
+    p0[3], p1[3] = p1[3].copy(), p0[3].copy()  # reversed
+
+    xs, ys, mask = conservative_line_cells_batch(p0, p1, (64, 64),
+                                                 (-0.5, -0.5))
+    for i in range(64):
+        want = conservative_line_cells(p0[i], p1[i], (64, 64),
+                                       (-0.5, -0.5))
+        got = np.stack([xs[i][mask[i]], ys[i][mask[i]]], axis=-1)
+        assert np.array_equal(got, want), i
