@@ -13,7 +13,7 @@ Debug::Stats against the reference test suite's hard-coded expectations
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import xxhash
@@ -26,7 +26,7 @@ from .types import (BakeError, BakeFlags, BakeInputDesc, BakeResult, Format,
                     IndexFormat, MicromapDesc, OpacityState, Result,
                     SpecialIndex, TextureAddressMode, TextureFilterMode,
                     UsageCount, get_bit_count, get_num_micro_triangles,
-                    is_compatible, is_known, MAX_NUM_SUBDIV_LEVELS,
+                    is_compatible, MAX_NUM_SUBDIV_LEVELS,
                     MAX_SUBDIV_LEVEL)
 
 UO = int(OpacityState.UnknownOpaque)

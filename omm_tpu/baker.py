@@ -14,7 +14,7 @@ from . import debug as debug_mod
 from . import serialize as serialize_mod
 from .bake import bake as _bake
 from .log import Logger, MessageCallback
-from .stats import collect_stats, get_stats
+from .stats import get_stats
 from .texture import Texture
 from .types import (BakeInputDesc, BakeResult, DebugStats, TextureFlags,
                     TextureFormat)

@@ -31,7 +31,7 @@ import numpy as np
 from .. import engine, geom
 from ..bake import (compute_area_heuristic, create_usage_histograms,
                     micromap_spatial_sort, serialize_result,
-                    Options, WorkItem)
+                    WorkItem)
 from ..texture import Texture
 from ..types import (BakeError, BakeInputDesc, Format,
                      IndexFormat, OpacityState, Result, SamplerDesc,

@@ -21,7 +21,7 @@ import numpy as np
 
 from .. import bird, geom
 from ..texture import Texture
-from ..types import OpacityState, TextureFilterMode, get_num_micro_triangles
+from ..types import OpacityState, get_num_micro_triangles
 from .levelline import (conservative_raster_mask, get_state_from_coverage,
                         level_line_texel_kernel, make_tri_params)
 

@@ -2,7 +2,6 @@
 guard): the smooth-alpha scene tests catch end-to-end divergence; these
 pin the primitives directly."""
 import numpy as np
-import pytest
 
 
 def test_exact_sqrt_matches_ieee_on_device():

@@ -1,10 +1,8 @@
 """Multi-chip sharding: shard_map bake step on the virtual 8-device mesh."""
 import numpy as np
-import pytest
 
 import omm_tpu as omm
 from omm_tpu import engine, geom
-from omm_tpu.kernels.levelline import get_state_from_coverage
 from omm_tpu.parallel import classify_item_sharded, make_mesh, sharded_bake_step
 
 from fixtures import standard_circle
