@@ -27,9 +27,10 @@ import numpy as np
 TARGET = 100e6  # utri/s/chip (BASELINE.md driver-set target)
 SUBDIV = 9
 N_TRIS = 256
-BATCH = 32  # pipelined sub-batches: fetches overlap later batches' compute
-# (sweep on v5e: 32 tris/sub-batch beats 64/128 — finer batches deepen the
-# enqueue-ahead pipeline so host fetch+reconstruct hides under device time)
+BATCH = 48  # pipelined sub-batches: fetches overlap later batches' compute
+# (sweep on v5e: 48 beats 16/24/32/64/128 — fine enough that the
+# enqueue-ahead pipeline hides host fetch+reconstruct under device time,
+# coarse enough to amortize per-chain dispatch)
 
 
 def _workload():

@@ -828,7 +828,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         # scratch exceeds the budget, bake_gpu_impl.cpp:517-584) and hand
         # the batch list to the pipelined engine so result fetches overlap
         # later batches' device execution.
-        MAX_UTRI_PER_BATCH = 1 << 23  # ~8M micro-tris of device scratch
+        MAX_UTRI_PER_BATCH = 3 << 22  # ~12M micro-tris of device scratch
         # (finer batches pipeline better on a tunnel-attached chip: the
         # enqueue-ahead chain hides fetch+reconstruct under device time)
         for level, idxs in by_level.items():
