@@ -232,10 +232,18 @@ def _write_input_desc(w, desc: BakeInputDesc):
                   int(desc.unresolved_tri_state)))
     w(struct.pack("<B", desc.max_subdivision_level))
     w(struct.pack("<I", desc.max_array_data_size & 0xFFFFFFFF))
+    # numSubdivLvls is indexCount in the reference's blob format even
+    # though the buffer holds one entry per TRIANGLE
+    # (serialize_impl.cpp:147-151 writes indexCount bytes); pad the
+    # logical per-triangle array with 13 ("use global level",
+    # omm.h:445-448) so the stream stays parseable and byte-deterministic.
     n_sub = 0 if desc.subdivision_levels is None else desc.index_count
     w(struct.pack("<Q", n_sub))
     if n_sub:
-        w(np.asarray(desc.subdivision_levels, np.uint8)[:n_sub].tobytes())
+        sl = np.full(n_sub, 13, np.uint8)
+        given = np.asarray(desc.subdivision_levels, np.uint8)[:n_sub]
+        sl[: given.size] = given
+        w(sl.tobytes())
     w(struct.pack("<Q", desc.max_workload_size & 0xFFFFFFFFFFFFFFFF))
 
 

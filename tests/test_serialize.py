@@ -125,3 +125,33 @@ def test_texture_morton_roundtrip():
     assert (tex2.mips[0] == plane).all()
     assert tex2.has_sat()
     assert (tex2.sat[0] == tex.sat[0]).all()
+
+
+def test_roundtrip_with_subdivision_levels():
+    """Input descs carrying a per-triangle subdivision-level buffer must
+    round-trip: the blob format's numSubdivLvls is indexCount
+    (serialize_impl.cpp:147-151), padded with 13 = use-global
+    (omm.h:445-448)."""
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    tc = np.array([[0.05, 0.5], [0.5, 0.05], [0.5, 0.5], [0.95, 0.5],
+                   [0.5, 0.95]], np.float32)
+    ib = np.array([0, 1, 2, 1, 3, 2, 3, 4, 2, 2, 4, 0], np.uint32)
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=tc, index_buffer=ib, index_count=12,
+        subdivision_levels=np.array([2, 3, 4, 5], np.uint8),
+        max_subdivision_level=5, dynamic_subdivision_scale=0.0)
+    res = omm.bake(desc)
+    blob = ser.serialize(ser.DeserializedDesc(
+        flags=ser.SerializeFlags.COMPRESS,
+        input_descs=[desc], result_descs=[res]))
+    back = ser.deserialize(blob)
+    assert len(back.input_descs) == 1 and len(back.result_descs) == 1
+    sl = np.asarray(back.input_descs[0].subdivision_levels)
+    assert sl.shape == (12,)
+    assert np.array_equal(sl[:4], [2, 3, 4, 5])
+    assert (sl[4:] == 13).all()  # use-global sentinel padding
+    res2 = omm.bake(back.input_descs[0])
+    assert np.array_equal(res2.array_data, res.array_data)
+    assert np.array_equal(back.result_descs[0].array_data, res.array_data)
