@@ -224,10 +224,17 @@ def _write_input_desc(w, desc: BakeInputDesc):
                   float(desc.rejection_threshold), float(desc.alpha_cutoff)))
     w(struct.pack("<iii", int(desc.alpha_cutoff_less_equal),
                   int(desc.alpha_cutoff_greater), int(desc.format)))
+    # numFormats is indexCount in the blob format even though the buffer
+    # holds one entry per TRIANGLE (serialize_impl.cpp:134-140); pad the
+    # logical array with the global format so the stream stays parseable
+    # and byte-deterministic.
     n_formats = 0 if desc.formats is None else desc.index_count
     w(struct.pack("<Q", n_formats))
     if n_formats:
-        w(np.asarray(desc.formats, np.int32)[:n_formats].tobytes())
+        fm = np.full(n_formats, int(desc.format), np.int32)
+        given = np.asarray(desc.formats, np.int32)[:n_formats]
+        fm[: given.size] = given
+        w(fm.tobytes())
     w(struct.pack("<ii", int(desc.unknown_state_promotion),
                   int(desc.unresolved_tri_state)))
     w(struct.pack("<B", desc.max_subdivision_level))

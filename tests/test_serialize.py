@@ -155,3 +155,53 @@ def test_roundtrip_with_subdivision_levels():
     res2 = omm.bake(back.input_descs[0])
     assert np.array_equal(res2.array_data, res.array_data)
     assert np.array_equal(back.result_descs[0].array_data, res.array_data)
+
+
+def test_roundtrip_fuzz_desc_matrix():
+    """Randomized serialize->deserialize->re-bake property test over the
+    input-desc option space (mips, UNORM8, embedded cutoff, per-triangle
+    formats and subdivision levels, texcoord formats, compression):
+    every blob must parse back field-faithfully and re-bake identically."""
+    rng = np.random.RandomState(99)
+    for trial in range(12):
+        n = 32
+        plane = (rng.rand(n, n) > 0.5).astype(np.float32)
+        unorm8 = bool(rng.randint(2))
+        mips = [plane]
+        if rng.randint(2):
+            mips.append(plane[::2, ::2].copy())
+        if unorm8:
+            mips = [(m * np.float32(255)).astype(np.uint8) for m in mips]
+        embed = bool(rng.randint(2))
+        tex = omm.Texture(
+            mips,
+            omm.TextureFormat.UNORM8 if unorm8 else omm.TextureFormat.FP32,
+            alpha_cutoff=0.5 if embed and len(mips) == 1 else -1.0)
+
+        tri_count = int(rng.randint(1, 5))
+        tc = rng.rand(3 * tri_count, 2).astype(np.float32)
+        ib = np.arange(3 * tri_count, dtype=np.uint32)
+        desc = omm.BakeInputDesc(
+            texture=tex, tex_coords=tc, index_buffer=ib,
+            index_count=3 * tri_count,
+            max_subdivision_level=int(rng.randint(1, 4)),
+            dynamic_subdivision_scale=0.0)
+        if rng.randint(2):
+            desc.subdivision_levels = rng.randint(
+                0, 4, tri_count).astype(np.uint8)
+        if rng.randint(2):
+            desc.formats = np.full(tri_count,
+                                   int(omm.Format.OC1_4_State), np.int32)
+        res = omm.bake(desc)
+
+        flags = ser.SerializeFlags.COMPRESS if rng.randint(2) \
+            else ser.SerializeFlags.NONE
+        blob = ser.serialize(ser.DeserializedDesc(
+            flags=flags, input_descs=[desc], result_descs=[res]))
+        back = ser.deserialize(blob)
+        assert len(back.input_descs) == 1, trial
+        assert len(back.result_descs) == 1, trial
+        assert np.array_equal(back.result_descs[0].array_data,
+                              res.array_data), trial
+        res2 = omm.bake(back.input_descs[0])
+        assert np.array_equal(res2.array_data, res.array_data), trial
