@@ -210,3 +210,20 @@ def test_gpu_insufficient_scratch_and_nsight_mode():
         | gpu.GpuBakeFlags.EnableNsightDebugMode)
     info = gpu.Pipeline().get_pre_dispatch_info(cfg2)
     assert info.max_batch_count == 2  # one per primitive
+
+
+def test_gpu_dispatch_jax_backend_parity():
+    """The dispatch chain's jax execution engine equals the numpy one."""
+    rng = np.random.RandomState(0)
+    alpha = (rng.rand(64, 64) > 0.5).astype(np.float32)
+    tex = omm.Texture([alpha], omm.TextureFormat.FP32)
+    cfg = gpu.DispatchConfigDesc(
+        alpha_texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32),
+        index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32), index_count=6,
+        max_subdivision_level=4, dynamic_subdivision_scale=0.0)
+    ra, pa = gpu.Pipeline().dispatch(cfg, backend="numpy").execute()
+    rb, pb = gpu.Pipeline().dispatch(cfg, backend="jax").execute()
+    assert np.array_equal(ra.array_data, rb.array_data)
+    assert np.array_equal(ra.index_buffer, rb.index_buffer)
+    assert pa == pb
