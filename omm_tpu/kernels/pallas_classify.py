@@ -397,11 +397,17 @@ def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
                    pl.BlockSpec((1, 1, B), lambda i, *_: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
     )
+    extra = {}
+    if jax.default_backend() == "cpu":
+        # no Mosaic on host: run the kernel body through the interpreter
+        # (pure jax ops — works under jit/shard_map on the virtual mesh)
+        extra["interpret"] = True
     a, b = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32),
                    jax.ShapeDtypeStruct((nblk, 1, B), jnp.int32)),
+        **extra,
     )(tidx, tilesE, ids_r, uv6T, ccw1T, fzv)
     return a.reshape(nblk, B), b.reshape(nblk, B)
 

@@ -142,6 +142,113 @@ def sharded_bake_step(mesh: Mesh, plane, uv_tris, ccws, *, subdiv, size,
                            jnp.asarray(ccws), plane, jnp.int32(0))
 
 
+def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
+                           max_attempts: int = 4):
+    """FULL two-phase pipeline (kernels/twophase.py stages A-D: hierarchical
+    descent, survivor compaction, exact Pallas kernel, 2-bit pack) under
+    shard_map, with the WORK-ITEM axis split across the mesh — the
+    reference's only scale axis (OpenMP over work items,
+    bake_cpu_impl.cpp:735,833) done for ICI.  Class planes and halo tiles
+    are replicated per chip; survivor counts and the global state histogram
+    are psum-merged over ICI.
+
+    Per-item results are bit-identical to the single-device engine
+    (classify_work_items_batches): every pipeline stage is item-local, so
+    shard composition cannot change any item's states.
+
+    Requirements: len(items) divisible by the mesh size, all items
+    fast-path eligible, all states UnknownOpaque (fresh bake).
+    Returns (list of per-item (M,) uint8 state arrays, histogram (4,)).
+    """
+    from ..kernels import twophase as tp
+    from ..types import OpacityState
+
+    UO = int(OpacityState.UnknownOpaque)
+    n_dev = mesh.devices.size
+    T = len(items)
+    if T % n_dev != 0:
+        raise ValueError(f"item count {T} not divisible by mesh {n_dev}")
+    M = get_num_micro_triangles(subdiv)
+    lg = tp._group_level(texture, [uv for uv, _ in items], subdiv)
+    for uv, st in items:
+        if not (st == UO).all():
+            raise ValueError("sharded_classify_batch requires fresh items")
+        if not tp._fast_path_ok(texture, cfg, uv, subdiv, lg):
+            raise ValueError("item not fast-path eligible")
+    ctx = tp._BatchCtx(texture, cfg, items, subdiv, list(range(T)),
+                       [None] * T)
+    levels = ctx.levels
+    m = len(levels) - 1
+    Tl = T // n_dev
+    act_dummy = jnp.ones((1, 1), bool)
+
+    def run_ab_meta(Cs, K_cap):
+        def shard_fn(uv_shard, ccw_shard, fz):
+            res = tp._stageAB(
+                ctx.cls_tuple, uv_shard, ccw_shard, act_dummy, fz,
+                subdiv=subdiv, levels=levels, caps=tuple(Cs), K_cap=K_cap,
+                mips=tuple(ctx.mips), pads=tuple(ctx.pads),
+                ntxs=tuple(ctx.ntxs), all_active=True)
+            return jax.lax.pmax(res[4], OMM_AXIS)
+        return shard_map(shard_fn, mesh=mesh,
+                         in_specs=(P(OMM_AXIS), P(OMM_AXIS), P()),
+                         out_specs=P(),
+                         check_vma=False)(ctx.uvJ, ctx.ccwJ, jnp.int32(0))
+
+    # capacity discovery (per shard): same heuristic/retry as the
+    # single-device sync path, flag pmax-merged across chips
+    Cs = [max(tp._bucket(Tl * (2 ** levels[i]) * 8), 512) for i in range(m)]
+    K_cap = max(tp._bucket(min(Tl * (2 ** subdiv) * 16, Tl * M)), 4 * tp.B)
+    for _ in range(max_attempts):
+        meta_np = np.asarray(run_ab_meta(Cs, K_cap))
+        Cs_true = [int(meta_np[i]) for i in range(m)]
+        K, flag = int(meta_np[m]), int(meta_np[m + 1])
+        if flag == 0:
+            break
+        Cs = [max(c, tp._bucket(ct + ct // 8 + 64))
+              for c, ct in zip(Cs, Cs_true)]
+        K_cap = max(K_cap, tp._bucket(K + K // 8 + 64))
+    else:
+        raise RuntimeError("sharded capacity discovery did not converge")
+    nblks = [max(tp._bucket((int(meta_np[m + 2 + mi]) + tp.B - 1) // tp.B), 8)
+             for mi in range(len(ctx.mips))]
+
+    def shard_fn(uv_shard, ccw_shard, fz):
+        res = tp._stageAB(
+            ctx.cls_tuple, uv_shard, ccw_shard, act_dummy, fz,
+            subdiv=subdiv, levels=levels, caps=tuple(Cs), K_cap=K_cap,
+            mips=tuple(ctx.mips), pads=tuple(ctx.pads),
+            ntxs=tuple(ctx.ntxs), all_active=True)
+        sides, nodes, ids, kvalid, meta, slots = res
+        mip_counts = []
+        for mip, (w, h) in enumerate(ctx.mips):
+            mip_counts.append(tp._stageC_mip(
+                ctx.tilesEs[mip], uv_shard, ccw_shard, ids, kvalid,
+                slots[mip][0], slots[mip][1], fz, subdiv=subdiv,
+                K_cap=K_cap, nblk=nblks[mip], w=w, h=h, pad=ctx.pads[mip],
+                ntx=ctx.ntxs[mip], H=ctx.HWu[mip][0], W=ctx.HWu[mip][1],
+                rcp=ctx.rcps[mip],
+                alpha_cutoff=float(cfg.alpha_cutoff)))
+        packed = tp._stageD(
+            sides, nodes, ids, kvalid, tuple(mip_counts), subdiv=subdiv,
+            levels=levels, fmt=cfg.fmt, promotion=cfg.promotion,
+            cutoff_gt=cfg.cutoff_gt, cutoff_le=cfg.cutoff_le)
+        survivors = jax.lax.psum(meta[m], OMM_AXIS)
+        vals = jnp.stack([(packed >> (2 * k)) & 3 for k in range(4)])
+        hist = jnp.stack([jnp.sum(vals == s, dtype=jnp.int32)
+                          for s in range(4)])
+        return packed, jax.lax.psum(hist, OMM_AXIS), survivors
+
+    packed, hist, _ = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(OMM_AXIS), P(OMM_AXIS), P()),
+        out_specs=(P(OMM_AXIS), P(), P()),
+        check_vma=False)(ctx.uvJ, ctx.ccwJ, jnp.int32(0))
+    packed_np = np.asarray(packed)
+    out = [tp._unpack_states(packed_np[t], M) for t in range(T)]
+    return out, np.asarray(hist)
+
+
 def sharded_group_resolve(mesh: Mesh, cls_plane, uv_tris, *, subdiv, lg,
                           pad, size):
     """Hierarchical phase-1 group resolve sharded over the mesh (the

@@ -106,6 +106,63 @@ def test_sharded_group_resolve_matches_single_device():
     assert c[2] == (want == 0).sum()
 
 
+def test_sharded_full_pipeline_matches_single_device():
+    """Stages A-D (descent, compaction, exact kernel, pack) under
+    shard_map on the 8-device mesh: per-item states bit-equal to the
+    single-device two-phase engine AND to the fine-pass oracle; survivor
+    counts and histogram psum-merged."""
+    import jax
+    assert len(jax.devices()) == 8
+    from omm_tpu.kernels import twophase as tp
+    from omm_tpu.parallel.shard import make_mesh, sharded_classify_batch
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    rng = np.random.RandomState(11)
+    tris = []
+    for _ in range(8):
+        b = rng.rand(2).astype(np.float32) * 0.25
+        tris.append(np.array([b + [0.05, 0.08], b + [0.12, 0.7],
+                              b + [0.72, 0.6]], np.float32))
+    cfg = engine.ResampleConfig(
+        addr_mode=omm.TextureAddressMode.Clamp,
+        filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
+        border_alpha=0.0, fmt=omm.Format.OC1_4_State,
+        promotion=omm.UnknownStatePromotion.Nearest,
+        cutoff_gt=omm.OpacityState.Opaque,
+        cutoff_le=omm.OpacityState.Transparent)
+
+    mesh = make_mesh()
+    items = [(t, np.full(M, 3, np.uint8)) for t in tris]
+    got, hist = sharded_classify_batch(mesh, tex, cfg, items, subdiv)
+
+    single = tp.classify_work_items_batch(
+        tex, cfg, [(t, np.full(M, 3, np.uint8)) for t in tris], subdiv)
+    assert hist.sum() == 8 * M
+    for t, g, s in zip(tris, got, single):
+        assert (g == s).all(), "sharded != single-device engine"
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (g == want).all(), "sharded != oracle"
+    counts = np.zeros(4, np.int64)
+    for g in got:
+        counts += np.bincount(g, minlength=4)[:4]
+    assert np.array_equal(counts, hist)
+
+
+def test_dryrun_multichip_gate():
+    """The driver's multi-chip gate: must pass from an arbitrary parent
+    environment (forces the virtual CPU mesh in a clean subprocess)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
+    finally:
+        sys.path.remove("/root/repo")
+
+
 def test_multihost_partition_and_gather():
     """Multi-host bake-farm partitioning (parallel/multihost.py):
     deterministic balanced splits, per-partition bakes, and the merged
