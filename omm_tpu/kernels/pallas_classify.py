@@ -39,6 +39,7 @@ from .. import geom
 from ..texture import Texture
 from ..types import (OpacityState, TextureAddressMode, TextureFilterMode,
                      get_num_micro_triangles)
+from .fallback import KERNEL_FALLBACK_ERRORS, record as fallback_record
 from .levelline import get_state_from_coverage, level_line_values_kernel
 from . import mxu_classify as mx
 
@@ -89,7 +90,10 @@ def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
         try:
             a_b, b_b = run_job_v3(job)
             a_np, b_np = gather_v3(job, a_b, b_b)
-        except Exception:  # Mosaic lowering gap on this toolchain
+        except KERNEL_FALLBACK_ERRORS as e:
+            # toolchain gap (Mosaic lowering / backend compile): recorded
+            # + warned, then the XLA-gather path takes the item
+            fallback_record("pallas_classify.run_job_v3", e)
             return classify_work_item_jax(texture, cfg, uv_tri, subdiv,
                                           states)
         above += np.where(alive, a_np, 0)

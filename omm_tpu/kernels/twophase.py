@@ -55,6 +55,7 @@ from .. import bird, geom
 from ..texture import Texture
 from ..types import (OpacityState, TextureAddressMode, TextureFilterMode,
                      get_num_micro_triangles)
+from . import fallback as fb
 from . import mxu_classify as mx
 from . import pallas_classify as pk
 
@@ -838,7 +839,10 @@ def _run_batch_sync(ctx: _BatchCtx):
         if K > 0:
             try:
                 mip_counts.append(ctx.stage_c(mip, res, K_cap, nblk))
-            except Exception:  # Mosaic lowering gap on this toolchain
+            except fb.KERNEL_FALLBACK_ERRORS as e:
+                # toolchain gap (Mosaic lowering / backend compile):
+                # recorded + warned, then the slow path takes the batch
+                fb.record("twophase.stage_c", e)
                 return None
 
     packed = np.asarray(_stageD(
@@ -908,7 +912,10 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
             promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
             cutoff_le=ctx.cfg.cutoff_le)
         return (dev, tuple(Cs), K_cap)
-    except Exception:  # Mosaic lowering gap on this toolchain
+    except fb.KERNEL_FALLBACK_ERRORS as e:
+        # toolchain gap (Mosaic lowering / backend compile): recorded +
+        # warned, then the synchronous path takes the batch
+        fb.record("twophase.spec_chain", e)
         return None
 
 
