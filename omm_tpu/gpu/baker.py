@@ -211,7 +211,22 @@ class Pipeline:
             # (bake_gpu_impl.cpp:555-559)
             max_batch_count = tri_count
             tris_per_batch = 1
-        scratch = min(tri_count, tris_per_batch) * per_tri_scratch
+        # an executed batch packs by ACTUAL per-primitive levels, so it
+        # can fill up to the full budget with mixed levels; the pool must
+        # cover that (while never exceeding the whole-mesh worst case)
+        scratch = max(per_tri_scratch,
+                      min(budget, tri_count * per_tri_scratch))
+
+        # <=4 transient pools with bump-allocated sub-ranges, mirroring
+        # the reference's pool layout (bake_gpu_impl.cpp:434-516):
+        #   pool 0: per-batch micro-tri bake-result scratch
+        #   pool 1: dedup hash table (16x load factor, :463-466)
+        #   pool 2: work items + per-level indirect args + histograms
+        #   pool 3: assert/debug buffer (1024 dwords, :496-499)
+        pools = (scratch,
+                 16 * max(tri_count, 1) * 8,
+                 max(tri_count, 1) * 16 + 2 * MAX_NUM_SUBDIV_LEVELS * 12,
+                 4096)
 
         return PreDispatchInfo(
             out_omm_index_buffer_format=fmt,
@@ -221,9 +236,31 @@ class Pipeline:
             out_omm_index_buffer_size_in_bytes=idx_size,
             out_omm_array_histogram_size_in_bytes=8 * 2 * MAX_NUM_SUBDIV_LEVELS,
             out_omm_index_histogram_size_in_bytes=8 * 2 * MAX_NUM_SUBDIV_LEVELS,
-            transient_pool_buffer_sizes=(scratch,),
+            transient_pool_buffer_sizes=pools,
             max_batch_count=max_batch_count,
         )
+
+    def _batch_ranges(self, cfg: DispatchConfigDesc,
+                      levels: np.ndarray) -> list:
+        """Primitive ranges whose live micro-tri scratch fits the budget
+        (the reference's maxScratchMemorySize batching,
+        bake_gpu_impl.cpp:517-584, executed rather than merely planned);
+        Nsight debug mode forces one primitive per batch (:555-559)."""
+        n = len(levels)
+        if n == 0:
+            return [(0, 0)]
+        if cfg.bake_flags & GpuBakeFlags.EnableNsightDebugMode:
+            return [(i, i + 1) for i in range(n)]
+        budget = int(cfg.max_scratch_memory_size)
+        ranges, start, cur = [], 0, 0
+        for i, lvl in enumerate(levels):
+            s = get_num_micro_triangles(int(lvl)) * 8
+            if cur and cur + s > budget:
+                ranges.append((start, i))
+                start, cur = i, 0
+            cur += s
+        ranges.append((start, n))
+        return ranges
 
     # -- Phase C+D: dispatch-chain build + execution -------------------------
     def dispatch(self, cfg: DispatchConfigDesc,
@@ -240,12 +277,27 @@ class Pipeline:
                             {"dedup": not (cfg.bake_flags
                                            & GpuBakeFlags.DisableTexCoordDeduplication)})]
         if do_bake:
-            for lvl in sorted(set(int(l) for l in levels)):
-                passes.append(Pass(f"Level {lvl}", "classify",
-                                   {"level": lvl,
-                                    "count": int((levels == lvl).sum())}))
-            passes.append(Pass("DescPatch", "desc_patch", {}))
-            passes.append(Pass("IndexWrite", "index_write", {}))
+            # per-batch, per-level passes like the reference's labeled
+            # dispatch chain ("Batch %d" / "Level %d" markers,
+            # bake_gpu_impl.cpp:1112,1133-1135), with the pool sub-ranges
+            # each pass touches (introspectable resource plan)
+            ranges = self._batch_ranges(cfg, levels)
+            multi = len(ranges) > 1
+            for b, (s, e) in enumerate(ranges):
+                for lvl in sorted(set(int(l) for l in levels[s:e])):
+                    label = (f"Batch {b} Level {lvl}" if multi
+                             else f"Level {lvl}")
+                    passes.append(Pass(
+                        label, "classify",
+                        {"level": lvl, "batch": b,
+                         "count": int((levels[s:e] == lvl).sum()),
+                         "resources": [("pool0", "bake_result"),
+                                       ("pool2", "dispatch_args")]}))
+            passes.append(Pass("DescPatch", "desc_patch",
+                               {"resources": [("pool1", "hash_table"),
+                                              ("pool2", "histograms")]}))
+            passes.append(Pass("IndexWrite", "index_write",
+                               {"resources": [("pool2", "temp_indices")]}))
 
         def execute():
             return self._execute(cfg, levels, backend)
@@ -384,28 +436,56 @@ class Pipeline:
         for it in items:
             it.states = it.states.copy()
 
+        # Batched execution bounding live micro-tri scratch under
+        # maxScratchMemorySize — the reference's batching EXECUTED
+        # (bake_gpu_impl.cpp:517-584), not just planned; Nsight debug
+        # mode runs one primitive per batch (:555-559).  A work item is
+        # processed in the batch that owns its first source primitive.
+        pre = self.get_pre_dispatch_info(cfg)
+        pools = pre.transient_pool_buffer_sizes
+        ranges = self._batch_ranges(cfg, levels)
+        stats = {"batch_count": 0, "max_live_scratch_bytes": 0,
+                 "transient_pool_sizes": pools}
         done = [False] * len(items)
-        if backend == "jax":
-            # batch eligible items per level through the two-phase engine
-            from ..kernels.twophase import classify_work_items_batches
-            by_level: dict = {}
-            for idx, it in enumerate(items):
-                if (not bool(geom.is_degenerate(it.uv_tri))
-                        and rcfg.filter == TextureFilterMode.Linear
-                        and not rcfg.disable_level_line):
-                    by_level.setdefault(it.subdivision_level, []).append(idx)
-            for lvl, idxs in by_level.items():
-                res = classify_work_items_batches(
-                    tex, rcfg,
-                    [[(items[i].uv_tri, items[i].states) for i in idxs]],
-                    lvl)[0]
-                for i, st in zip(idxs, res):
-                    items[i].states = st
+        for (s, e) in ranges:
+            sel = [i for i, it in enumerate(items)
+                   if s <= it.primitive_indices[0] < e]
+            if not sel:
+                continue
+            live = sum(get_num_micro_triangles(items[i].subdivision_level)
+                       * 8 for i in sel)
+            assert live <= pools[0], \
+                f"batch scratch {live} exceeds pool 0 ({pools[0]})"
+            stats["batch_count"] += 1
+            stats["max_live_scratch_bytes"] = max(
+                stats["max_live_scratch_bytes"], live)
+            if backend == "jax":
+                # batch eligible items per level through the two-phase
+                # engine
+                from ..kernels.twophase import classify_work_items_batches
+                by_level: dict = {}
+                for idx in sel:
+                    it = items[idx]
+                    if (not bool(geom.is_degenerate(it.uv_tri))
+                            and rcfg.filter == TextureFilterMode.Linear
+                            and not rcfg.disable_level_line):
+                        by_level.setdefault(it.subdivision_level,
+                                            []).append(idx)
+                for lvl, idxs in by_level.items():
+                    res = classify_work_items_batches(
+                        tex, rcfg,
+                        [[(items[i].uv_tri, items[i].states)
+                          for i in idxs]], lvl)[0]
+                    for i, st in zip(idxs, res):
+                        items[i].states = st
+                        done[i] = True
+            for i in sel:
+                if not done[i]:
+                    items[i].states = engine.resample_fine_item(
+                        tex, rcfg, items[i].uv_tri,
+                        items[i].subdivision_level, items[i].states)
                     done[i] = True
-        for it, d in zip(items, done):
-            if not d:
-                it.states = engine.resample_fine_item(
-                    tex, rcfg, it.uv_tri, it.subdivision_level, it.states)
+        self.last_dispatch_stats = stats
 
         # DescPatch: promote uniform primitives to special indices
         # (omm_desc_patch.cs.hlsl:23-200).

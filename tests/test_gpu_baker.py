@@ -212,6 +212,100 @@ def test_gpu_insufficient_scratch_and_nsight_mode():
     assert info.max_batch_count == 2  # one per primitive
 
 
+def test_gpu_scratch_budget_enforced_at_execution():
+    """A small budget on a bigger mesh must EXECUTE in >1 batch with live
+    micro-tri scratch bounded by transient pool 0, and produce results
+    identical to the single-batch bake (bake_gpu_impl.cpp:517-584)."""
+    plane = standard_circle(128, 128)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    rng = np.random.RandomState(4)
+    quads = []
+    for _ in range(8):
+        b = rng.rand(2).astype(np.float32) * 0.5
+        quads += [b, b + [0, 0.4], b + [0.4, 0], b + [0.4, 0.4]]
+    tc = np.asarray(quads, np.float32)
+    ib = []
+    for q in range(8):
+        k = 4 * q
+        ib += [k, k + 1, k + 2, k + 3, k + 1, k + 2]
+    ib = np.asarray(ib, np.uint32)
+    base = dict(alpha_texture=tex, tex_coords=tc, index_buffer=ib,
+                index_count=len(ib), max_subdivision_level=4,
+                dynamic_subdivision_scale=0.0)
+
+    # budget = 4 items' worth of subdiv-4 scratch -> 16 tris / 4 = 4+ batches
+    tiny = 4 * omm.get_num_micro_triangles(4) * 8
+    pipe_b = gpu.Pipeline()
+    res_b, post_b = pipe_b.dispatch(
+        gpu.DispatchConfigDesc(max_scratch_memory_size=tiny, **base),
+        backend="numpy").execute()
+    stats = pipe_b.last_dispatch_stats
+    assert stats["batch_count"] > 1
+    assert stats["max_live_scratch_bytes"] <= tiny
+    assert stats["max_live_scratch_bytes"] <= stats["transient_pool_sizes"][0]
+
+    pipe_1 = gpu.Pipeline()
+    res_1, post_1 = pipe_1.dispatch(gpu.DispatchConfigDesc(**base),
+                                    backend="numpy").execute()
+    assert pipe_1.last_dispatch_stats["batch_count"] == 1
+    assert np.array_equal(res_b.array_data, res_1.array_data)
+    assert np.array_equal(res_b.index_buffer, res_1.index_buffer)
+    assert post_b == post_1
+
+    # the dispatch chain advertises the per-batch passes
+    chain = gpu.Pipeline().dispatch(
+        gpu.DispatchConfigDesc(max_scratch_memory_size=tiny, **base),
+        backend="numpy")
+    assert any(p.label.startswith("Batch 1 ") for p in chain.passes)
+    classify = [p for p in chain.passes if p.kind == "classify"]
+    assert all("resources" in p.detail for p in classify)
+
+
+def test_gpu_nsight_mode_executes_one_primitive_per_batch():
+    """EnableNsightDebugMode: executed batch count equals the primitive
+    count, results unchanged (bake_gpu_impl.cpp:555-559)."""
+    plane = standard_circle(64, 64)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    base = dict(alpha_texture=tex,
+                tex_coords=np.array([[0, 0], [0, 1], [1, 0], [1, 1]],
+                                    np.float32),
+                index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32),
+                index_count=6, max_subdivision_level=3,
+                dynamic_subdivision_scale=0.0)
+    pipe = gpu.Pipeline()
+    res_n, _ = pipe.dispatch(
+        gpu.DispatchConfigDesc(
+            bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                        | gpu.GpuBakeFlags.EnableNsightDebugMode), **base),
+        backend="numpy").execute()
+    assert pipe.last_dispatch_stats["batch_count"] == 2  # one per primitive
+    res, _ = gpu.Pipeline().dispatch(gpu.DispatchConfigDesc(**base),
+                                     backend="numpy").execute()
+    assert np.array_equal(res_n.array_data, res.array_data)
+    assert np.array_equal(res_n.index_buffer, res.index_buffer)
+
+
+def test_gpu_transient_pools_shape_and_monotonicity():
+    """<=4 bump-allocated transient pools (bake_gpu_impl.cpp:434-516);
+    every pool grows monotonically with the mesh size."""
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+
+    def pools(n_tris):
+        tc = np.random.RandomState(1).rand(3 * n_tris, 2).astype(np.float32)
+        ib = np.arange(3 * n_tris, dtype=np.uint32)
+        cfg = gpu.DispatchConfigDesc(
+            alpha_texture=tex, tex_coords=tc, index_buffer=ib,
+            index_count=3 * n_tris, max_subdivision_level=6,
+            dynamic_subdivision_scale=0.0)
+        return gpu.Pipeline().get_pre_dispatch_info(
+            cfg).transient_pool_buffer_sizes
+
+    small, big = pools(10), pools(1000)
+    assert 1 <= len(small) <= 4 and len(small) == len(big)
+    for a, b in zip(small, big):
+        assert a <= b
+
+
 def test_gpu_dispatch_jax_backend_parity():
     """The dispatch chain's jax execution engine equals the numpy one."""
     rng = np.random.RandomState(0)
