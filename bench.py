@@ -2,7 +2,7 @@
 
 Workload matches the driver baseline (BASELINE.md): subdivision level 9
 (262144 micro-triangles per triangle) over a 1024x1024 alpha texture,
-linear filter, level-line classification, for a 64-triangle mesh batch —
+linear filter, level-line classification, for a 256-triangle mesh batch —
 the production shape (one texture, many primitives).
 
 Engine: the hierarchical two-phase classifier (kernels/twophase.py) —
@@ -10,8 +10,14 @@ bird-curve groups resolved against min/max-filtered class planes, contour
 micro-triangles window-tested, true survivors through the exact
 level-line Pallas kernel — measured END TO END per batch: device
 pipeline, both host syncs, schedule/bucket logic, and the fetch of the
-2-bit-packed states.  A bit-exactness gate against the numpy oracle must
-pass before the result counts.
+2-bit-packed states.
+
+Bit-exactness gates (all must pass for the result to count):
+  - the ENTIRE 256-triangle workload vs the numpy oracle (one full
+    oracle pass per run, outside the timed loop — the reference's
+    stats-equality discipline, test_omm_bake_cpu.cpp:105-114);
+  - a multi-mip (3-level) real-chip spot at subdiv 6;
+  - a nearest-filter real-chip spot (device phase-1 + exact host pass).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...};
 vs_baseline is against the driver target of 100M utri/s/chip.
@@ -56,6 +62,78 @@ def _workload():
     return tex, uv_tris
 
 
+def _cfg(engine, omm, **over):
+    base = dict(addr_mode=omm.TextureAddressMode.Clamp,
+                filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
+                border_alpha=0.0, fmt=omm.Format.OC1_4_State,
+                promotion=omm.UnknownStatePromotion.Nearest,
+                cutoff_gt=omm.OpacityState.Opaque,
+                cutoff_le=omm.OpacityState.Transparent)
+    base.update(over)
+    return engine.ResampleConfig(**base)
+
+
+def _spot_multimip():
+    """3-mip chain at subdiv 6 through the production two-phase engine on
+    the attached chip vs the numpy oracle (exercises the per-mip exact
+    kernel launches + early-unknown-exit accumulation)."""
+    import omm_tpu as omm
+    from omm_tpu import engine
+    from omm_tpu.kernels import twophase as tp
+
+    rng = np.random.RandomState(5)
+    mips = []
+    w = 128
+    base = rng.rand(w, w).astype(np.float32)
+    while w >= 32:
+        mips.append(base[:w, :w].copy())
+        w //= 2
+    tex = omm.Texture(mips, omm.TextureFormat.FP32)
+    cfg = _cfg(engine, omm)
+    subdiv = 6
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = [np.array([[0.1, 0.12], [0.2, 0.8], [0.82, 0.7]], np.float32),
+            np.array([[0.3, 0.05], [0.35, 0.6], [0.9, 0.5]], np.float32)]
+    items = [(t, np.full(M, 3, np.uint8)) for t in tris]
+    got = tp.classify_work_items_batch(tex, cfg, items, subdiv)
+    for t, st in zip(tris, got):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        if not (st == want).all():
+            return False
+    return True
+
+
+def _spot_nearest():
+    """Nearest-filter production path (device phase-1 window resolve +
+    exact host pass on the contour) vs the numpy oracle."""
+    import omm_tpu as omm
+    from omm_tpu import engine
+    from omm_tpu.kernels import twophase as tp
+
+    w = h = 256
+    j, i = np.meshgrid(np.arange(h, dtype=np.float32),
+                       np.arange(w, dtype=np.float32), indexing="ij")
+    plane = np.where(np.hypot(i - 128, j - 128) < np.float32(90),
+                     np.float32(0.0), np.float32(1.0)).astype(np.float32)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    cfg = _cfg(engine, omm, filter=omm.TextureFilterMode.Nearest)
+    subdiv = 6
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = [np.array([[0.1, 0.1], [0.15, 0.9], [0.9, 0.85]], np.float32)]
+    items = [(t, np.full(M, 3, np.uint8)) for t in tris]
+    res = tp.resolve_nearest_phase1(tex, cfg, items, subdiv)
+    if res is None:
+        return False
+    for t, st in zip(tris, res):
+        st = engine.resample_fine_item(tex, cfg, t, subdiv, st)
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        if not (st == want).all():
+            return False
+    return True
+
+
 def main():
     import jax
 
@@ -65,13 +143,7 @@ def main():
     from omm_tpu.kernels import jax_classify as jc
 
     tex, uv_tris = _workload()
-    cfg = engine.ResampleConfig(
-        addr_mode=omm.TextureAddressMode.Clamp,
-        filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
-        border_alpha=0.0, fmt=omm.Format.OC1_4_State,
-        promotion=omm.UnknownStatePromotion.Nearest,
-        cutoff_gt=omm.OpacityState.Opaque,
-        cutoff_le=omm.OpacityState.Transparent)
+    cfg = _cfg(engine, omm)
     M = omm.get_num_micro_triangles(SUBDIV)
     UO = int(omm.OpacityState.UnknownOpaque)
 
@@ -99,13 +171,6 @@ def main():
                     for t in uv_tris]
         got = run_batch()
 
-    # Parity gate: engine states vs numpy oracle on two triangles.
-    parity = True
-    for k in (0, N_TRIS // 2):
-        oracle = engine.resample_fine_item(tex, cfg, uv_tris[k], SUBDIV,
-                                           np.full(M, UO, np.uint8))
-        parity &= bool((got[k] == oracle).all())
-
     # per-rep timing, best-of-N: the tunnel to the chip shares bandwidth
     # with other tenants, so the fastest repetition is the least-noisy
     # estimate of the engine's throughput (mean reported alongside)
@@ -118,18 +183,38 @@ def main():
     rate = N_TRIS * M / min(times)
     rate_mean = N_TRIS * M / (sum(times) / len(times))
 
+    # Parity gate: ALL N_TRIS triangles of the final timed run vs the
+    # numpy oracle — one full oracle pass, outside the timed loop.
+    parity_fail = 0
+    for k in range(N_TRIS):
+        oracle = engine.resample_fine_item(tex, cfg, uv_tris[k], SUBDIV,
+                                           np.full(M, UO, np.uint8))
+        if not (got[k] == oracle).all():
+            parity_fail += 1
+            print(f"parity FAIL tri {k}: "
+                  f"{int((got[k] != oracle).sum())}/{M} differ",
+                  file=sys.stderr)
+    parity = parity_fail == 0
+
+    spot_multimip = _spot_multimip()
+    spot_nearest = _spot_nearest()
+
     print(json.dumps({
         "metric": "utri_classified_per_sec_per_chip_subdiv9",
         "value": round(rate, 1),
         "unit": "utri/s",
         "vs_baseline": round(rate / TARGET, 3),
         "mean_utri_per_s": round(rate_mean, 1),
-        "bit_exact_vs_oracle": parity,
+        "bit_exact_vs_oracle": bool(parity and spot_multimip
+                                    and spot_nearest),
+        "parity_tris": f"{N_TRIS - parity_fail}/{N_TRIS}",
+        "spot_multimip_bit_exact": spot_multimip,
+        "spot_nearest_bit_exact": spot_nearest,
         "engine": engine_name,
         "batch_tris": N_TRIS, "sub_batch": BATCH,
         "device": str(jax.devices()[0]),
     }))
-    if not parity:
+    if not (parity and spot_multimip and spot_nearest):
         sys.exit(1)
 
 

@@ -1,7 +1,9 @@
 """GPU-baker analog: dispatch-chain API parity tests.
 
 Oracles from the reference GPU suite (test_omm_bake_gpu.cpp); histogram
-self-consistency mirrors util/omm_histogram.cpp:20-122."""
+self-consistency mirrors util/omm_histogram.cpp:20-122; the 40-case
+fixture matrix mirrors the reference's instantiation grid
+(test_omm_bake_gpu.cpp:1527-1572)."""
 import numpy as np
 import pytest
 
@@ -9,7 +11,7 @@ import omm_tpu as omm
 from omm_tpu import gpu
 from omm_tpu.stats import get_stats
 
-from fixtures import standard_circle
+from fixtures import hexagons, mandelbrot, sine_fp32, standard_circle
 
 
 def validate_histograms(res: omm.BakeResult):
@@ -321,3 +323,100 @@ def test_gpu_dispatch_jax_backend_parity():
     assert np.array_equal(ra.array_data, rb.array_data)
     assert np.array_equal(ra.index_buffer, rb.index_buffer)
     assert pa == pb
+
+
+# ---------------------------------------------------------------------------
+# Fixture matrix: the analog of the reference GPU suite's 40-combination
+# instantiation (test_omm_bake_gpu.cpp:1527-1572) — param axes
+# {mode, special indices, post-dispatch stats, 32-bit output indices,
+# texcoord dedup, 16-bit input indices, stats+compute} x RGBA channel.
+# Histograms are recomputed from desc/index buffers per bake
+# (util/omm_histogram.cpp:20-122) and per-state totals must be invariant
+# across packaging flags.
+# ---------------------------------------------------------------------------
+
+_CHANNEL_FIXTURES = {  # R, G, B, A planes of the synthetic RGBA asset
+    0: standard_circle, 1: sine_fp32, 2: mandelbrot, 3: hexagons}
+
+_MATRIX_VARIANTS = (
+    "default", "compute_only", "setup_before_build", "no_special",
+    "post_stats", "force32", "no_dedup", "uint16_indices",
+    "no_special_force32", "stats_compute_only")
+
+
+@pytest.mark.parametrize("channel", sorted(_CHANNEL_FIXTURES))
+@pytest.mark.parametrize("variant", _MATRIX_VARIANTS)
+def test_gpu_fixture_matrix(channel, variant):
+    plane = _CHANNEL_FIXTURES[channel](128, 128)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    tc = np.array([[0.07, 0.03], [0.06, 0.92], [0.96, 0.04], [0.9, 0.9]],
+                  np.float32)
+    ib = np.array([0, 1, 2, 3, 1, 2], np.uint32)
+    flags = gpu.GpuBakeFlags.PerformSetupAndBake
+    if variant == "compute_only":
+        flags |= gpu.GpuBakeFlags.ComputeOnly
+    elif variant == "no_special":
+        flags |= gpu.GpuBakeFlags.DisableSpecialIndices
+    elif variant == "post_stats":
+        flags |= gpu.GpuBakeFlags.EnablePostDispatchInfoStats
+    elif variant == "force32":
+        flags |= gpu.GpuBakeFlags.Force32BitIndices
+    elif variant == "no_dedup":
+        flags |= gpu.GpuBakeFlags.DisableTexCoordDeduplication
+    elif variant == "uint16_indices":
+        ib = ib.astype(np.uint16)
+    elif variant == "no_special_force32":
+        flags |= (gpu.GpuBakeFlags.DisableSpecialIndices
+                  | gpu.GpuBakeFlags.Force32BitIndices)
+    elif variant == "stats_compute_only":
+        flags |= (gpu.GpuBakeFlags.EnablePostDispatchInfoStats
+                  | gpu.GpuBakeFlags.ComputeOnly)
+
+    base = dict(alpha_texture=tex, alpha_texture_channel=channel,
+                tex_coords=tc, index_buffer=ib, index_count=6,
+                max_subdivision_level=3, dynamic_subdivision_scale=0.0)
+
+    pipe = gpu.Pipeline()
+    if variant == "setup_before_build":
+        cfg_s = gpu.DispatchConfigDesc(
+            bake_flags=gpu.GpuBakeFlags.PerformSetup, **base)
+        none_res, _ = pipe.dispatch(cfg_s, backend="numpy").execute()
+        assert none_res is None
+        cfg_b = gpu.DispatchConfigDesc(
+            bake_flags=gpu.GpuBakeFlags.PerformBake, **base)
+        res, post = pipe.dispatch(cfg_b, backend="numpy").execute()
+    else:
+        cfg = gpu.DispatchConfigDesc(bake_flags=flags, **base)
+        res, post = pipe.dispatch(cfg, backend="numpy").execute()
+
+    # histogram self-consistency (util/omm_histogram.cpp:20-122)
+    validate_histograms(res)
+    s = get_stats(res)
+    assert (s.total_opaque + s.total_transparent + s.total_unknown_opaque
+            + s.total_unknown_transparent) == 2 * 4 ** 3
+
+    # per-state totals are a packaging invariant: every variant matches
+    # the default bake of the same channel
+    ref, _ = gpu.Pipeline().dispatch(
+        gpu.DispatchConfigDesc(**base), backend="numpy").execute()
+    rs = get_stats(ref)
+    assert (s.total_opaque, s.total_transparent, s.total_unknown_opaque,
+            s.total_unknown_transparent) == (
+        rs.total_opaque, rs.total_transparent, rs.total_unknown_opaque,
+        rs.total_unknown_transparent)
+
+    # variant-specific contracts
+    if variant in ("force32", "no_special_force32"):
+        assert res.index_format == omm.IndexFormat.UINT_32
+    if variant in ("no_special", "no_special_force32"):
+        assert (np.asarray(res.index_buffer) >= 0).all()
+    if variant in ("post_stats", "stats_compute_only"):
+        assert post.out_stats_total_opaque_count == s.total_opaque
+        assert post.out_stats_total_transparent_count == s.total_transparent
+    if variant == "no_dedup":
+        assert len(res.desc_array) >= len(ref.desc_array)
+    if variant == "uint16_indices":
+        assert np.array_equal(res.array_data, ref.array_data)
+    if variant == "setup_before_build":
+        assert np.array_equal(res.array_data, ref.array_data)
+        assert np.array_equal(res.index_buffer, ref.index_buffer)
