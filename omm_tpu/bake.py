@@ -849,6 +849,15 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
             return classify(tex, cfg, it.uv_tri, it.subdivision_level,
                             it.states)
         if (backend in ("jax", "pallas") and not cfg.disable_fine
+                and cfg.filter == TextureFilterMode.Linear
+                and not cfg.disable_level_line
+                and bool(geom.is_degenerate(it.uv_tri))):
+            # degenerate (line) triangles: host DDA schedule, exact
+            # level-line kernel on device (bake_cpu_impl.cpp:896-904)
+            from .kernels.jax_classify import classify_degenerate_device
+            return classify_degenerate_device(
+                tex, cfg, it.uv_tri, it.subdivision_level, it.states)
+        if (backend in ("jax", "pallas") and not cfg.disable_fine
                 and cfg.filter == TextureFilterMode.Nearest
                 and not bool(geom.is_degenerate(it.uv_tri))):
             # nearest-filter survivors (the contour left by the phase-1

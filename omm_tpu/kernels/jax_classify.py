@@ -361,3 +361,124 @@ def _bucket_pow2(n: int) -> int:
     while p < n:
         p <<= 1
     return p
+
+
+# ---------------------------------------------------------------------------
+# degenerate (line) triangles: host DDA schedule, device exact kernel
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "addr_mode", "alpha_cutoff", "border_alpha", "mip_meta",
+    "fmt", "promotion", "cutoff_gt", "cutoff_le"))
+def _classify_degenerate(planes, muvs, aabb_s, aabb_e, xs, ys, masks, fz, *,
+                         addr_mode, alpha_cutoff, border_alpha, mip_meta,
+                         fmt, promotion, cutoff_gt, cutoff_le):
+    """Degenerate (line) level-line pass on device
+    (bake_cpu_impl.cpp:896-904 semantics, engine._degenerate_mip_pass op
+    order): the sequential DDA walks are precomputed on host into padded
+    (S, K) cell lists; the exact per-cell kernel (AABB-diagonal
+    edge-vs-hyperbola variant) and the seed bilinear run on device.
+    Mip accumulation uses the reference's early-unknown-exit masking.
+    Returns (above, below) int32 (S,)."""
+    from .levelline import get_state_from_coverage
+
+    S = muvs.shape[0]
+    above = jnp.zeros(S, jnp.int32)
+    below = jnp.zeros(S, jnp.int32)
+    alive = jnp.ones(S, bool)
+    zero = jnp.int32(0)
+    for mip, (size, size_log2, is_pow2, rcp) in enumerate(mip_meta):
+        plane = planes[mip]
+        seed = _bilinear_seed(plane, muvs[:, 0, :], size, size_log2,
+                              is_pow2, addr_mode, border_alpha, fz)
+        sa = jnp.float32(alpha_cutoff) < seed
+        x, y, m = xs[mip], ys[mip], masks[mip]
+        a_inc, b_inc = level_line_texel_kernel(
+            jnp, muvs, make_tri_params(jnp, muvs), x[:, :, None],
+            y[:, :, None], plane, size, size_log2, is_pow2, rcp,
+            addr_mode, alpha_cutoff, border_alpha, degenerate=True,
+            aabb_s=aabb_s, aabb_e=aabb_e, fz=fz)
+        m3 = m[:, :, None]
+        a = (jnp.where(m3, a_inc, zero).sum(axis=(-1, -2), dtype=jnp.int32)
+             + sa.astype(jnp.int32))
+        b = (jnp.where(m3, b_inc, zero).sum(axis=(-1, -2), dtype=jnp.int32)
+             + (~sa).astype(jnp.int32))
+        above = above + jnp.where(alive, a, zero)
+        below = below + jnp.where(alive, b, zero)
+        if len(mip_meta) > 1:
+            st = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                         cutoff_le, above, below)
+            unknown = (st == UO) \
+                | (st == int(OpacityState.UnknownTransparent))
+            alive = alive & ~unknown
+    return above, below
+
+
+def classify_degenerate_device(texture: Texture, cfg, uv_tri: np.ndarray,
+                               subdiv: int, states: np.ndarray) -> np.ndarray:
+    """Device fine-pass for degenerate (line) work items: the short
+    sequential DDA cell walks stay on host (kernels/raster.py), padded to
+    fixed shape; the exact level-line kernel runs on device over
+    (micro-tri, cell).  Bit-exact with engine.resample_fine_item's
+    degenerate branch."""
+    from .raster import conservative_line_cells_batch
+    from .levelline import get_state_from_coverage as gsc
+
+    sel = np.flatnonzero(states == UO)
+    if sel.size == 0:
+        return states
+
+    muvs_all = bird.micro_triangle_uvs(uv_tri, sel.astype(np.uint32),
+                                       subdiv)  # (S, 3, 2) fp32
+    planes = tuple(jnp.asarray(texture.load_plane(m))
+                   for m in range(texture.mip_count))
+    mip_meta = tuple(
+        (texture.info[m].size, texture.info[m].size_log2,
+         texture.info[m].is_pow2,
+         (float(texture.info[m].rcp_size[0]),
+          float(texture.info[m].rcp_size[1])))
+        for m in range(texture.mip_count))
+
+    out = states.copy()
+    for lo in range(0, sel.size, BLOCK):
+        block = sel[lo:lo + BLOCK]
+        muvs = muvs_all[lo:lo + BLOCK]
+        aabb_s, aabb_e = geom.tri_aabb(muvs)
+
+        # host DDA schedules per mip, K and S padded to pow2 buckets to
+        # bound the jit cache
+        Sp = _bucket_pow2(len(block))
+        xs, ys, masks = [], [], []
+        for m in range(texture.mip_count):
+            w, h = texture.size(m)
+            x, y, msk = conservative_line_cells_batch(
+                aabb_s, aabb_e, (w, h), (-0.5, -0.5))
+            K = max(_bucket_pow2(x.shape[1]), 2)
+            x = np.pad(x, ((0, Sp - len(block)), (0, K - x.shape[1])))
+            y = np.pad(y, ((0, Sp - len(block)), (0, K - y.shape[1])))
+            msk = np.pad(msk, ((0, Sp - len(block)), (0, K - msk.shape[1])))
+            xs.append(jnp.asarray(x))
+            ys.append(jnp.asarray(y))
+            masks.append(jnp.asarray(msk))
+        if Sp > len(block):  # pad rows with row-0 geometry (dropped)
+            padrows = np.broadcast_to(muvs[:1], (Sp - len(block), 3, 2))
+            muvs = np.concatenate([muvs, padrows])
+            aabb_s = np.concatenate(
+                [aabb_s, np.broadcast_to(aabb_s[:1], (Sp - len(block), 2))])
+            aabb_e = np.concatenate(
+                [aabb_e, np.broadcast_to(aabb_e[:1], (Sp - len(block), 2))])
+
+        above, below = _classify_degenerate(
+            planes, jnp.asarray(muvs, jnp.float32),
+            jnp.asarray(aabb_s, jnp.float32), jnp.asarray(aabb_e, jnp.float32),
+            tuple(xs), tuple(ys), tuple(masks), jnp.int32(0),
+            addr_mode=cfg.addr_mode, alpha_cutoff=float(cfg.alpha_cutoff),
+            border_alpha=float(cfg.border_alpha), mip_meta=mip_meta,
+            fmt=cfg.fmt, promotion=cfg.promotion, cutoff_gt=cfg.cutoff_gt,
+            cutoff_le=cfg.cutoff_le)
+        above = np.asarray(above)[:len(block)]
+        below = np.asarray(below)[:len(block)]
+        final = gsc(np, cfg.fmt, cfg.promotion, cfg.cutoff_gt,
+                    cfg.cutoff_le, above, below)
+        out[block] = np.asarray(final, dtype=np.uint8)
+    return out

@@ -276,3 +276,69 @@ def test_workload_too_big(circle1024):
             [[0.35, 0.1], [0.1, 0.9], [0.9, 0.8]], dtype=np.float32),
             indices=[0, 1, 2], max_workload_size=512)
     assert ei.value.result == omm.Result.WORKLOAD_TOO_BIG
+
+
+# --- degenerate triangles on the DEVICE backend (round-2: host DDA
+# schedule + exact level-line kernel on device, no host classify) ---
+
+def _assert_no_host_classify(monkeypatch):
+    """Fail the test if the host fine pass is invoked."""
+    from omm_tpu import engine as _eng
+
+    def boom(*a, **k):
+        raise AssertionError("host resample_fine_item called on the "
+                             "device backend for a degenerate item")
+
+    monkeypatch.setattr(_eng, "resample_fine_item", boom)
+
+
+@pytest.mark.parametrize("level,expect", [
+    (1, dict(total_opaque=1, total_unknown_transparent=1,
+             total_unknown_opaque=2)),
+    (2, dict(total_opaque=6, total_transparent=3,
+             total_unknown_transparent=3, total_unknown_opaque=4)),
+    (3, dict(total_opaque=28, total_transparent=21,
+             total_unknown_transparent=7, total_unknown_opaque=8)),
+    (4, dict(total_opaque=136, total_transparent=91,
+             total_unknown_transparent=14, total_unknown_opaque=15)),
+])
+def test_degen_device_backend(circle1024, level, expect, monkeypatch):
+    _assert_no_host_classify(monkeypatch)
+    expect_stats(bake_stats(circle1024, 0.5, level, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2], backend="pallas"),
+                 **expect)
+
+
+def test_degen_device_backend_wrap(circle1024, monkeypatch):
+    _assert_no_host_classify(monkeypatch)
+    tc = DEGEN_TC.copy()
+    tc[:, 0] = np.float32(-0.8)
+    expect_stats(bake_stats(circle1024, 0.5, 4, tex_coords=tc,
+                            indices=[0, 1, 2], backend="pallas",
+                            addressing_mode=omm.TextureAddressMode.Wrap),
+                 total_opaque=136, total_transparent=91,
+                 total_unknown_transparent=14, total_unknown_opaque=15)
+
+
+def test_degen_device_backend_horizontal(circle1024, monkeypatch):
+    _assert_no_host_classify(monkeypatch)
+    tc = np.array([[0.2, 0.2], [0.3, 0.2], [0.41, 0.2]], dtype=np.float32)
+    expect_stats(bake_stats(circle1024, 0.5, 1, tex_coords=tc,
+                            indices=[0, 1, 2], backend="pallas"),
+                 total_transparent=3, total_unknown_transparent=1)
+
+
+def test_degen_device_backend_multimip(monkeypatch):
+    """Degenerate item over a 3-mip chain: device path accumulates mips
+    with the reference's early-unknown-exit masking — equals the host
+    oracle exactly."""
+    from omm_tpu import engine as _eng
+    rng = np.random.RandomState(9)
+    mips = [rng.rand(128 >> k, 128 >> k).astype(np.float32)
+            for k in range(3)]
+    want = bake_stats(mips[0], 0.5, 3, tex_coords=DEGEN_TC,
+                      indices=[0, 1, 2], mips=mips, backend="numpy")
+    _assert_no_host_classify(monkeypatch)
+    got = bake_stats(mips[0], 0.5, 3, tex_coords=DEGEN_TC,
+                     indices=[0, 1, 2], mips=mips, backend="pallas")
+    assert got == want
