@@ -108,3 +108,65 @@ def gather_results(blobs: Sequence[bytes]):
     from .. import serialize as ser
 
     return [ser.deserialize(b).result_descs[0] for b in blobs]
+
+
+@dataclass
+class DedupLossReport:
+    """Cross-partition deduplication accounting.
+
+    `per_partition` is each host's distinct-OMM count (its desc array
+    length); `global_distinct` the number of distinct OMM identities
+    (subdivision level, format, bit-block bytes) across the whole farm;
+    `loss` the extra OMM descs the farm stores because dedup ran
+    per-partition instead of globally:
+
+        loss = sum(per_partition) - global_distinct  >= 0
+
+    Bound (exact dedup, i.e. near-duplicate merge disabled): every
+    partition's distinct set is a subset of the global distinct set, so
+
+        loss <= (num_partitions - 1) * global_distinct
+
+    with equality only when every OMM appears in every partition.  Near-
+    duplicate merging voids the subset property (two partitions can merge
+    differently), so the bound holds only for exact-dedup farms; the
+    morton-ordered contiguous ranges of `partition_items` keep the
+    realized loss far below the bound for spatially-coherent meshes."""
+
+    per_partition: list[int]
+    global_distinct: int
+
+    @property
+    def loss(self) -> int:
+        return sum(self.per_partition) - self.global_distinct
+
+    @property
+    def bound(self) -> int:
+        return (len(self.per_partition) - 1) * self.global_distinct
+
+
+def _omm_identities(result) -> set:
+    """Distinct OMM identities of one BakeResult: (level, format, bit
+    block bytes); block size = max(4^level * bits_per_state / 8, 1)
+    (bake.py array layout, bake_cpu_impl.cpp:1131-1188)."""
+    from ..types import Format, get_num_micro_triangles
+
+    data = np.asarray(result.array_data)
+    out = set()
+    for d in result.desc_array:
+        bits = 1 if d.format == int(Format.OC1_2_State) else 2
+        size = max((get_num_micro_triangles(d.subdivision_level)
+                    * bits) >> 3, 1)
+        out.add((d.subdivision_level, d.format,
+                 data[d.offset:d.offset + size].tobytes()))
+    return out
+
+
+def dedup_loss(partition_results: Sequence) -> DedupLossReport:
+    """Account the cross-partition dedup loss of a farm bake (see
+    DedupLossReport for the definition and the exact-dedup bound)."""
+    per = [len(r.desc_array) for r in partition_results]
+    seen: set = set()
+    for r in partition_results:
+        seen |= _omm_identities(r)
+    return DedupLossReport(per_partition=per, global_distinct=len(seen))

@@ -67,6 +67,132 @@ def _free_port() -> int:
     return port
 
 
+_WORKER4 = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from omm_tpu.parallel import multihost as mh
+
+pid = int(sys.argv[1]); coord = sys.argv[2]; outdir = sys.argv[3]
+got = mh.init_distributed(coordinator_address=coord, num_processes=4,
+                          process_id=pid)
+assert got == (pid, 4), got
+assert jax.process_count() == 4
+assert jax.local_device_count() == 2, jax.local_devices()
+assert jax.device_count() == 8, jax.devices()
+
+import omm_tpu as omm
+sys.path.insert(0, os.path.join({repo!r}, "tests"))
+from fixtures import standard_circle
+from test_multihost_procs import farm_mesh_desc
+
+desc = farm_mesh_desc(omm, standard_circle)
+costs = [4 ** 3] * 16
+parts = mh.partition_items(costs, 4)   # identical on every process
+blob = mh.bake_partition(desc, parts[pid], backend="numpy")
+
+# one real DCN collective over the 4x2 global device mesh: every host
+# learns the farm's per-partition desc counts (the histogram-merge op)
+from omm_tpu import serialize as ser
+mine = len(ser.deserialize(blob).result_descs[0].desc_array)
+from jax.experimental import multihost_utils
+counts = multihost_utils.process_allgather(
+    np.array([mine], np.int32), tiled=True)
+assert counts.shape == (4,), counts.shape
+assert int(counts[pid]) == mine
+
+with open(os.path.join(outdir, f"blob{{pid}}.bin"), "wb") as f:
+    f.write(blob)
+with open(os.path.join(outdir, f"counts{{pid}}.txt"), "w") as f:
+    f.write(",".join(str(int(c)) for c in counts))
+"""
+
+
+def farm_mesh_desc(omm, standard_circle):
+    """16-triangle mesh (8 quads) over the shared circle texture; quads
+    alternate between two exact UV rects so identical OMMs recur across
+    the 4 partitions (cross-partition duplicates = measurable dedup
+    loss), plus 4 unique jittered quads."""
+    tex = omm.Texture([standard_circle(32, 32)], omm.TextureFormat.FP32)
+    rects = [np.array([0.1, 0.1], np.float32),
+             np.array([0.45, 0.45], np.float32)]
+    rng = np.random.RandomState(7)
+    uvs, idxb = [], []
+    for q in range(8):
+        b = rects[q % 2] if q < 4 else rng.rand(2).astype(np.float32) * 0.4
+        base = len(uvs)
+        uvs += [b, b + [0, 0.3], b + [0.3, 0], b + [0.3, 0.3]]
+        idxb += [base, base + 1, base + 2, base + 3, base + 1, base + 2]
+    return omm.BakeInputDesc(
+        texture=tex, tex_coords=np.asarray(uvs, np.float32),
+        index_buffer=np.asarray(idxb, np.uint32), index_count=len(idxb),
+        max_subdivision_level=3)
+
+
+def test_four_process_two_device_bake_farm(tmp_path):
+    """4 jax.distributed processes x 2 virtual CPU devices each (the DCN
+    rehearsal VERDICT asked for): partitioned bakes + a process_allgather
+    over the 8-device global mesh, then cross-partition dedup-loss
+    accounting asserted against the DedupLossReport bound."""
+    coord = f"127.0.0.1:{_free_port()}"
+    script = tmp_path / "worker4.py"
+    script.write_text(_WORKER4.format(repo=REPO))
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(p), coord, str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(4)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    import omm_tpu as omm
+    from omm_tpu.parallel import multihost as mh
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixtures import standard_circle
+
+    blobs = [(tmp_path / f"blob{p}.bin").read_bytes() for p in range(4)]
+    results = mh.gather_results(blobs)
+    assert len(results) == 4
+
+    # every host saw the same farm-wide counts through the collective
+    per = [len(r.desc_array) for r in results]
+    for p in range(4):
+        got = [int(c) for c in
+               (tmp_path / f"counts{p}.txt").read_text().split(",")]
+        assert got == per
+
+    # oracle: identical per-partition bakes in-process
+    desc = farm_mesh_desc(omm, standard_circle)
+    parts = mh.partition_items([4 ** 3] * 16, 4)
+    want = mh.gather_results(
+        [mh.bake_partition(desc, parts[p], backend="numpy")
+         for p in range(4)])
+    for got, ref in zip(results, want):
+        assert np.array_equal(got.array_data, ref.array_data)
+        assert np.array_equal(np.asarray(got.index_buffer),
+                              np.asarray(ref.index_buffer))
+
+    # dedup-loss accounting: repeated UV rects across partitions mean a
+    # global dedup would have stored fewer OMMs; the report's loss must
+    # match the direct global-bake comparison and respect the documented
+    # exact-dedup bound
+    report = mh.dedup_loss(results)
+    assert report.per_partition == per
+    global_result = omm.bake(desc, backend="numpy")
+    assert report.global_distinct == len(global_result.desc_array)
+    assert 0 < report.loss <= report.bound
+    assert report.loss == sum(per) - len(global_result.desc_array)
+
+
 def test_two_process_bake_farm(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     script = tmp_path / "worker.py"
