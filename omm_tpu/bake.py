@@ -16,9 +16,8 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
-import xxhash
 
-from . import engine, geom
+from . import engine, geom, native
 from .bit_tricks import xy_to_morton
 from .mt19937 import MT19937
 from .texture import Texture, get_tex_coord
@@ -416,7 +415,7 @@ def deduplicate_similar_lsh(desc: BakeInputDesc, opts: Options,
                 for tab in tables:
                     samples = np.array([s3[b] for b in tab["bits"]],
                                        dtype=np.uint32)
-                    h = xxhash.xxh64(samples.tobytes(), seed=42).intdigest()
+                    h = native.xxh64(samples.tobytes(), seed=42)
                     tab["hashes"][wi] = h
                     tab["buckets"].setdefault(h, []).append(wi)
 
