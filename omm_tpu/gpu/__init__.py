@@ -1,7 +1,10 @@
 from .baker import (DispatchChain, DispatchConfigDesc, GpuBakeFlags, Pass,
                     Pipeline, PostDispatchInfo, PreDispatchInfo,
                     ScratchMemoryBudget)
+from .rhi import (CommandRecorder, RecordingRHI, ResourceRange,
+                  record_chain)
 
 __all__ = ["DispatchChain", "DispatchConfigDesc", "GpuBakeFlags", "Pass",
            "Pipeline", "PostDispatchInfo", "PreDispatchInfo",
-           "ScratchMemoryBudget"]
+           "ScratchMemoryBudget", "CommandRecorder", "RecordingRHI",
+           "ResourceRange", "record_chain"]

@@ -221,11 +221,13 @@ class Pipeline:
         # the reference's pool layout (bake_gpu_impl.cpp:434-516):
         #   pool 0: per-batch micro-tri bake-result scratch
         #   pool 1: dedup hash table (16x load factor, :463-466)
-        #   pool 2: work items + per-level indirect args + histograms
+        #   pool 2: work items + histograms + per-level indirect args
+        #           (args bump-reset per batch) + temp index buffer
         #   pool 3: assert/debug buffer (1024 dwords, :496-499)
         pools = (scratch,
                  16 * max(tri_count, 1) * 8,
-                 max(tri_count, 1) * 16 + 2 * MAX_NUM_SUBDIV_LEVELS * 12,
+                 max(tri_count, 1) * 16 + 2 * MAX_NUM_SUBDIV_LEVELS * 12
+                 + MAX_NUM_SUBDIV_LEVELS * 12 + max(tri_count, 1) * 4,
                  4096)
 
         return PreDispatchInfo(
@@ -269,35 +271,73 @@ class Pipeline:
         levels = self._subdiv_levels(cfg)
         do_setup = bool(cfg.bake_flags & GpuBakeFlags.PerformSetup)
         do_bake = bool(cfg.bake_flags & GpuBakeFlags.PerformBake)
+        pre = self.get_pre_dispatch_info(cfg)
+        pools = pre.transient_pool_buffer_sizes
+        tri_count = cfg.index_count // 3
+        from .rhi import ResourceRange as RR
+
+        # fixed pool-2 layout (bump order mirrors get_pre_dispatch_info)
+        wi_size = max(tri_count, 1) * 16
+        hist_size = 2 * MAX_NUM_SUBDIV_LEVELS * 12
+        hist_off = wi_size
+        args_off = hist_off + hist_size          # per-batch bump region
+        tmpidx_off = args_off + MAX_NUM_SUBDIV_LEVELS * 12
+        assert_rr = RR(3, 0, pools[3], "assert_buffer")
+        hash_rr = RR(1, 0, 16 * max(tri_count, 1) * 8, "hash_table")
+        wi_rr = RR(2, 0, wi_size, "work_items", "r")
+
         passes = []
         if do_setup:
-            passes += [Pass("Clear", "clear", {}),
-                       Pass("Init", "setup", {}),
-                       Pass("WorkSetup", "setup",
-                            {"dedup": not (cfg.bake_flags
-                                           & GpuBakeFlags.DisableTexCoordDeduplication)})]
+            passes += [
+                Pass("Clear", "clear",
+                     {"resources": [RR(2, 0, pools[2], "zero_fill", "w"),
+                                    RR(1, 0, hash_rr.size, "zero_fill",
+                                       "w")]}),
+                Pass("Init", "setup",
+                     {"resources": [RR(2, hist_off, hist_size,
+                                       "histograms", "w"), assert_rr]}),
+                Pass("WorkSetup", "setup",
+                     {"dedup": not (cfg.bake_flags
+                                    & GpuBakeFlags.DisableTexCoordDeduplication),
+                      "resources": [hash_rr,
+                                    RR(2, 0, wi_size, "work_items", "w"),
+                                    assert_rr]})]
         if do_bake:
             # per-batch, per-level passes like the reference's labeled
             # dispatch chain ("Batch %d" / "Level %d" markers,
-            # bake_gpu_impl.cpp:1112,1133-1135), with the pool sub-ranges
-            # each pass touches (introspectable resource plan)
+            # bake_gpu_impl.cpp:1112,1133-1135), each with the concrete
+            # bump-allocated pool sub-ranges it touches; pool 0 and the
+            # pool-2 args region reset at every batch boundary (the
+            # reference's per-batch transient reuse, :517-584)
             ranges = self._batch_ranges(cfg, levels)
             multi = len(ranges) > 1
             for b, (s, e) in enumerate(ranges):
+                bump0 = 0   # pool-0 bump pointer, reset per batch
+                bump_args = args_off
                 for lvl in sorted(set(int(l) for l in levels[s:e])):
+                    cnt = int((levels[s:e] == lvl).sum())
                     label = (f"Batch {b} Level {lvl}" if multi
                              else f"Level {lvl}")
+                    res_size = cnt * get_num_micro_triangles(lvl) * 8
+                    rr0 = RR(0, bump0, res_size, "bake_result")
+                    bump0 += res_size
+                    rr_args = RR(2, bump_args, 12, "dispatch_args", "r")
+                    bump_args += 12
                     passes.append(Pass(
                         label, "classify",
-                        {"level": lvl, "batch": b,
-                         "count": int((levels[s:e] == lvl).sum()),
-                         "resources": [("pool0", "bake_result"),
-                                       ("pool2", "dispatch_args")]}))
+                        {"level": lvl, "batch": b, "count": cnt,
+                         "resources": [rr0, rr_args, wi_rr, assert_rr]}))
             passes.append(Pass("DescPatch", "desc_patch",
-                               {"resources": [("pool1", "hash_table"),
-                                              ("pool2", "histograms")]}))
+                               {"resources": [
+                                   RR(1, 0, hash_rr.size, "hash_table",
+                                      "r"),
+                                   RR(2, hist_off, hist_size,
+                                      "histograms"), assert_rr]}))
             passes.append(Pass("IndexWrite", "index_write",
-                               {"resources": [("pool2", "temp_indices")]}))
+                               {"resources": [
+                                   RR(2, tmpidx_off,
+                                      max(tri_count, 1) * 4,
+                                      "temp_indices"), assert_rr]}))
 
         def execute():
             return self._execute(cfg, levels, backend)

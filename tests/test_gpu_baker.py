@@ -420,3 +420,95 @@ def test_gpu_fixture_matrix(channel, variant):
     if variant == "setup_before_build":
         assert np.array_equal(res.array_data, ref.array_data)
         assert np.array_equal(res.index_buffer, ref.index_buffer)
+
+
+# --- dispatch-chain consumer: RecordingRHI (omm-gpu-nvrhi analog) ---
+
+def _quad_cfg(n_quads=8, subdiv=4, **kw):
+    plane = standard_circle(128, 128)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    rng = np.random.RandomState(4)
+    quads = []
+    for _ in range(n_quads):
+        b = rng.rand(2).astype(np.float32) * 0.5
+        quads += [b, b + [0, 0.4], b + [0.4, 0], b + [0.4, 0.4]]
+    ib = []
+    for q in range(n_quads):
+        k = 4 * q
+        ib += [k, k + 1, k + 2, k + 3, k + 1, k + 2]
+    return gpu.DispatchConfigDesc(
+        alpha_texture=tex, tex_coords=np.asarray(quads, np.float32),
+        index_buffer=np.asarray(ib, np.uint32), index_count=len(ib),
+        max_subdivision_level=subdiv, dynamic_subdivision_scale=0.0, **kw)
+
+
+def test_rhi_records_and_validates_chain():
+    """The command stream a client backend receives: labels for every
+    pass, in-bounds binds, dispatch count parity (omm-gpu-nvrhi.cpp
+    command translation, validated like the nvrhi validation layer)."""
+    cfg = _quad_cfg()
+    pipe = gpu.Pipeline()
+    info = pipe.get_pre_dispatch_info(cfg)
+    chain = pipe.dispatch(cfg, backend="numpy")
+    rec = gpu.RecordingRHI(info.transient_pool_buffer_sizes)
+    gpu.record_chain(chain, rec)
+    assert rec.labels == [p.label for p in chain.passes]
+    assert rec.dispatch_count == len(chain.passes)
+    # every pool's high-water mark stays within its size
+    for hw, size in zip(rec.high_water, info.transient_pool_buffer_sizes):
+        assert hw <= size
+    # classify passes carry concrete bake-result sub-ranges of pool 0
+    classify = [p for p in chain.passes if p.kind == "classify"]
+    assert classify
+    for p in classify:
+        rr = [r for r in p.detail["resources"] if r.pool == 0]
+        assert len(rr) == 1 and rr[0].usage == "bake_result"
+        assert rr[0].size == (p.detail["count"]
+                              * omm.get_num_micro_triangles(
+                                  p.detail["level"]) * 8)
+
+
+def test_rhi_pool0_bump_resets_per_batch():
+    """Multi-batch chains reuse pool 0 from offset 0 each batch (the
+    reference's per-batch transient scratch reuse,
+    bake_gpu_impl.cpp:517-584) and place barriers between passes sharing
+    a pool."""
+    tiny = 4 * omm.get_num_micro_triangles(4) * 8
+    cfg = _quad_cfg(max_scratch_memory_size=tiny)
+    pipe = gpu.Pipeline()
+    info = pipe.get_pre_dispatch_info(cfg)
+    chain = pipe.dispatch(cfg, backend="numpy")
+    batches = {}
+    for p in chain.passes:
+        if p.kind != "classify":
+            continue
+        rr0 = [r for r in p.detail["resources"] if r.pool == 0][0]
+        batches.setdefault(p.detail["batch"], []).append(rr0)
+    assert len(batches) > 1
+    for b, rrs in batches.items():
+        assert rrs[0].offset == 0          # bump reset at batch start
+        for a, c in zip(rrs, rrs[1:]):
+            assert c.offset == a.end       # bump-allocated, contiguous
+        assert rrs[-1].end <= info.transient_pool_buffer_sizes[0]
+    rec = gpu.RecordingRHI(info.transient_pool_buffer_sizes)
+    gpu.record_chain(chain, rec)
+    assert any(c[0] == "barrier" for c in rec.commands)
+
+
+def test_rhi_validation_rejects_bad_plans():
+    import pytest as _pytest
+    rec = gpu.RecordingRHI((64, 64))
+    with _pytest.raises(ValueError, match="out of bounds"):
+        rec.bind([gpu.ResourceRange(0, 32, 64, "x")])
+    with _pytest.raises(ValueError, match="overlap"):
+        rec.bind([gpu.ResourceRange(0, 0, 32, "a"),
+                  gpu.ResourceRange(0, 16, 32, "b")])
+    # read-read overlap is legal
+    rec.bind([gpu.ResourceRange(0, 0, 32, "a", "r"),
+              gpu.ResourceRange(0, 16, 32, "b", "r")])
+    rec.begin_label("open")
+    with _pytest.raises(ValueError, match="unclosed"):
+        rec.finish()
+    with _pytest.raises(ValueError, match="without begin"):
+        rec2 = gpu.RecordingRHI((8,))
+        rec2.end_label()
