@@ -161,6 +161,24 @@ def cmd_viewer(args):
         out = args.zoom_out or f"zoom_prim{args.zoom}.png"
         debug._write_png(out, img)
         print(out)
+    if args.reuse:
+        groups = vs.reuse_groups()
+        print(f"{len(groups)} distinct OMMs referenced by index")
+        for desc_idx, prims in groups[:args.reuse_top]:
+            mark = " (reused)" if len(prims) > 1 else ""
+            print(f"  desc {desc_idx}: {len(prims)} primitive(s) "
+                  f"{prims}{mark}")
+    if args.inspect is not None:
+        prim, _, rest = args.inspect.partition(":")
+        kw = {}
+        if "," in rest:
+            u, _, v = rest.partition(",")
+            kw["uv"] = (float(u), float(v))
+        elif rest:
+            kw["micro"] = int(rest)
+        info = vs.inspect(int(prim), **kw)
+        for k, v in info.items():
+            print(f"{k} = {v}")
     if args.save:
         print(vs.save_blob(args.save))
     return 0
@@ -229,6 +247,12 @@ def main(argv=None):
                    help="micro-triangle-level view of one primitive")
     v.add_argument("--zoom-scale", type=int, default=12)
     v.add_argument("--zoom-out", metavar="OUT.png")
+    v.add_argument("--reuse", action="store_true",
+                   help="browse OMM reuse: which primitives share descs")
+    v.add_argument("--reuse-top", type=int, default=20)
+    v.add_argument("--inspect", metavar="PRIM[:MICRO|:U,V]",
+                   help="inspect one primitive, optionally one micro-"
+                        "triangle by bird index or containing UV point")
     v.add_argument("--save", metavar="OUT.bin",
                    help="write the tweaked inputs + result as a new blob")
     v.add_argument("--backend", default="numpy")

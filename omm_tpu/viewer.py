@@ -38,6 +38,35 @@ _ENUM_FIELDS = {
 }
 
 
+def uv_to_micro_index(uv_tri: np.ndarray, uv, level: int) -> int:
+    """Micro-triangle (bird curve) index containing a UV point inside the
+    primitive — the pick half of the viewer's zoom-to-micro-triangle
+    interaction.  Robust brute force: evaluate every micro-triangle's
+    corners (bird.micro_triangle_uvs) and pick the one whose edges keep
+    the point most interior (exact containment for points strictly
+    inside a cell; edge/vertex points resolve to an adjacent cell)."""
+    from . import bird
+
+    M = 4 ** level
+    p = np.asarray(uv, np.float64)
+    tris = bird.micro_triangle_uvs(
+        np.asarray(uv_tri, np.float32), np.arange(M, dtype=np.uint32),
+        level).astype(np.float64)  # (M, 3, 2)
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+
+    def edge(p0, p1):
+        return ((p1[:, 0] - p0[:, 0]) * (p[1] - p0[:, 1])
+                - (p1[:, 1] - p0[:, 1]) * (p[0] - p0[:, 0]))
+
+    e = np.stack([edge(a, b), edge(b, c), edge(c, a)])
+    # orientation-normalize so "inside" is min signed distance >= 0
+    area2 = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+             - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    sgn = np.where(area2 < 0, -1.0, 1.0)
+    score = (e * sgn).min(axis=0)
+    return int(np.argmax(score))
+
+
 class ViewerSession:
     """Load a serialized blob and iterate on its bake parameters."""
 
@@ -111,6 +140,64 @@ class ViewerSession:
 
     def stats(self):
         return get_stats(self._ensure_result())
+
+    # -- inspection / reuse browsing ---------------------------------------
+    def reuse_groups(self) -> list[tuple[int, list[int]]]:
+        """OMM-reuse browser (the viewer's reuse highlighting,
+        viewer_app.cpp reuse coloring): (desc index, primitives sharing
+        it), most-reused first.  Special-index primitives are excluded
+        (they reference no desc)."""
+        res = self._ensure_result()
+        groups: dict[int, list[int]] = {}
+        for prim in range(res.index_count):
+            v = int(res.index_buffer[prim])
+            if v >= 0:
+                groups.setdefault(v, []).append(prim)
+        return sorted(groups.items(), key=lambda kv: (-len(kv[1]), kv[0]))
+
+    def inspect(self, primitive: int, micro: Optional[int] = None,
+                uv: Optional[tuple] = None) -> dict:
+        """Zoom-to-micro-triangle inspection: primitive-level info (desc
+        index / special index, level, format, reuse partners), plus one
+        micro-triangle's bird index, state, and UV corners when `micro`
+        or a (u, v) point inside the primitive is given."""
+        from . import bird, geom
+        from .stats import decode_states
+        from .types import OpacityState, SpecialIndex
+        res = self._ensure_result()
+        if not (0 <= primitive < res.index_count):
+            raise IndexError(f"primitive {primitive} out of range "
+                             f"(index_count={res.index_count})")
+        v = int(res.index_buffer[primitive])
+        tc = geom.triangles_from_indices(
+            np.asarray(self.desc.index_buffer)[:self.desc.index_count],
+            self.desc.tex_coords, self.desc.tex_coord_format,
+            self.desc.tex_coord_stride_in_bytes)[primitive]
+        out = {"primitive": primitive, "uv_tri": tc}
+        if v < 0:
+            out["special_index"] = SpecialIndex(v).name
+            out["state"] = OpacityState(-v - 1).name
+            return out
+        d = res.desc_array[v]
+        out.update(desc_index=v, subdivision_level=d.subdivision_level,
+                   format=Format(d.format).name,
+                   reused_by=[p for p in range(res.index_count)
+                              if int(res.index_buffer[p]) == v])
+        if micro is None and uv is not None:
+            micro = uv_to_micro_index(tc, uv, d.subdivision_level)
+        if micro is not None:
+            M = 4 ** d.subdivision_level
+            if not (0 <= micro < M):
+                raise IndexError(f"micro index {micro} out of range ({M})")
+            states = decode_states(res.array_data, d.offset,
+                                   d.subdivision_level, d.format)
+            out.update(
+                micro_index=micro,
+                micro_state=OpacityState(int(states[micro])).name,
+                micro_uv=bird.micro_triangle_uvs(
+                    tc, np.asarray([micro], np.uint32),
+                    d.subdivision_level)[0])
+        return out
 
     def save_png(self, path: str, **render_kw) -> str:
         img = self.render(**render_kw)

@@ -247,3 +247,78 @@ def test_capi_flat_surface_roundtrip():
     assert capi.omm_gpu_get_pipeline_desc(pipe) is not None
     capi.omm_cpu_destroy_texture(bk, tex)
     capi.omm_destroy_baker(bk)
+
+
+def test_viewer_inspect_and_reuse(tmp_path, capsys):
+    """Zoom-to-micro-triangle inspection + OMM-reuse browsing
+    (viewer_app.cpp:1114-1216 interactions, headless)."""
+    import numpy as np
+    import omm_tpu as omm
+    from omm_tpu.baker import Baker
+    from omm_tpu.viewer import ViewerSession, uv_to_micro_index
+    from omm_tpu import bird
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(32, 32)], omm.TextureFormat.FP32)
+    # two quads with IDENTICAL uv rects -> 4 tris, OMMs reused
+    tc = np.array([[0, 0], [0, 1], [1, 0], [1, 1],
+                   [0, 0], [0, 1], [1, 0], [1, 1]], np.float32)
+    ib = np.array([0, 1, 2, 3, 1, 2, 4, 5, 6, 7, 5, 6], np.uint32)
+    desc = omm.BakeInputDesc(texture=tex, tex_coords=tc, index_buffer=ib,
+                             index_count=len(ib), max_subdivision_level=4,
+                             dynamic_subdivision_scale=0.0)
+    res = omm.bake(desc)
+    blob = Baker().serialize(input_descs=[desc], result_descs=[res],
+                             compress=True)
+    vs = ViewerSession(blob)
+
+    groups = vs.reuse_groups()
+    assert groups, "circle quad must produce referenced descs"
+    # identical quads: every referenced desc serves >= 2 primitives
+    assert all(len(prims) >= 2 for _, prims in groups)
+    # most-reused first
+    sizes = [len(p) for _, p in groups]
+    assert sizes == sorted(sizes, reverse=True)
+    total = sum(sizes) + sum(1 for i in range(res.index_count)
+                             if int(res.index_buffer[i]) < 0)
+    assert total == res.index_count
+
+    info = vs.inspect(0, micro=5)
+    assert info["primitive"] == 0
+    assert info["subdivision_level"] == 4
+    assert info["micro_index"] == 5
+    assert info["micro_state"] in ("Opaque", "Transparent",
+                                   "UnknownOpaque", "UnknownTransparent")
+    assert 4 in info["reused_by"] or len(info["reused_by"]) >= 2
+
+    # uv pick: the centroid of micro-tri k must map back to index k
+    uv_tri = tc[[0, 1, 2]]
+    for k in (0, 7, 42, 255):
+        muv = bird.micro_triangle_uvs(uv_tri, np.asarray([k], np.uint32),
+                                      4)[0]
+        cen = muv.mean(axis=0)
+        assert uv_to_micro_index(uv_tri, cen, 4) == k
+    info = vs.inspect(0, uv=tuple(
+        bird.micro_triangle_uvs(uv_tri, np.asarray([9], np.uint32),
+                                4)[0].mean(axis=0)))
+    assert info["micro_index"] == 9
+
+    # the state reported must equal the decoded bake state
+    from omm_tpu.stats import decode_states
+    d = res.desc_array[int(res.index_buffer[0])]
+    st = decode_states(res.array_data, d.offset, d.subdivision_level,
+                       d.format)
+    got = vs.inspect(0, micro=3)["micro_state"]
+    assert got == omm.OpacityState(int(st[3])).name
+
+    # CLI surface
+    import omm_tpu.cli as cli
+    p = tmp_path / "v.bin"
+    p.write_bytes(blob)
+    rc = cli.main(["viewer", str(p), "--reuse", "--inspect", "0:5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "distinct OMMs" in out and "micro_state" in out
+    rc = cli.main(["viewer", str(p), "--inspect", "1:0.4,0.55"])
+    assert rc == 0
+    assert "micro_index" in capsys.readouterr().out
