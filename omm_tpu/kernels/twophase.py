@@ -106,11 +106,21 @@ def _span_window(texture: Texture, uv_tri: np.ndarray, level: int, mip: int):
     """Conservative static (H, W) texel window class for subtriangles at
     `level`: upper bound on the clipped AABB extent (a subtriangle is the
     macro triangle scaled by 2^-level)."""
+    Hb, Wb = _span_windows(texture, uv_tri[None], level, mip)
+    return int(Hb[0]), int(Wb[0])
+
+
+def _span_windows(texture: Texture, uv_arr: np.ndarray, level: int,
+                  mip: int):
+    """Batched _span_window: uv_arr (N, 3, 2) -> (Hb, Wb) int64 (N,)
+    arrays, elementwise-identical to the scalar version (same fp64 op
+    order) — host batch prep is per-batch hot (profiled ~17 ms/batch in
+    scalar form, dominated by hundreds of these calls)."""
     w, h = texture.size(mip)
-    q = uv_tri.astype(np.float64) * np.array([w, h], np.float64)
-    span = (q.max(axis=0) - q.min(axis=0)) * 2.0 ** -level
-    Wb = int(np.ceil(span[0] * (1.0 + 1e-5))) + 2
-    Hb = int(np.ceil(span[1] * (1.0 + 1e-5))) + 2
+    q = np.asarray(uv_arr, np.float64) * np.array([w, h], np.float64)
+    span = (q.max(axis=1) - q.min(axis=1)) * 2.0 ** -level
+    Wb = np.ceil(span[:, 0] * (1.0 + 1e-5)).astype(np.int64) + 2
+    Hb = np.ceil(span[:, 1] * (1.0 + 1e-5)).astype(np.int64) + 2
     return Hb, Wb
 
 
@@ -163,17 +173,29 @@ _corner_cols = pk.corner_cols
 
 
 def _class_plane(planeP, Hb, Wb, cutoff, margin):
-    """int8 plane: value at (y, x) classifies the (Hb+4, Wb+4) window
-    anchored there (+1 strictly above, -1 strictly below, 0 mixed)."""
+    """int8 plane: value at (y, x) classifies the (Hb+2, Wb+2) window
+    anchored there (+1 strictly above, -1 strictly below, 0 mixed).
+
+    Window-size derivation (why +2 suffices): lookups anchor at
+    x0-1 with x0 = floor(qmin), q = u*w - 0.5 (_window_origin).  The
+    exact kernel's reads for an entity with fp32 raster span S are
+    cells [floor(qmin), ceil(qmax)) plus the +1-texel bilinear
+    footprint (gather_tex_coord4) -> texels [x0, x0+ceil(S)+1], with
+    ceil(S) <= Wb-2 (_span_window's float64 span + eps + 2).  Group
+    levels add <=1 texel on each end for member-corner fp32 interp
+    under/overshoot vs the group hull.  Total: [x0-1, x0+Wb] subset of
+    the [x0-1, x0+Wb+1) window anchored at x0-1.  (Round-1 used +4 —
+    two texels of pure slack per axis that widened the unresolved band
+    at the finest level by ~30%.)"""
     inf = jnp.float32(np.inf)
     wmin = jax.lax.reduce_window(planeP, inf, jax.lax.min,
-                                 (Hb + 4, 1), (1, 1), "VALID")
+                                 (Hb + 2, 1), (1, 1), "VALID")
     wmin = jax.lax.reduce_window(wmin, inf, jax.lax.min,
-                                 (1, Wb + 4), (1, 1), "VALID")
+                                 (1, Wb + 2), (1, 1), "VALID")
     wmax = jax.lax.reduce_window(planeP, -inf, jax.lax.max,
-                                 (Hb + 4, 1), (1, 1), "VALID")
+                                 (Hb + 2, 1), (1, 1), "VALID")
     wmax = jax.lax.reduce_window(wmax, -inf, jax.lax.max,
-                                 (1, Wb + 4), (1, 1), "VALID")
+                                 (1, Wb + 2), (1, 1), "VALID")
     cut = jnp.float32(cutoff)
     mrg = jnp.float32(margin)
     scale = jnp.maximum(jnp.float32(1.0),
@@ -535,9 +557,10 @@ def _group_level(texture: Texture, uv_tris, subdiv: int) -> int:
     ~8-16 at mip 0."""
     w, h = texture.size(0)
     span = 1.0
-    for uv in uv_tris:
-        q = uv.astype(np.float64) * np.array([w, h], np.float64)
-        span = max(span, float((q.max(axis=0) - q.min(axis=0)).max()))
+    if uv_tris:
+        q = np.stack(uv_tris).astype(np.float64) \
+            * np.array([w, h], np.float64)
+        span = max(span, float((q.max(axis=1) - q.min(axis=1)).max()))
     lg = int(np.ceil(np.log2(max(span / 8.0, 1.0))))
     return max(1, min(subdiv - 1, lg))
 
@@ -550,17 +573,17 @@ def _descend_levels(texture: Texture, uv_tris, subdiv: int,
     lookups shrink ~3x vs the flat two-level scheme: each level prunes
     the interior, so only the alpha-contour neighborhood expands."""
     l0 = lg
+    uv_arr = np.stack(uv_tris) if uv_tris else np.zeros((0, 3, 2))
+    pads_sub = []
+    for mip in range(texture.mip_count):
+        Hb, Wb = _span_windows(texture, uv_arr, subdiv, mip)
+        pads_sub.append(TILE + np.maximum(Hb + 2, Wb + 2))
     for lv in range(1, lg):
         ok = True
-        for uv in uv_tris:
-            for mip in range(texture.mip_count):
-                Hb, Wb = _span_window(texture, uv, subdiv, mip)
-                pad = TILE + max(Hb + 2, Wb + 2)
-                Hg, Wg = _span_window(texture, uv, lv, mip)
-                if max(Hg, Wg) + 6 >= pad:
-                    ok = False
-                    break
-            if not ok:
+        for mip in range(texture.mip_count):
+            Hg, Wg = _span_windows(texture, uv_arr, lv, mip)
+            if (np.maximum(Hg, Wg) + 6 >= pads_sub[mip]).any():
+                ok = False
                 break
         if ok:
             l0 = lv
@@ -644,18 +667,19 @@ class _BatchCtx:
             [items[i][0].reshape(6) for i in fast]).astype(np.float32)
         self.ccw = np.array([bool(geom.is_ccw(items[i][0])) for i in fast])
         # avoid materializing the (T, M) mask in the common all-active
-        # case (fresh bakes): it is a 16MB alloc per batch on the host
-        self.all_active = all(bool((items[i][1] == UO).all()) for i in fast)
+        # case (fresh bakes); states are in {0..3} so min()==UO(3) is
+        # exactly "all UnknownOpaque", with no 4^subdiv-byte temporaries
+        # (profiled at ~9 ms/batch as (st == UO).all())
+        self.all_active = all(int(items[i][1].min()) == UO for i in fast)
 
         cutoff = float(cfg.alpha_cutoff)
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
         self.tilesEs, self.rcps = [], []
         self.cls_lv = [[] for _ in self.levels]
+        uv_arr = np.stack([items[i][0] for i in fast])
         for mip in range(texture.mip_count):
-            Hb = max(_span_window(texture, items[i][0], subdiv, mip)[0]
-                     for i in fast)
-            Wb = max(_span_window(texture, items[i][0], subdiv, mip)[1]
-                     for i in fast)
+            Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
+            Hb, Wb = int(Hbs.max()), int(Wbs.max())
             TSA = TILE + max(Hb + 2, Wb + 2)
             pad = TSA
             ba = float(getattr(cfg, "border_alpha", 0.0))
@@ -666,13 +690,11 @@ class _BatchCtx:
             self.HWu.append((Hb, Wb))
             self.ntxs.append(ntx)
             for li, lv in enumerate(self.levels):
-                Hl = max(_span_window(texture, items[i][0], lv, mip)[0]
-                         for i in fast)
-                Wl = max(_span_window(texture, items[i][0], lv, mip)[1]
-                         for i in fast)
+                Hls, Wls = _span_windows(texture, uv_arr, lv, mip)
                 self.cls_lv[li].append(
                     _cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
-                                Hl, Wl, cutoff, PHASE1_MARGIN, ba))
+                                int(Hls.max()), int(Wls.max()), cutoff,
+                                PHASE1_MARGIN, ba))
             self.tilesEs.append(tilesE)
             info = texture.info[mip]
             self.rcps.append((float(info.rcp_size[0]),
@@ -733,6 +755,22 @@ class _BatchCtx:
         m = len(levels) - 1
         N0 = 4 ** levels[0]
         hdr = 4 * (m + 2 + len(self.mips))
+
+        from .. import native
+        rec = native.reconstruct_states(
+            buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K, K_cap,
+            int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le),
+            None if self.all_active else self.active)
+        if rec is not None:
+            for t, i in enumerate(self.fast):
+                if self.all_active:
+                    self.out[i] = rec[t]
+                else:
+                    st = self.items[i][1].copy()
+                    act = self.active[t]
+                    st[act] = rec[t][act]
+                    self.out[i] = st
+            return
 
         sizes = [T * N0] + [
             Cs_cap[i] * 4 ** (levels[i + 1] - levels[i]) for i in range(m)]
@@ -938,7 +976,9 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         out = [None] * len(items)
         todo = []
         for i, (uv, st) in enumerate(items):
-            if not (st == UO).any():
+            # states are in {0..3}: max()==UO(3) <=> some UnknownOpaque,
+            # without a 4^subdiv-byte comparison temporary per item
+            if int(st.max()) != UO:
                 out[i] = st
             else:
                 todo.append(i)

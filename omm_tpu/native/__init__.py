@@ -68,6 +68,14 @@ def get_lib():
                                                 ctypes.c_size_t, u8p]
         lib.omm_hamming_u8.restype = ctypes.c_size_t
         lib.omm_hamming_u8.argtypes = [u8p, u8p, ctypes.c_size_t]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.omm_reconstruct_states.restype = None
+        lib.omm_reconstruct_states.argtypes = [
+            u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
+            ctypes.c_uint8, ctypes.c_uint8, u8p, i32p, ctypes.c_int64,
+            u8p]
         _LIB = lib
         return _LIB
 
@@ -137,6 +145,53 @@ def hamming_u8(a, b) -> int:
     if lib is not None:
         return int(lib.omm_hamming_u8(_u8ptr(aa), _u8ptr(bb), len(aa)))
     return int(np.count_nonzero(aa != bb))
+
+
+def reconstruct_states(buf, hdr: int, levels, T: int, subdiv: int,
+                       Cs, Cs_cap, K: int, K_cap: int,
+                       st_gt: int, st_le: int, active):
+    """Replay the two-phase descent from a compressed payload into a
+    (T, M) uint8 state array (the C++ fast path of
+    twophase._BatchCtx.finish_compact).  Returns None when the native
+    library is unavailable; callers fall back to the numpy replay."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    levels = list(levels)
+    m = len(levels) - 1
+    M = 1 << (2 * subdiv)
+    N0 = 1 << (2 * levels[0])
+    sizes = [T * N0] + [int(Cs_cap[i]) * 4 ** (levels[i + 1] - levels[i])
+                        for i in range(m)]
+    offs = np.empty(m + 1, np.int64)
+    o = hdr
+    for i, s in enumerate(sizes):
+        offs[i] = o
+        o += s // 4
+    final_off = o
+    max_nodes = max(sizes)
+    scratch = np.empty(2 * max_nodes, np.int32)
+    out = np.empty(T * M, np.uint8)
+    b = np.ascontiguousarray(buf, np.uint8)
+    lv = np.asarray(levels, np.int32)
+    cs = np.asarray(Cs, np.int32)
+    cc = np.asarray(Cs_cap, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    act = active
+    if act is not None:
+        act = np.ascontiguousarray(act.reshape(-1), np.uint8)
+    lib.omm_reconstruct_states(
+        _u8ptr(b), offs.ctypes.data_as(i64p), ctypes.c_int64(final_off),
+        lv.ctypes.data_as(i32p), m + 1, T, subdiv,
+        cs.ctypes.data_as(i32p), cc.ctypes.data_as(i32p),
+        min(int(K), int(K_cap)), ctypes.c_uint8(st_gt),
+        ctypes.c_uint8(st_le),
+        _u8ptr(act) if act is not None else
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)),
+        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(out))
+    return out.reshape(T, M)
 
 
 def xxh64(data: bytes, seed: int = 0) -> int:

@@ -310,6 +310,107 @@ void omm_unpack_2bit_strided(const uint8_t* packed, size_t q, size_t m,
     }
 }
 
+// Reconstruct per-micro-triangle states from the two-phase engine's
+// compressed payload (kernels/twophase.py _stageD_spec layout): replays
+// the device descent's deterministic scan-order compaction host-side —
+// the C++ fast path of _BatchCtx.finish_compact (profiled ~18 ms/batch
+// in numpy; this loop does one pass per level over the side streams).
+//
+// buf: payload bytes; side stream i starts at side_off[i] (2-bit packed,
+// value 0..2 maps to side -1/0/+1); the finals stream (2-bit states)
+// starts at final_off.  active: T*M 0/1 mask or NULL (all active).
+// scratch: caller-allocated int32[2 * max_nodes] for the node lists.
+void omm_reconstruct_states(
+    const uint8_t* buf, const int64_t* side_off, int64_t final_off,
+    const int32_t* levels, int32_t nlevels, int32_t T, int32_t subdiv,
+    const int32_t* Cs, const int32_t* Cs_cap, int32_t K,
+    uint8_t st_gt, uint8_t st_le, const uint8_t* active,
+    int32_t* scratch, int64_t max_nodes, uint8_t* out) {
+    const int m = nlevels - 1;
+    const int64_t M = (int64_t)1 << (2 * subdiv);
+    const int64_t N0 = (int64_t)1 << (2 * levels[0]);
+    const uint8_t smap[3] = {st_le, 0, st_gt};  // side -1/0/+1
+
+    #define SIDE(i, j) \
+        ((int)((buf[side_off[i] + ((j) >> 2)] >> (((j) & 3) * 2)) & 3) - 1)
+
+    // level 0: dense fill, one run of M/N0 per node
+    const int64_t span0 = M / N0;
+    for (int64_t n = 0; n < (int64_t)T * N0; ++n) {
+        int s = SIDE(0, n);
+        memset(out + n * span0, smap[s + 1], (size_t)span0);
+    }
+
+    // unresolved level-0 nodes -> initial candidate list
+    int32_t* node_t = scratch;
+    int32_t* node_n = scratch + max_nodes;
+    int64_t cnt = 0;
+    for (int64_t t = 0; t < T; ++t) {
+        for (int64_t g = 0; g < N0; ++g) {
+            int64_t j = t * N0 + g;
+            if (SIDE(0, j) != 0) continue;
+            if (active) {
+                const uint8_t* a = active + t * M + g * span0;
+                int any = 0;
+                for (int64_t k = 0; k < span0; ++k)
+                    if (a[k]) { any = 1; break; }
+                if (!any) continue;
+            }
+            node_t[cnt] = (int32_t)t;
+            node_n[cnt] = (int32_t)g;
+            ++cnt;
+        }
+    }
+
+    int64_t prev_cnt = cnt;
+    for (int i = 1; i <= m; ++i) {
+        const int E = 1 << (2 * (levels[i] - levels[i - 1]));
+        int64_t Ci = Cs[i - 1] < Cs_cap[i - 1] ? Cs[i - 1] : Cs_cap[i - 1];
+        if (Ci > prev_cnt) Ci = prev_cnt;
+        const int64_t li_n = (int64_t)1 << (2 * levels[i]);
+        const int64_t span = M / li_n;
+        // expand in place back-to-front so node arrays can be reused
+        for (int64_t p = Ci - 1; p >= 0; --p) {
+            int32_t pt = node_t[p];
+            int32_t pn = node_n[p];
+            for (int e = E - 1; e >= 0; --e) {
+                node_t[p * E + e] = pt;
+                node_n[p * E + e] = pn * E + e;
+            }
+        }
+        const int64_t n_child = Ci * E;
+        for (int64_t j = 0; j < n_child; ++j) {
+            int s = SIDE(i, j);
+            int64_t flat = ((int64_t)node_t[j] * li_n + node_n[j]) * span;
+            memset(out + flat, smap[s + 1], (size_t)span);
+        }
+        if (i < m) {
+            // compact unresolved children (scan order)
+            int64_t w = 0;
+            for (int64_t j = 0; j < n_child; ++j) {
+                if (SIDE(i, j) == 0) {
+                    node_t[w] = node_t[j];
+                    node_n[w] = node_n[j];
+                    ++w;
+                }
+            }
+            prev_cnt = w;
+        } else {
+            // survivors: finals stream in scan order, capped at K
+            int64_t fc = 0;
+            for (int64_t j = 0; j < n_child && fc < K; ++j) {
+                if (SIDE(i, j) != 0) continue;
+                int64_t fid = (int64_t)node_t[j] * M + node_n[j];
+                if (active && !active[fid]) continue;
+                out[fid] = (uint8_t)((buf[final_off + (fc >> 2)]
+                                      >> ((fc & 3) * 2)) & 3);
+                ++fc;
+            }
+        }
+    }
+    #undef SIDE
+}
+
 // Number of differing bytes between two state arrays (merge distance).
 size_t omm_hamming_u8(const uint8_t* a, const uint8_t* b, size_t n) {
     size_t d = 0;

@@ -454,3 +454,58 @@ def test_nearest_survivors_device_pass():
             want_all = engine.resample_fine_item(tex, cfg, t, subdiv,
                                                  init.copy())
             assert (got_all == want_all).all(), (over, t)
+
+
+def test_native_reconstruct_matches_numpy_replay():
+    """finish_compact's C++ fast path (native.reconstruct_states) must be
+    byte-identical to the numpy replay AND to the synchronous two-sync
+    result, in all-active and partial-active modes."""
+    from omm_tpu import native
+    from omm_tpu.kernels import twophase as tp
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    tex = omm.Texture([standard_circle(128, 128)], omm.TextureFormat.FP32)
+    rng = np.random.RandomState(3)
+    tris = [np.array([b + [0.05, 0.1], b + [0.1, 0.6], b + [0.6, 0.55]],
+                     dtype=np.float32)
+            for b in (rng.rand(2).astype(np.float32) * 0.3
+                      for _ in range(5))]
+    cfg = _cfg()
+    subdiv = 6
+    M = omm.get_num_micro_triangles(subdiv)
+    for act_mode in ("all", "partial"):
+        items = []
+        for t in tris:
+            st = np.full(M, 3, np.uint8)
+            if act_mode == "partial":
+                st[rng.rand(M) < 0.3] = rng.randint(0, 3)
+            items.append((t, st))
+        got = tp.classify_work_items_batch(tex, cfg, items, subdiv)
+        ctx = tp._BatchCtx(tex, cfg, items, subdiv,
+                           list(range(len(items))), [None] * len(items))
+        p = tp._enqueue_batch_spec(ctx)
+        assert p is not None
+        dev, Cs_cap, K_cap = p
+        buf = np.asarray(dev)
+        m = len(ctx.levels) - 1
+        mrow = buf[:4 * (m + 2 + tex.mip_count)].view(np.int32)
+        assert int(mrow[m + 1]) == 0
+        Cs = [int(x) for x in mrow[:m]]
+        K = int(mrow[m])
+
+        ctx.finish_compact(buf, Cs_cap, K_cap, Cs, K)
+        out_native = [o.copy() for o in ctx.out]
+
+        orig = native.reconstruct_states
+        try:
+            native.reconstruct_states = lambda *a, **k: None
+            ctx2 = tp._BatchCtx(tex, cfg, items, subdiv,
+                                list(range(len(items))),
+                                [None] * len(items))
+            ctx2.finish_compact(buf, Cs_cap, K_cap, Cs, K)
+        finally:
+            native.reconstruct_states = orig
+        for a, b, g in zip(out_native, ctx2.out, got):
+            assert np.array_equal(a, b), act_mode
+            assert np.array_equal(a, g), act_mode
