@@ -500,25 +500,48 @@ class Pipeline:
             stats["max_live_scratch_bytes"] = max(
                 stats["max_live_scratch_bytes"], live)
             if backend == "jax":
-                # batch eligible items per level through the two-phase
-                # engine
-                from ..kernels.twophase import classify_work_items_batches
-                by_level: dict = {}
-                for idx in sel:
-                    it = items[idx]
-                    if (not bool(geom.is_degenerate(it.uv_tri))
-                            and rcfg.filter == TextureFilterMode.Linear
-                            and not rcfg.disable_level_line):
-                        by_level.setdefault(it.subdivision_level,
-                                            []).append(idx)
-                for lvl, idxs in by_level.items():
-                    res = classify_work_items_batches(
-                        tex, rcfg,
-                        [[(items[i].uv_tri, items[i].states)
-                          for i in idxs]], lvl)[0]
-                    for i, st in zip(idxs, res):
-                        items[i].states = st
-                        done[i] = True
+                # Two engines, like the reference's HW-raster vs
+                # compute-only split (bake_gpu_impl.cpp render pass
+                # selection on ommGpuBakeFlags_ComputeOnly):
+                #  - default: the two-phase hierarchical pipeline with
+                #    the Pallas exact kernel (the production rasterizer
+                #    analog of the VS/GS/PS path);
+                #  - ComputeOnly: the dense all-micro-tri XLA engine
+                #    (kernels/jax_classify) — portable "no custom
+                #    rasterizer" path, exactly the role of the
+                #    reference's compute-shader fallback.
+                # Both are bit-exact vs the numpy oracle.
+                compute_only = bool(cfg.bake_flags
+                                    & GpuBakeFlags.ComputeOnly)
+                eligible = [
+                    idx for idx in sel
+                    if (not bool(geom.is_degenerate(items[idx].uv_tri))
+                        and rcfg.filter == TextureFilterMode.Linear
+                        and not rcfg.disable_level_line)]
+                if compute_only:
+                    from ..kernels.jax_classify import \
+                        classify_work_item_jax
+                    for idx in eligible:
+                        it = items[idx]
+                        it.states = classify_work_item_jax(
+                            tex, rcfg, it.uv_tri, it.subdivision_level,
+                            it.states)
+                        done[idx] = True
+                else:
+                    from ..kernels.twophase import \
+                        classify_work_items_batches
+                    by_level: dict = {}
+                    for idx in eligible:
+                        by_level.setdefault(
+                            items[idx].subdivision_level, []).append(idx)
+                    for lvl, idxs in by_level.items():
+                        res = classify_work_items_batches(
+                            tex, rcfg,
+                            [[(items[i].uv_tri, items[i].states)
+                              for i in idxs]], lvl)[0]
+                        for i, st in zip(idxs, res):
+                            items[i].states = st
+                            done[i] = True
             for i in sel:
                 if not done[i]:
                     items[i].states = engine.resample_fine_item(

@@ -39,7 +39,7 @@ def validate_histograms(res: omm.BakeResult):
     assert idx == got
 
 
-def _dispatch(plane, subdiv, **kw):
+def _dispatch(plane, subdiv, backend_override="numpy", **kw):
     tex = omm.Texture([plane], omm.TextureFormat.FP32)
     cfg = gpu.DispatchConfigDesc(
         alpha_texture=tex,
@@ -51,7 +51,7 @@ def _dispatch(plane, subdiv, **kw):
         **kw)
     pipe = gpu.Pipeline()
     info = pipe.get_pre_dispatch_info(cfg)
-    chain = pipe.dispatch(cfg, backend="numpy")
+    chain = pipe.dispatch(cfg, backend=backend_override)
     assert [p.label for p in chain.passes[:3]] == ["Clear", "Init", "WorkSetup"]
     res, post = chain.execute()
     assert post.out_omm_array_size_in_bytes <= info.out_omm_array_size_in_bytes
@@ -512,3 +512,41 @@ def test_rhi_validation_rejects_bad_plans():
     with _pytest.raises(ValueError, match="without begin"):
         rec2 = gpu.RecordingRHI((8,))
         rec2.end_label()
+
+
+def test_compute_only_engine_selection_and_parity():
+    """GpuBakeFlags.ComputeOnly selects the dense all-micro-tri XLA
+    engine (no Pallas rasterizer — the reference's compute-shader
+    fallback role, bake_gpu_impl.cpp ComputeOnly pass selection); the
+    default path uses the two-phase pipeline.  Both must produce
+    identical results."""
+    cfg_kw = dict()
+    res_hw, _, _ = _dispatch(standard_circle(256, 256), 4,
+                             backend_override="jax", **cfg_kw)
+    res_co, _, _ = _dispatch(
+        standard_circle(256, 256), 4, backend_override="jax",
+        bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                    | gpu.GpuBakeFlags.ComputeOnly), **cfg_kw)
+    assert np.array_equal(res_hw.array_data, res_co.array_data)
+    assert np.array_equal(np.asarray(res_hw.index_buffer),
+                          np.asarray(res_co.index_buffer))
+
+
+def test_compute_only_never_touches_pallas(monkeypatch):
+    """The ComputeOnly engine must run without the Pallas kernel (the
+    'no custom rasterizer' contract)."""
+    from omm_tpu.kernels import pallas_classify as pk
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel invoked on the ComputeOnly "
+                             "engine")
+
+    monkeypatch.setattr(pk, "_run_v3", boom)
+    res, _, _ = _dispatch(
+        standard_circle(128, 128), 3, backend_override="jax",
+        bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                    | gpu.GpuBakeFlags.ComputeOnly))
+    s = get_stats(res)
+    assert s.total_opaque + s.total_transparent \
+        + s.total_unknown_opaque + s.total_unknown_transparent \
+        == 2 * 4 ** 3
