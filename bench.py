@@ -33,10 +33,10 @@ import numpy as np
 TARGET = 100e6  # utri/s/chip (BASELINE.md driver-set target)
 SUBDIV = 9
 N_TRIS = 256
-BATCH = 48  # pipelined sub-batches: fetches overlap later batches' compute
-# (sweep on v5e: 48 beats 16/24/32/64/128 — fine enough that the
-# enqueue-ahead pipeline hides host fetch+reconstruct under device time,
-# coarse enough to amortize per-chain dispatch)
+BATCH = 64  # pipelined sub-batches: fetches overlap later batches' compute
+# (round-2 sweep on v5e after the window shrink + native reconstruct:
+# 64 beats 32/48/96 — the smaller survivor set moved the sweet spot up
+# from round 1's 48)
 
 
 def _workload():
