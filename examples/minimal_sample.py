@@ -7,11 +7,14 @@ round-trip, and state-overlay PNGs.
 
 Run:  python examples/minimal_sample.py [outdir]
 """
+import os
 import sys
 
 import numpy as np
 
-import omm_tpu as omm
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import omm_tpu as omm  # noqa: E402
 from omm_tpu import serialize as ser
 from omm_tpu.baker import Baker
 
