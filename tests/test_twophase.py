@@ -509,3 +509,22 @@ def test_native_reconstruct_matches_numpy_replay():
         for a, b, g in zip(out_native, ctx2.out, got):
             assert np.array_equal(a, b), act_mode
             assert np.array_equal(a, g), act_mode
+
+
+def test_span_windows_batched_equals_scalar():
+    """The vectorized host-prep _span_windows must reproduce the scalar
+    _span_window per element (same fp64 op order) across random
+    geometry, levels and mip sizes — the capacity buckets and class-
+    plane cache keys depend on exact equality."""
+    from omm_tpu.kernels import twophase as tp
+
+    rng = np.random.RandomState(11)
+    mips = [rng.rand(1 << k, 1 << (k + 1)).astype(np.float32)
+            for k in (9, 8, 7)]
+    tex = omm.Texture([mips[0]], omm.TextureFormat.FP32)
+    uvs = (rng.rand(64, 3, 2).astype(np.float32) * 4.0 - 1.5)
+    for level in (1, 4, 9, 12):
+        Hb, Wb = tp._span_windows(tex, uvs, level, 0)
+        for n in range(len(uvs)):
+            hs, ws = tp._span_window(tex, uvs[n], level, 0)
+            assert (hs, ws) == (int(Hb[n]), int(Wb[n])), (level, n)
