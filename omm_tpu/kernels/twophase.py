@@ -1001,26 +1001,35 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                                         subdiv, items[i][1])
 
     import concurrent.futures as cf
+    nmip = texture.mip_count
+
+    def fetch_and_finish(ctx, p):
+        """Worker: one D2H sync + the state reconstruction, so batch k's
+        replay (C++ releases the GIL) overlaps batch k+1's transfer.
+        Returns True unless the speculative capacities overflowed."""
+        buf = np.asarray(p[0])  # the batch's one sync
+        m = len(ctx.levels) - 1
+        mrow = buf[:4 * (m + 2 + nmip)].view(np.int32)
+        if int(mrow[m + 1]) != 0:
+            return False
+        _, Cs_cap, K_cap = p
+        ctx.finish_compact(buf, Cs_cap, K_cap,
+                           [int(x) for x in mrow[:m]], int(mrow[m]))
+        return True
+
     pool = cf.ThreadPoolExecutor(max_workers=2)
     try:
-        futs = [pool.submit(np.asarray, p[0]) if p is not None else None
-                for p in pending]
-        nmip = texture.mip_count
-        for ctx, p, fut in zip(ctxs, pending, futs):
+        futs = [pool.submit(fetch_and_finish, ctx, p)
+                if p is not None else None
+                for ctx, p in zip(ctxs, pending)]
+        for ctx, fut in zip(ctxs, futs):
             if ctx is None:
                 continue
-            ok = False
-            if fut is not None:
-                buf = fut.result()  # the batch's one sync
-                m = len(ctx.levels) - 1
-                mrow = buf[:4 * (m + 2 + nmip)].view(np.int32)
-                if int(mrow[m + 1]) == 0:
-                    _, Cs_cap, K_cap = p
-                    ctx.finish_compact(buf, Cs_cap, K_cap,
-                                       [int(x) for x in mrow[:m]],
-                                       int(mrow[m]))
-                    ok = True
+            ok = fut.result() if fut is not None else False
             if not ok:
+                # overflow or no cached caps: the synchronous
+                # capacity-discovering path takes the batch (main
+                # thread — it dispatches new jit signatures)
                 ok = _run_batch_sync(ctx)
             if not ok:
                 for i in ctx.fast:
