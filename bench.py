@@ -187,6 +187,7 @@ def main():
     rate_mean = N_TRIS * M / (sum(times) / len(times))
     trimmed = sorted(times)[:-1]
     rate_trim = N_TRIS * M / (sum(trimmed) / len(trimmed))
+    rate_median = N_TRIS * M / sorted(times)[len(times) // 2]
 
     # Parity gate: ALL N_TRIS triangles of the final timed run vs the
     # numpy oracle — one full oracle pass, outside the timed loop.
@@ -211,6 +212,8 @@ def main():
         "vs_baseline": round(rate / TARGET, 3),
         "mean_utri_per_s": round(rate_mean, 1),
         "trimmed_mean_utri_per_s": round(rate_trim, 1),
+        "median_utri_per_s": round(rate_median, 1),
+        "rep_times_s": [round(t, 4) for t in times],
         "bit_exact_vs_oracle": bool(parity and spot_multimip
                                     and spot_nearest),
         "parity_tris": f"{N_TRIS - parity_fail}/{N_TRIS}",
