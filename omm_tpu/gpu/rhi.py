@@ -17,9 +17,10 @@ barriers sit.  This module provides that consumer:
     (ranges in-bounds, no conflicting overlap within a dispatch, label
     nesting), the moral analog of nvrhi's validation layer;
   * `record_chain` — walks a DispatchChain emitting the stream, with a
-    UAV-barrier between successive passes that touch the same pool
-    (omm-gpu-nvrhi.cpp:714-735 places a global UAV barrier between
-    dispatches).
+    UAV-barrier wherever a pass touches a pool with unflushed writes
+    from an earlier pass (omm-gpu-nvrhi.cpp:714-735 places a global UAV
+    barrier between dispatches; tracking write hazards keeps the
+    recorded barriers informative instead of unconditional).
 
 `Pipeline.dispatch` fills each pass's `detail["resources"]` with concrete
 bump-allocated `ResourceRange`s sub-allocated from the ≤4 transient pools
@@ -29,7 +30,6 @@ reference's per-batch scratch reuse (:517-584).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 __all__ = ["ResourceRange", "CommandRecorder", "RecordingRHI",
            "record_chain"]
@@ -87,7 +87,7 @@ class RecordingRHI(CommandRecorder):
         self.commands: list[tuple] = []
         self.high_water = [0] * len(self.pool_sizes)
         self._depth = 0
-        self._pending: list[ResourceRange] = []
+        self._bound = False
 
     # -- CommandRecorder --
     def begin_label(self, label: str) -> None:
@@ -117,14 +117,16 @@ class RecordingRHI(CommandRecorder):
                         and not (a.access == "r" and b.access == "r")):
                     raise ValueError(
                         f"conflicting overlap in one dispatch: {a} / {b}")
-        self._pending = list(ranges)
+        if self._bound:
+            raise ValueError("bind without an intervening dispatch")
+        self._bound = True
         self.commands.append(("bind", tuple(ranges)))
 
     def dispatch(self, kind: str, detail: dict) -> None:
         self.commands.append(("dispatch", kind,
                               {k: v for k, v in detail.items()
                                if k != "resources"}))
-        self._pending = []
+        self._bound = False
 
     def barrier(self, pools: tuple[int, ...]) -> None:
         self.commands.append(("barrier", tuple(pools)))
@@ -146,23 +148,31 @@ class RecordingRHI(CommandRecorder):
 def record_chain(chain, recorder: CommandRecorder,
                  pool_count: int = 4) -> None:
     """Walk a DispatchChain emitting the client command stream: a labeled
-    bind+dispatch per pass, with a UAV barrier between successive passes
-    that touch a common pool (the reference integration layer places a
-    barrier after every dispatch whose outputs a later pass reads,
-    omm-gpu-nvrhi.cpp:714-735)."""
-    prev_pools: Optional[set] = None
+    bind+dispatch per pass, with a UAV barrier between passes with a real
+    write->read/write hazard — a prior pass WROTE a pool this pass
+    touches (the reference integration layer places a barrier after
+    every dispatch whose outputs a later pass reads,
+    omm-gpu-nvrhi.cpp:714-735).  Read-only and debug (assert-buffer)
+    binds do not create hazards, so interior per-level classify passes
+    writing disjoint pool-0 sub-ranges still get ordered only against
+    genuinely-written pools."""
+    unflushed: set = set()   # pools written since their last barrier
     for p in chain.passes:
         ranges = [r for r in p.detail.get("resources", ())
                   if isinstance(r, ResourceRange)]
-        pools = {r.pool for r in ranges}
-        if prev_pools is not None and (prev_pools & pools):
-            recorder.barrier(tuple(sorted(prev_pools & pools)))
+        touched = {r.pool for r in ranges
+                   if r.usage != "assert_buffer"}
+        hazard = unflushed & touched
+        if hazard:
+            recorder.barrier(tuple(sorted(hazard)))
+            unflushed -= hazard
         recorder.begin_label(p.label)
         if ranges:
             recorder.bind(ranges)
         recorder.dispatch(p.kind, p.detail)
         recorder.end_label()
-        prev_pools = pools if ranges else prev_pools
+        unflushed |= {r.pool for r in ranges
+                      if "w" in r.access and r.usage != "assert_buffer"}
     fin = getattr(recorder, "finish", None)
     if fin is not None:
         fin()

@@ -12,14 +12,29 @@ warning) when a kernel is deliberately broken.
 """
 from __future__ import annotations
 
+import collections
 import warnings
 
 _types: list[type] = [NotImplementedError]
-try:
-    from jax._src.pallas.mosaic.lowering import LoweringException
-    _types.append(LoweringException)
-except ImportError:  # pragma: no cover - older/newer jax layouts
-    pass
+
+#: True when the Mosaic LoweringException type was found.  It lives in a
+#: private jax module that can move across versions; a unit test asserts
+#: this flag so a jax upgrade that relocates it fails LOUDLY instead of
+#: silently narrowing the fallback tuple (the primary motivating case).
+LOWERING_EXC_RESOLVED = False
+for _mod in ("jax._src.pallas.mosaic.lowering",
+             "jax.experimental.pallas.mosaic.lowering",
+             "jax._src.pallas.mosaic_lowering"):
+    try:
+        import importlib
+
+        LoweringException = getattr(importlib.import_module(_mod),
+                                    "LoweringException")
+        _types.append(LoweringException)
+        LOWERING_EXC_RESOLVED = True
+        break
+    except (ImportError, AttributeError):  # pragma: no cover
+        continue
 try:
     import jax.errors
     _types.append(jax.errors.JaxRuntimeError)
@@ -34,14 +49,20 @@ class KernelFallbackWarning(UserWarning):
     """A device kernel was rerouted to the slow path (toolchain gap)."""
 
 
-_events: list[tuple[str, str]] = []
+# Bounded event log: long-lived farm workers on a permanently-falling-
+# back toolchain record one event per batch forever; keep the recent
+# tail plus a total counter.
+_events: collections.deque = collections.deque(maxlen=256)
+_total = 0
 
 
 def record(site: str, exc: BaseException) -> None:
     """Record one fallback event and emit an observable warning (the
     analog of Logger.perf_warn for the below-Baker kernel layer)."""
+    global _total
     reason = f"{type(exc).__name__}: {exc}"
     _events.append((site, reason))
+    _total += 1
     warnings.warn(
         f"omm_tpu device kernel fallback at {site}: {reason} "
         f"(rerouted to the XLA-gather slow path)",
@@ -49,12 +70,15 @@ def record(site: str, exc: BaseException) -> None:
 
 
 def count() -> int:
-    return len(_events)
+    return _total
 
 
 def events() -> list[tuple[str, str]]:
+    """The most recent fallback events (bounded tail, newest last)."""
     return list(_events)
 
 
 def reset() -> None:
+    global _total
     _events.clear()
+    _total = 0

@@ -38,20 +38,17 @@ _ENUM_FIELDS = {
 }
 
 
-def uv_to_micro_index(uv_tri: np.ndarray, uv, level: int) -> int:
-    """Micro-triangle (bird curve) index containing a UV point inside the
-    primitive — the pick half of the viewer's zoom-to-micro-triangle
-    interaction.  Robust brute force: evaluate every micro-triangle's
-    corners (bird.micro_triangle_uvs) and pick the one whose edges keep
-    the point most interior (exact containment for points strictly
-    inside a cell; edge/vertex points resolve to an adjacent cell)."""
+def _pick_score(uv_tri: np.ndarray, uv, ids: np.ndarray,
+                level: int) -> np.ndarray:
+    """Interior score of point `uv` against micro-triangles `ids` at
+    `level`: min orientation-normalized signed edge distance (>= 0
+    strictly inside)."""
     from . import bird
 
-    M = 4 ** level
     p = np.asarray(uv, np.float64)
     tris = bird.micro_triangle_uvs(
-        np.asarray(uv_tri, np.float32), np.arange(M, dtype=np.uint32),
-        level).astype(np.float64)  # (M, 3, 2)
+        np.asarray(uv_tri, np.float32), ids.astype(np.uint32),
+        level).astype(np.float64)  # (N, 3, 2)
     a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
 
     def edge(p0, p1):
@@ -59,12 +56,25 @@ def uv_to_micro_index(uv_tri: np.ndarray, uv, level: int) -> int:
                 - (p1[:, 1] - p0[:, 1]) * (p[0] - p0[:, 0]))
 
     e = np.stack([edge(a, b), edge(b, c), edge(c, a)])
-    # orientation-normalize so "inside" is min signed distance >= 0
     area2 = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
              - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
     sgn = np.where(area2 < 0, -1.0, 1.0)
-    score = (e * sgn).min(axis=0)
-    return int(np.argmax(score))
+    return (e * sgn).min(axis=0)
+
+
+def uv_to_micro_index(uv_tri: np.ndarray, uv, level: int) -> int:
+    """Micro-triangle (bird curve) index containing a UV point inside the
+    primitive — the pick half of the viewer's zoom-to-micro-triangle
+    interaction.  Descends the bird hierarchy: curve index g at level l
+    covers micro-triangles [g*4^(L-l), (g+1)*4^(L-l)) at level L
+    (bird.h:57-118 recursion), so 4 interior tests per level find the
+    cell in O(level) — no 4^level materialization.  Edge/vertex points
+    resolve to the most-interior adjacent cell."""
+    g = 0
+    for lv in range(1, level + 1):
+        kids = np.arange(4 * g, 4 * g + 4, dtype=np.uint32)
+        g = int(kids[np.argmax(_pick_score(uv_tri, uv, kids, lv))])
+    return g
 
 
 class ViewerSession:

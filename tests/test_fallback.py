@@ -99,3 +99,36 @@ def test_unexpected_error_propagates(monkeypatch):
         tp.classify_work_items_batch(tex, _cfg(), items, subdiv)
     assert fb.count() == 0
     fb.reset()
+
+
+def test_lowering_exception_type_resolved():
+    """The Mosaic LoweringException lives in a private jax module that
+    can move across versions; if it silently vanished from
+    KERNEL_FALLBACK_ERRORS, a real toolchain lowering gap would crash
+    bake() instead of rerouting to the slow path.  Fail loudly here so
+    a jax upgrade gets a deliberate fix (add the new module path to
+    fallback._types resolution)."""
+    from omm_tpu.kernels import fallback as fb
+    assert fb.LOWERING_EXC_RESOLVED, \
+        "LoweringException not found in any known jax module path"
+    names = [t.__name__ for t in fb.KERNEL_FALLBACK_ERRORS]
+    assert "LoweringException" in names
+
+
+def test_event_log_is_bounded():
+    """Farm workers on a permanently-falling-back toolchain must not
+    leak memory through the event log (bounded tail + total counter)."""
+    import warnings
+    from omm_tpu.kernels import fallback as fb
+    fb.reset()
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for k in range(1000):
+                fb.record(f"site{k}", RuntimeError("x" * 100))
+        assert fb.count() == 1000
+        ev = fb.events()
+        assert len(ev) == 256
+        assert ev[-1][0] == "site999" and ev[0][0] == "site744"
+    finally:
+        fb.reset()

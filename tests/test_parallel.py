@@ -154,13 +154,15 @@ def test_sharded_full_pipeline_matches_single_device():
 def test_dryrun_multichip_gate():
     """The driver's multi-chip gate: must pass from an arbitrary parent
     environment (forces the virtual CPU mesh in a clean subprocess)."""
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     try:
         import __graft_entry__ as g
         g.dryrun_multichip(8)
     finally:
-        sys.path.remove("/root/repo")
+        sys.path.remove(repo)
 
 
 def test_multihost_partition_and_gather():

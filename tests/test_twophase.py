@@ -528,3 +528,19 @@ def test_span_windows_batched_equals_scalar():
         for n in range(len(uvs)):
             hs, ws = tp._span_window(tex, uvs[n], level, 0)
             assert (hs, ws) == (int(Hb[n]), int(Wb[n])), (level, n)
+
+    # hardcoded oracle values pin the fp64 op order + eps (+2) semantics
+    # themselves (both code paths share the implementation, so the
+    # cross-check above alone cannot catch a semantics change)
+    fixed = [
+        (np.array([[0.1, 0.2], [0.15, 0.9], [0.8, 0.75]], np.float32),
+         {1: (182, 361), 4: (25, 47), 9: (3, 4)}),
+        (np.array([[-0.5, 0.0], [1.5, 0.25], [0.5, 2.0]], np.float32),
+         {1: (515, 1027), 4: (67, 131), 9: (5, 7)}),
+        (np.array([[0.333, 0.111], [0.334, 0.112], [0.3335, 0.1115]],
+                  np.float32),
+         {1: (3, 3), 4: (3, 3), 9: (3, 3)}),
+    ]
+    for uv, want in fixed:
+        for level, hw in want.items():
+            assert tp._span_window(tex, uv, level, 0) == hw, (uv, level)
