@@ -723,13 +723,18 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
 # ---------------------------------------------------------------------------
 
 def bake(desc: BakeInputDesc, backend: str = "numpy",
-         logger=None, allocator=None) -> BakeResult:
+         logger=None, allocator=None, mesh=None) -> BakeResult:
     """Full CPU-parity bake (BakeImpl, bake_cpu_impl.cpp:1923-1985).
 
     backend: 'numpy' (oracle), 'jax' (jit on default device), or 'pallas'
     (TPU kernel for the classification hot loop).
     logger: optional omm_tpu.log.Logger routing validation messages to a
     user message callback.
+    mesh: optional jax.sharding.Mesh — classification of eligible work
+    items shards over the mesh's devices (the whole two-phase pipeline
+    under shard_map, parallel/shard.py); ineligible items fall back to
+    the single-device flow.  Results are bit-identical with and without
+    a mesh.
     """
     from .log import Logger
     log = logger or Logger()
@@ -784,7 +789,43 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
     else:
         raise ValueError(f"unknown backend {backend}")
 
-    for it in items:
+    # Multi-chip: shard eligible FRESH work items over the mesh before the
+    # coarse pass (the sharded pipeline's phase-1 descent IS the coarse
+    # resolve, so skipping SAT coarse for these items changes nothing —
+    # both resolve only provably-one-sided regions; the exact kernel
+    # settles the rest).  Ineligible items continue single-device.
+    sharded_done: set[int] = set()
+    if (mesh is not None and backend in ("jax", "pallas")
+            and not cfg.disable_fine and not cfg.disable_level_line
+            and cfg.filter == TextureFilterMode.Linear):
+        from .kernels import twophase as _tp
+        from .parallel.shard import sharded_classify_batch
+        UOv = int(OpacityState.UnknownOpaque)
+        by_level: dict[int, list[int]] = {}
+        for i, it in enumerate(items):
+            if (not bool(geom.is_degenerate(it.uv_tri))
+                    and int(it.states.min()) == UOv):
+                by_level.setdefault(it.subdivision_level, []).append(i)
+        n_dev = int(mesh.devices.size)
+        for level, idxs in by_level.items():
+            lg = _tp._group_level(tex, [items[i].uv_tri for i in idxs],
+                                  level)
+            ok = [i for i in idxs
+                  if _tp._fast_path_ok(tex, cfg, items[i].uv_tri, level,
+                                       lg)]
+            if not ok:
+                continue
+            sel = ok + ok[:1] * ((-len(ok)) % n_dev)  # pad to mesh multiple
+            outs, _ = sharded_classify_batch(
+                mesh, tex, cfg,
+                [(items[i].uv_tri, items[i].states) for i in sel], level)
+            for i, st in zip(ok, outs[:len(ok)]):
+                items[i].states = st
+                sharded_done.add(i)
+
+    for i, it in enumerate(items):
+        if i in sharded_done:
+            continue
         it.states = engine.resample_coarse_item(tex, cfg, it.uv_tri,
                                                 it.subdivision_level, it.states)
 
@@ -820,7 +861,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         from .kernels.twophase import classify_work_items_batches
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
-            if _device_eligible(it):
+            if _device_eligible(it) and i not in sharded_done:
                 by_level.setdefault(it.subdivision_level, []).append(i)
         # Bound device memory per batch (the maxScratchMemorySize analog:
         # the reference splits the GPU bake into batches when micro-tri
@@ -841,7 +882,11 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
                 for i, st in zip(c, res):
                     items[i].states = st
 
+    sharded_items = {id(items[i]) for i in sharded_done}
+
     def _fine(it):
+        if id(it) in sharded_items:
+            return it.states  # classified by the sharded pipeline
         if backend == "pallas" and _device_eligible(it):
             return it.states  # already classified by the batched engine
         if _device_eligible(it):

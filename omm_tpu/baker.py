@@ -37,9 +37,10 @@ class Baker:
         return Texture(mips, fmt, flags, alpha_cutoff)
 
     # -- CPU bake (ommCpuBake) ------------------------------------------------
-    def bake(self, desc: BakeInputDesc, backend: str = "numpy") -> BakeResult:
+    def bake(self, desc: BakeInputDesc, backend: str = "numpy",
+             mesh=None) -> BakeResult:
         return _bake(desc, backend=backend, logger=self.log,
-                     allocator=self.allocator)
+                     allocator=self.allocator, mesh=mesh)
 
     # -- GPU-style deferred bake (ommGpuCreatePipeline/Dispatch) --------------
     def create_gpu_pipeline(self, render_api: str = "xla"):

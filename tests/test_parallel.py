@@ -218,3 +218,44 @@ def test_multihost_partition_and_gather():
         want = omm.bake(sub)
         assert np.array_equal(r.array_data, want.array_data)
     assert covered == tri_count
+
+
+def test_bake_with_mesh_matches_single_device():
+    """Public API multi-chip: omm.bake(desc, backend='pallas', mesh=mesh)
+    shards eligible work items over the mesh (full two-phase pipeline
+    under shard_map) and must produce results byte-identical to the
+    meshless bake — including a mixed mesh with a degenerate (line)
+    triangle and duplicate UVs that stay on the single-device flow."""
+    import jax
+    import omm_tpu as omm
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(128, 128)], omm.TextureFormat.FP32)
+    rng = np.random.RandomState(8)
+    uvs, idxb = [], []
+    for q in range(5):
+        b = rng.rand(2).astype(np.float32) * 0.4
+        base = len(uvs)
+        uvs += [b, b + [0.05, 0.45], b + [0.45, 0.4]]
+        idxb += [base, base + 1, base + 2]
+    # a degenerate (line) triangle — ineligible, single-device path
+    base = len(uvs)
+    uvs += [np.array([0.2, 0.2], np.float32),
+            np.array([0.4, 0.4], np.float32),
+            np.array([0.6, 0.6], np.float32)]
+    idxb += [base, base + 1, base + 2]
+    # an exact duplicate of triangle 0 — dedup must still collapse it
+    idxb += [0, 1, 2]
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=np.asarray(uvs, np.float32),
+        index_buffer=np.asarray(idxb, np.uint32), index_count=len(idxb),
+        max_subdivision_level=5, dynamic_subdivision_scale=0.0)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("omm",))
+    got = omm.bake(desc, backend="pallas", mesh=mesh)
+    want = omm.bake(desc, backend="numpy")
+    assert np.array_equal(got.array_data, want.array_data)
+    assert np.array_equal(np.asarray(got.index_buffer),
+                          np.asarray(want.index_buffer))
+    assert got.index_format == want.index_format
+    assert omm.get_stats(got) == omm.get_stats(want)
