@@ -133,7 +133,9 @@ def bake_stats(alpha_plane, alpha_cutoff, subdivision_level,
                mips=None, dynamic_subdivision_scale=0.0,
                unresolved=omm.SpecialIndex.FullyUnknownOpaque,
                max_workload_size=0xFFFFFFFFFFFFFFFF,
-               tex_coord_format=omm.TexCoordFormat.UV32_FLOAT):
+               tex_coord_format=omm.TexCoordFormat.UV32_FLOAT,
+               cutoff_le=omm.OpacityState.Transparent,
+               cutoff_gt=omm.OpacityState.Opaque):
     """Mirror of the reference GetOmmBakeStats* helpers
     (test_omm_bake_cpu.cpp:168-638)."""
     planes = mips if mips is not None else [alpha_plane]
@@ -167,6 +169,8 @@ def bake_stats(alpha_plane, alpha_cutoff, subdivision_level,
         dynamic_subdivision_scale=dynamic_subdivision_scale,
         unresolved_tri_state=unresolved,
         max_workload_size=max_workload_size,
+        alpha_cutoff_less_equal=cutoff_le,
+        alpha_cutoff_greater=cutoff_gt,
     )
     result = omm.bake(desc, backend=backend)
     return omm.get_stats(result)

@@ -85,6 +85,11 @@ def test_sine_unorm8():
                  total_unknown_transparent=48, total_unknown_opaque=80)
 
 
+# Reference SineOC2Neg (test_omm_bake_cpu.cpp:1063-1081) is byte-identical
+# to SineOC2 (same lambda, same options, same expected stats), so it is
+# intentionally not duplicated here.
+
+
 def test_mandelbrot():
     expect_stats(bake_stats(mandelbrot(1024, 1024), 0.5, 5),
                  total_opaque=1212, total_transparent=484,
@@ -115,6 +120,52 @@ def test_julia():
                             indices=[0, 1, 2]),
                  total_opaque=254265, total_transparent=5055,
                  total_unknown_transparent=1336, total_unknown_opaque=1488)
+
+
+@pytest.fixture(scope="module")
+def julia_u8():
+    """JuliaUNORM8 texel lambda (test_omm_bake_cpu.cpp:1323-1326):
+    (uint8_t)std::clamp(GetJulia(..) * 255.f, 0.f, 255.f)."""
+    val = julia(1024, 1024)
+    return np.clip(val * np.float32(255.0), np.float32(0.0),
+                   np.float32(255.0)).astype(np.uint8)
+
+
+JULIA_TC = np.array([[0.2, 0.0], [0.1, 0.8], [0.9, 0.1]], dtype=np.float32)
+
+
+@pytest.mark.slow
+def test_julia_unorm8(julia_u8):
+    """JuliaUNORM8 (test_omm_bake_cpu.cpp:1314-1335)."""
+    expect_stats(bake_stats(julia_u8, 0.5, 9, tex_coords=JULIA_TC,
+                            indices=[0, 1, 2], unorm8=True),
+                 total_opaque=254251, total_transparent=5176,
+                 total_unknown_transparent=1215, total_unknown_opaque=1502)
+
+
+@pytest.mark.slow
+def test_julia_t_and_uo(julia_u8):
+    """Julia_T_AND_UO (test_omm_bake_cpu.cpp:1337-1361): alphaCutoffGreater
+    remapped to UnknownOpaque folds all opaque µtris into UO."""
+    expect_stats(bake_stats(julia_u8, 0.5, 9, tex_coords=JULIA_TC,
+                            indices=[0, 1, 2], unorm8=True,
+                            cutoff_le=omm.OpacityState.Transparent,
+                            cutoff_gt=omm.OpacityState.UnknownOpaque),
+                 total_opaque=0, total_transparent=5176,
+                 total_unknown_transparent=1215,
+                 total_unknown_opaque=1502 + 254251)
+
+
+@pytest.mark.slow
+def test_julia_flip_t_and_o(julia_u8):
+    """Julia_FLIP_T_AND_O (test_omm_bake_cpu.cpp:1363-1387): LE→Opaque,
+    GT→Transparent swaps the roles of every state."""
+    expect_stats(bake_stats(julia_u8, 0.5, 9, tex_coords=JULIA_TC,
+                            indices=[0, 1, 2], unorm8=True,
+                            cutoff_le=omm.OpacityState.Opaque,
+                            cutoff_gt=omm.OpacityState.Transparent),
+                 total_opaque=5176, total_transparent=254251,
+                 total_unknown_transparent=1502, total_unknown_opaque=1215)
 
 
 def test_uniform_4x4():
@@ -166,6 +217,36 @@ def test_hexagons_reuse_lvl3():
                             indices=idx),
                  total_opaque=40134, total_transparent=250,
                  total_unknown_transparent=11939, total_unknown_opaque=13213)
+
+
+@pytest.mark.slow
+def test_hexagons_lvl8():
+    """HexagonsLvl8 (test_omm_bake_cpu.cpp:1454-1484)."""
+    tc = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], dtype=np.float32)
+    expect_stats(bake_stats(hexagons(1024, 1024), 0.5, 8, tex_coords=tc,
+                            indices=[0, 1, 2, 1, 2, 3]),
+                 total_opaque=77995, total_transparent=535,
+                 total_unknown_transparent=23163, total_unknown_opaque=29379)
+
+
+@pytest.mark.slow
+def test_hexagons_reuse_lvl4():
+    """HexagonsReuseLvl4 (test_omm_bake_cpu.cpp:1579-1624)."""
+    idx, tc = _hex_reuse_geometry()
+    expect_stats(bake_stats(hexagons(1024, 1024), 0.5, 4, tex_coords=tc,
+                            indices=idx),
+                 total_opaque=187129, total_transparent=17979,
+                 total_unknown_transparent=30309, total_unknown_opaque=26727)
+
+
+@pytest.mark.slow
+def test_hexagons_reuse_lvl5():
+    """HexagonsReuseLvl5 (test_omm_bake_cpu.cpp:1626-1671)."""
+    idx, tc = _hex_reuse_geometry()
+    expect_stats(bake_stats(hexagons(1024, 1024), 0.5, 5, tex_coords=tc,
+                            indices=idx),
+                 total_opaque=796515, total_transparent=138195,
+                 total_unknown_transparent=56743, total_unknown_opaque=57123)
 
 
 @pytest.mark.slow
@@ -243,6 +324,46 @@ def test_degen_dyn_lvl_2(circle1024):
                             dynamic_subdivision_scale=2.0),
                  total_opaque=37333, total_transparent=27495,
                  total_unknown_transparent=353, total_unknown_opaque=355)
+
+
+@pytest.mark.slow
+def test_degen_dyn_lvl_0_1(circle1024):
+    """Degen_Default_dyn_lvl_0_1 (test_omm_bake_cpu.cpp:2423-2438): scale
+    0.1 resolves to the full level-12 line (16.7M µtris)."""
+    expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2],
+                            dynamic_subdivision_scale=0.1),
+                 total_opaque=9642463, total_transparent=7108335,
+                 total_unknown_transparent=3771, total_unknown_opaque=22647)
+
+
+@pytest.mark.slow
+def test_degen_dyn_lvl_0_5(circle1024):
+    """Degen_Default_dyn_lvl_0_5 (test_omm_bake_cpu.cpp:2440-2455)."""
+    expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2],
+                            dynamic_subdivision_scale=0.5),
+                 total_opaque=601591, total_transparent=443211,
+                 total_unknown_transparent=942, total_unknown_opaque=2832)
+
+
+def test_degen_dyn_lvl_3(circle1024):
+    """Degen_Default_dyn_lvl_3 (test_omm_bake_cpu.cpp:2474-2489) — same
+    resolved level as scale=2, so identical stats."""
+    expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2],
+                            dynamic_subdivision_scale=3.0),
+                 total_opaque=37333, total_transparent=27495,
+                 total_unknown_transparent=353, total_unknown_opaque=355)
+
+
+def test_degen_dyn_lvl_10(circle1024):
+    """Degen_Default_dyn_lvl_10 (test_omm_bake_cpu.cpp:2491-2506)."""
+    expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=DEGEN_TC,
+                            indices=[0, 1, 2],
+                            dynamic_subdivision_scale=10.0),
+                 total_opaque=2266, total_transparent=1653,
+                 total_unknown_transparent=87, total_unknown_opaque=90)
 
 
 def test_degen_point_transparent(circle1024):

@@ -84,14 +84,26 @@ MIP_ORACLES = {
                       total_unknown_transparent=275, total_unknown_opaque=292),
     (0, 3, 0.5): dict(total_opaque=784, total_transparent=2688,
                       total_unknown_transparent=307, total_unknown_opaque=317),
+    (0, 4, 0.5): dict(total_opaque=776, total_transparent=2684,
+                      total_unknown_transparent=311, total_unknown_opaque=325),
     (0, 5, 0.5): dict(total_opaque=724, total_transparent=2586,
                       total_unknown_transparent=409, total_unknown_opaque=377),
+    (0, 6, 0.5): dict(total_opaque=615, total_transparent=2430,
+                      total_unknown_transparent=565, total_unknown_opaque=486),
+    (0, 7, 0.5): dict(total_opaque=349, total_transparent=2408,
+                      total_unknown_transparent=587, total_unknown_opaque=752),
     (0, 8, 0.5): dict(total_opaque=0, total_transparent=2408,
                       total_unknown_transparent=587, total_unknown_opaque=1101),
     (1, 1, 0.5): dict(total_opaque=847, total_transparent=2728,
                       total_unknown_transparent=248, total_unknown_opaque=273),
+    (2, 1, 0.5): dict(total_opaque=857, total_transparent=2725,
+                      total_unknown_transparent=268, total_unknown_opaque=246),
+    (3, 1, 0.5): dict(total_opaque=867, total_transparent=2735,
+                      total_unknown_transparent=239, total_unknown_opaque=255),
     (4, 1, 0.5): dict(total_opaque=928, total_transparent=2777,
                       total_unknown_transparent=199, total_unknown_opaque=192),
+    (5, 1, 0.5): dict(total_opaque=965, total_transparent=2821,
+                      total_unknown_transparent=156, total_unknown_opaque=154),
     (6, 1, 0.5): dict(total_opaque=526, total_transparent=3335,
                       total_unknown_transparent=119, total_unknown_opaque=116),
 }
@@ -133,3 +145,21 @@ def test_leaflet_level8(leaflet_alpha):
     expect_stats(_leaflet_level_n(leaflet_alpha, 8),
                  total_opaque=19831, total_transparent=43424,
                  total_unknown_transparent=1110, total_unknown_opaque=1171)
+
+
+def test_leaflet_level12_too_big_workload(leaflet_alpha):
+    """LeafletLevel12_TooBigWorkload (test_omm_bake_cpu.cpp:2020-2031):
+    a 512-texel workload budget cancels the level-12 bake."""
+    tex = omm.Texture([leaflet_alpha], omm.TextureFormat.FP32)
+    tc = np.array([[0.35, 0.1], [0.1, 0.9], [0.9, 0.8]], np.float32)
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=tc,
+        index_buffer=np.array([0, 1, 2], np.uint32), index_count=3,
+        alpha_cutoff=0.5, dynamic_subdivision_scale=0.0,
+        unknown_state_promotion=omm.UnknownStatePromotion.Nearest,
+        bake_flags=(omm.BakeFlags.EnableInternalThreads
+                    | omm.BakeFlags.DisableSpecialIndices),
+        max_subdivision_level=12, max_workload_size=512)
+    with pytest.raises(omm.BakeError) as ei:
+        omm.bake(desc)
+    assert ei.value.result == omm.Result.WORKLOAD_TOO_BIG
