@@ -168,6 +168,40 @@ def test_julia_flip_t_and_o(julia_u8):
                  total_unknown_transparent=1502, total_unknown_opaque=1215)
 
 
+def _pack_uv16(uv32, unorm):
+    """Reference ConvertTexCoords (test_omm_bake_cpu.cpp:116-134):
+    glm::packUnorm2x16 / packHalf2x16 per vertex, one u32 each."""
+    if unorm:
+        q = np.floor(np.clip(uv32, np.float32(0.0), np.float32(1.0))
+                     * np.float32(65535.0) + np.float32(0.5)).astype(np.uint32)
+    else:
+        q = uv32.astype(np.float16).view(np.uint16).astype(np.uint32)
+    return (q[:, 0] | (q[:, 1] << 16)).astype(np.uint32).view(np.uint8)
+
+
+@pytest.mark.slow
+def test_julia_uvfp16():
+    """Julia_UVFP16 (test_omm_bake_cpu.cpp:1266-1288): the same bake
+    through packed half-float texcoords shifts the quantized UVs."""
+    expect_stats(bake_stats(julia(1024, 1024), 0.5, 9,
+                            tex_coords=_pack_uv16(JULIA_TC, unorm=False),
+                            tex_coord_format=omm.TexCoordFormat.UV16_FLOAT,
+                            indices=[0, 1, 2]),
+                 total_opaque=254321, total_transparent=5108,
+                 total_unknown_transparent=1264, total_unknown_opaque=1451)
+
+
+@pytest.mark.slow
+def test_julia_uv_unorm16():
+    """Julia_UV_UNORM16 (test_omm_bake_cpu.cpp:1290-1312)."""
+    expect_stats(bake_stats(julia(1024, 1024), 0.5, 9,
+                            tex_coords=_pack_uv16(JULIA_TC, unorm=True),
+                            tex_coord_format=omm.TexCoordFormat.UV16_UNORM,
+                            indices=[0, 1, 2]),
+                 total_opaque=254325, total_transparent=5110,
+                 total_unknown_transparent=1284, total_unknown_opaque=1425)
+
+
 def test_uniform_4x4():
     vals = np.array([[0.9, 0.1], [0.1, 0.7]], dtype=np.float32)
     j, i = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
