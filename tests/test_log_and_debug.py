@@ -322,3 +322,23 @@ def test_viewer_inspect_and_reuse(tmp_path, capsys):
     rc = cli.main(["viewer", str(p), "--inspect", "1:0.4,0.55"])
     assert rc == 0
     assert "micro_index" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("w,h,ok", [
+    (64, 100, True), (100, 100, True), (100, 64, True),
+    (0, 64, False), (0, 0, False), (65536, 1, True), (65537, 1, False),
+])
+def test_texture_create_dims(w, h, ok):
+    """TextureTest Create* grid (test_basic.cpp:220-277): zero or
+    >65536 (texture_impl.h:148) dimensions are INVALID_ARGUMENT."""
+    if w * h > 0:
+        plane = np.zeros((h, w), np.float32)
+    else:
+        plane = np.zeros((max(h, 0), max(w, 0)), np.float32)
+    if ok:
+        tex = omm.Texture([plane], omm.TextureFormat.FP32)
+        assert tex.mip_count == 1
+    else:
+        with pytest.raises(omm.BakeError) as ei:
+            omm.Texture([plane], omm.TextureFormat.FP32)
+        assert ei.value.result == omm.Result.INVALID_ARGUMENT
