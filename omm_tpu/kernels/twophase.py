@@ -248,6 +248,42 @@ def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads,
 # stage A+B: group resolve, micro resolve, survivor compaction, tile slots
 # ---------------------------------------------------------------------------
 
+def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
+                    subdiv: int, lg: int) -> np.ndarray:
+    """Vectorized `_fast_path_ok` over uv_arr (N, 3, 2): identical
+    per-item decisions (same fp64 op order via _span_windows), one numpy
+    pass per mip instead of N python loops — the per-item form profiled
+    at ~7 ms per 64-item batch on the enqueue critical path."""
+    N = uv_arr.shape[0]
+    if (cfg.filter != TextureFilterMode.Linear
+            or getattr(cfg, "disable_level_line", False)
+            or subdiv < 2):
+        return np.zeros(N, bool)
+    ok = ~geom.is_degenerate(uv_arr)
+    if cfg.addr_mode == TextureAddressMode.Border:
+        # rare mode with an exact per-µtri seed-footprint check: keep the
+        # scalar path, but only for the non-degenerate candidates
+        for k in np.flatnonzero(ok):
+            ok[k] = _fast_path_ok(texture, cfg, uv_arr[k], subdiv, lg)
+        return ok
+    for mip in range(texture.mip_count):
+        Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
+        Hgs, Wgs = _span_windows(texture, uv_arr, lg, mip)
+        He, We = Hbs + 2, Wbs + 2
+        mx = np.maximum(He, We)
+        pad = TILE + mx  # per-item TSA
+        ok &= mx <= TILE
+        ok &= np.maximum(Hgs, Wgs) + 6 < pad
+        w, h = texture.size(mip)
+        q = uv_arr.astype(np.float64) * np.array([w, h], np.float64)
+        tmin = np.floor(q.min(axis=1)) - 2
+        tmax = np.ceil(q.max(axis=1)) + 2
+        ok &= (tmin[:, 0] >= 1 - pad) & (tmin[:, 1] >= 1 - pad)
+        ok &= tmax[:, 0] + np.maximum(We + 2, Wgs + 6) <= w + pad
+        ok &= tmax[:, 1] + np.maximum(He + 2, Hgs + 6) <= h + pad
+    return ok
+
+
 @partial(jax.jit, static_argnames=("subdiv", "levels", "caps", "K_cap",
                                    "mips", "pads", "ntxs", "all_active"))
 def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
@@ -351,24 +387,32 @@ def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
         x0, y0 = _window_origin(tri6, bu, bv, bd, w, h, fz)
         tile = ((y0 + pad) // TILE) * ntx + (x0 + pad) // TILE
         tile = jnp.where(kvalid, tile, _INVALID_TILE)
-        order = jnp.argsort(tile, stable=True)
-        st = tile[order]
+        # One sort co-sorts the permutation payload (argsort + a follow-up
+        # K_cap gather profiled ~1.4 ms each at 196k); group offsets come
+        # from an elementwise scan over the SORTED stream instead of
+        # segment_sum + an offsets[gid] gather: at each group start the
+        # previous group closes, contributing its B-padded extent.
         ar = jnp.arange(K_cap, dtype=jnp.int32)
+        st, order = jax.lax.sort((tile, ar), num_keys=1, is_stable=True)
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), st[1:] != st[:-1]])
-        gid2 = jnp.cumsum(is_start.astype(jnp.int32)) - 1
         start_pos = jax.lax.cummax(jnp.where(is_start, ar, 0))
         rank = ar - start_pos
-        ones = jnp.where(st != _INVALID_TILE, 1, 0).astype(jnp.int32)
-        sizes = jax.ops.segment_sum(ones, gid2, num_segments=K_cap)
-        padded = ((sizes + B - 1) // B) * B
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             jnp.cumsum(padded).astype(jnp.int32)[:-1]])
-        slot_sorted = jnp.where(st != _INVALID_TILE,
-                                offsets[gid2] + rank, _SENTINEL)
+        start_prev = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), start_pos[:-1]])
+        prev_size = ar - start_prev      # at starts: extent of the closed group
+        inc = jnp.where(is_start & (ar > 0),
+                        ((prev_size + B - 1) // B) * B, 0)
+        offsets_elem = jnp.cumsum(inc).astype(jnp.int32)
+        valid_el = st != _INVALID_TILE
+        slot_sorted = jnp.where(valid_el, offsets_elem + rank, _SENTINEL)
         slot = jnp.zeros((K_cap,), jnp.int32).at[order].set(slot_sorted)
-        metas.append(jnp.sum(padded).astype(jnp.int32))
+        # total padded slot count: each valid element bounds it by its
+        # group's offset plus its own B-rounded rank; the max is exact at
+        # the last valid element
+        padM_m = jnp.max(jnp.where(
+            valid_el, offsets_elem + ((rank + B) // B) * B, 0))
+        metas.append(padM_m.astype(jnp.int32))
         slots.append((slot, tile))
 
     meta = jnp.stack(metas)
@@ -398,8 +442,21 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
     uv6T = uv_flat.T.astype(jnp.float32)          # (6, T)
     ccw1T = ccw.astype(jnp.float32).reshape(1, -1)  # (1, T)
 
-    block_tile = (jnp.zeros((nblk,), jnp.int32)
-                  .at[tgt // B].max(tile, mode="drop"))
+    # Tile groups are B-aligned (padded = ceil(sizes/B)*B in _stageAB),
+    # so every non-empty block's FIRST slot holds a real survivor:
+    # recompute that survivor's tile key from its id (same _window_origin
+    # fp32 ops, guard-fenced, as the slot sort used) — nblk elements of
+    # bird math instead of a K_cap-update scatter-max (~1.6 ms at 196k).
+    first_ids = ids_slot[:, 0, 0]
+    M = get_num_micro_triangles(subdiv)
+    fb_t = (jnp.maximum(first_ids, 0) // M).astype(jnp.int32)
+    fb_m = (jnp.maximum(first_ids, 0) % M).astype(jnp.uint32)
+    fbu, fbv, fbd = _bary_cols(fb_m, subdiv)
+    ftri6 = _tri6_of(uv_flat, fb_t)
+    fx0, fy0 = _window_origin(ftri6, fbu, fbv, fbd, w, h, fz)
+    block_tile = jnp.where(
+        first_ids >= 0,
+        ((fy0 + pad) // TILE) * ntx + (fx0 + pad) // TILE, 0)
 
     a_b, b_b = pk._run_v3(
         tilesE, block_tile, ids_slot, uv6T, ccw1T,
@@ -407,12 +464,15 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
         H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
         size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk,
         subdiv=subdiv, pad=pad, ntx=ntx)
-    a_flat = a_b.reshape(-1)
-    b_flat = b_b.reshape(-1)
+    # One packed slot->survivor permutation gather instead of two: counts
+    # are bounded by the fast-path window (<= 66*66 texels * <=8
+    # increments < 2^16), so (a << 16) | b is lossless.  The XLA gather
+    # is latency-bound per element (~7 ns/elem at K_cap=196k), so
+    # halving the element count halves the readback cost.
+    ab = (a_b.reshape(-1) << 16) | b_b.reshape(-1)
     safe = jnp.minimum(tgt, padM - 1)
-    a = jnp.where(ok, a_flat[safe], 0)
-    b = jnp.where(ok, b_flat[safe], 0)
-    return a, b
+    abg = jnp.where(ok, ab[safe], 0)
+    return abg >> 16, abg & jnp.int32(0xFFFF)
 
 
 # ---------------------------------------------------------------------------
@@ -651,7 +711,8 @@ class _BatchCtx:
             self._active_cache = a
         return a
 
-    def __init__(self, texture, cfg, items, subdiv, fast, out):
+    def __init__(self, texture, cfg, items, subdiv, fast, out,
+                 all_active=None):
         self.texture = texture
         self.cfg = cfg
         self.items = items
@@ -669,8 +730,11 @@ class _BatchCtx:
         # avoid materializing the (T, M) mask in the common all-active
         # case (fresh bakes); states are in {0..3} so min()==UO(3) is
         # exactly "all UnknownOpaque", with no 4^subdiv-byte temporaries
-        # (profiled at ~9 ms/batch as (st == UO).all())
-        self.all_active = all(int(items[i][1].min()) == UO for i in fast)
+        # (profiled at ~9 ms/batch as (st == UO).all()).  Callers that
+        # already scanned the states pass the answer in.
+        if all_active is None:
+            all_active = all(int(items[i][1].min()) == UO for i in fast)
+        self.all_active = all_active
 
         cutoff = float(cfg.alpha_cutoff)
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
@@ -870,9 +934,12 @@ def _run_batch_sync(ctx: _BatchCtx):
 
     mip_counts = []
     nblks = []
+    nblks_true = []
     for mip in range(len(ctx.mips)):
         padM = int(meta_np[m + 2 + mip])
-        nblk = max(_bucket((padM + B - 1) // B), 8)
+        nblk_true = (padM + B - 1) // B
+        nblks_true.append(nblk_true)
+        nblk = max(_bucket(nblk_true), 8)
         nblks.append(nblk)
         if K > 0:
             try:
@@ -890,11 +957,15 @@ def _run_batch_sync(ctx: _BatchCtx):
         cutoff_le=cfg.cutoff_le))  # sync #2
 
     # remember observed sizes (with headroom) so later batches run the
-    # single-sync speculative pipeline
+    # single-sync speculative pipeline.  Margins apply to the TRUE
+    # observed counts, bucketed once (an earlier version re-bucketed the
+    # already-bucketed nblk, inflating the Pallas grid by up to 77%);
+    # the +1/16 Cs margin keeps typical counts inside the same
+    # {2^k, 1.5*2^k} bucket the observation fell in.
     ctx.caps[ctx.cap_key] = (
-        tuple(max(_bucket(ct + ct // 8 + 64), 512) for ct in Cs_true),
-        max(_bucket(K + K // 8 + 64), 4 * B),
-        tuple(max(_bucket(n + n // 8 + 8), 8) for n in nblks))
+        tuple(max(_bucket(ct + ct // 16 + 64), 512) for ct in Cs_true),
+        max(_bucket(K + K // 16 + 64), 4 * B),
+        tuple(max(_bucket(n + n // 8 + 8), 8) for n in nblks_true))
     ctx.finish(packed)
     return True
 
@@ -975,23 +1046,33 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     for items in batches:
         out = [None] * len(items)
         todo = []
+        mins = {}
         for i, (uv, st) in enumerate(items):
-            # states are in {0..3}: max()==UO(3) <=> some UnknownOpaque,
-            # without a 4^subdiv-byte comparison temporary per item
-            if int(st.max()) != UO:
-                out[i] = st
-            else:
+            # states are in {0..3}: min()==UO(3) <=> ALL UnknownOpaque
+            # (the fresh-bake common case — decided with ONE 4^subdiv
+            # byte scan); only mixed states need the second (max) scan
+            # for "some UnknownOpaque left"
+            mn = int(st.min())
+            mins[i] = mn
+            if mn == UO or int(st.max()) == UO:
                 todo.append(i)
+            else:
+                out[i] = st
         lg = _group_level(texture, [items[i][0] for i in todo], subdiv) \
             if todo else 1
         fast = []
-        for i in todo:
-            if _fast_path_ok(texture, cfg, items[i][0], subdiv, lg):
-                fast.append(i)
-            else:
-                slow.append((items, out, i))
-        ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out) if fast \
-            else None
+        if todo:
+            mask = _fast_path_mask(
+                texture, cfg, np.stack([items[i][0] for i in todo]),
+                subdiv, lg)
+            for k, i in enumerate(todo):
+                if mask[k]:
+                    fast.append(i)
+                else:
+                    slow.append((items, out, i))
+        ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out,
+                        all_active=all(mins[i] == UO for i in fast)) \
+            if fast else None
         ctxs.append(ctx)
         results.append(out)
         pending.append(_enqueue_batch_spec(ctx) if ctx is not None else None)

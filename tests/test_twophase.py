@@ -544,3 +544,39 @@ def test_span_windows_batched_equals_scalar():
     for uv, want in fixed:
         for level, hw in want.items():
             assert tp._span_window(tex, uv, level, 0) == hw, (uv, level)
+
+
+def test_fast_path_mask_equals_scalar():
+    """The vectorized admission filter _fast_path_mask must reproduce
+    _fast_path_ok per item: degenerate triangles, windows larger than a
+    tile, far-out-of-range UVs, tiny triangles, every address mode."""
+    from omm_tpu.kernels import twophase as tp
+
+    rng = np.random.RandomState(23)
+    tex = omm.Texture([standard_circle(256, 256)], omm.TextureFormat.FP32)
+    uvs = []
+    for _ in range(40):
+        b = rng.rand(2).astype(np.float32) * 0.5
+        uvs.append(np.stack([b + rng.rand(2).astype(np.float32) * 0.4
+                             for _ in range(3)]))
+    # adversarial items: degenerate (point + line), huge span (window >
+    # TILE at low subdiv), far outside [0,1]^2, exactly-on-boundary
+    uvs.append(np.array([[0.3, 0.4]] * 3, np.float32))
+    uvs.append(np.array([[0.1, 0.1], [0.5, 0.5], [0.9, 0.9]], np.float32))
+    uvs.append(np.array([[-8.0, -8.0], [9.0, -8.0], [0.5, 9.0]],
+                        np.float32))
+    uvs.append(np.array([[-3.0, 0.1], [4.0, 0.2], [0.5, 3.5]], np.float32))
+    uvs.append(np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]], np.float32))
+    uv_arr = np.stack(uvs)
+
+    for mode in (omm.TextureAddressMode.Clamp, omm.TextureAddressMode.Wrap,
+                 omm.TextureAddressMode.Border):
+        cfg = _cfg(addr_mode=mode)
+        for subdiv, lg in ((1, 1), (4, 2), (6, 3), (9, 4)):
+            mask = tp._fast_path_mask(tex, cfg, uv_arr, subdiv, lg)
+            want = [tp._fast_path_ok(tex, cfg, u, subdiv, lg) for u in uvs]
+            assert mask.tolist() == want, (mode, subdiv)
+
+    # nearest filter / disable_level_line: everything rejected
+    cfg_n = _cfg(filter=omm.TextureFilterMode.Nearest)
+    assert not tp._fast_path_mask(tex, cfg_n, uv_arr, 6, 3).any()
