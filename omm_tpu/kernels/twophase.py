@@ -295,7 +295,7 @@ def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
     unresolved (& active) micro-triangles are the exact-kernel survivors.
 
     cls_levels: per-level tuples of per-mip class planes.
-    Returns (sides, cand_t, cand_m, cvalid, ids, kvalid, meta, slots)
+    Returns (sides, nodes, ids, kvalid, meta, slots)
     with sides a tuple of flat int8 side arrays, one per level, and meta
     [C_1..C_m, K, flag, per-mip padded slot totals]."""
     T = uv_flat.shape[0]
@@ -307,11 +307,13 @@ def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
     # ---- level 0: dense grid resolve ----
     # (jax.named_scope = the dispatch chain's BeginLabel/EndLabel analog,
     # omm.h:653-661 — stage names appear in jax.profiler traces)
+    # Nodes are carried as ONE flat id t*4^l + n: child expansion is
+    # exactly flat*E + j, so each level's compaction is a single scatter
+    # instead of a (node_t, node_n) pair (~0.9 ms each at 64k+).
     with jax.named_scope("omm.group_resolve"):
-        gidx = jnp.arange(N0, dtype=jnp.uint32)
-        node_n = jnp.tile(gidx, T).astype(jnp.int32)
-        node_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), N0)
-        side0 = _sides_for(node_n.astype(jnp.uint32), node_t, levels[0],
+        node = jnp.arange(T * N0, dtype=jnp.int32)  # == t*N0 + n
+        side0 = _sides_for((node & (N0 - 1)).astype(jnp.uint32),
+                           node >> (2 * levels[0]), levels[0],
                            uv_flat, cls_levels[0], mips, pads)
     sides = [side0]
 
@@ -325,7 +327,7 @@ def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
     flag = jnp.int32(0)
     metas = []
     nodes = []
-    cand_t = cand_m = cvalid = surv = None
+    cvalid = surv = None
     for i in range(1, m + 1):
         li = levels[i]
         E = 4 ** (li - levels[i - 1])
@@ -335,40 +337,38 @@ def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
         pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
         Ci = (pos[-1] + 1).astype(jnp.int32)
         tgt = jnp.where(unres & (pos < cap), pos, cap)
-        par_t = jnp.zeros((cap,), jnp.int32).at[tgt].set(node_t,
-                                                         mode="drop")
-        par_n = jnp.zeros((cap,), jnp.int32).at[tgt].set(node_n,
-                                                         mode="drop")
+        par = jnp.zeros((cap,), jnp.int32).at[tgt].set(node, mode="drop")
         pvalid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(Ci, cap)
         flag = jnp.maximum(flag, jnp.where(Ci > cap, jnp.int32(1),
                                            jnp.int32(0)))
         metas.append(Ci)
-        # expand E children per parent
+        # expand E children per parent: flat' = flat*E + j
         jj = jnp.arange(E, dtype=jnp.int32)
-        node_t = jnp.repeat(par_t, E)
-        node_n = jnp.repeat(par_n * E, E) + jnp.tile(jj, cap)
+        node = jnp.repeat(par * E, E) + jnp.tile(jj, cap)
         valid = jnp.repeat(pvalid, E)
         with jax.named_scope(f"omm.resolve_l{li}"):
-            side_i = _sides_for(node_n.astype(jnp.uint32), node_t, li,
+            side_i = _sides_for((node & (4 ** li - 1)).astype(jnp.uint32),
+                                node >> (2 * li), li,
                                 uv_flat, cls_levels[i], mips, pads)
         sides.append(side_i)
-        nodes.append((node_t, node_n, valid))
+        nodes.append((node, valid))
         if i < m:
             unres = valid & (side_i == 0)
         else:
-            cand_t, cand_m, cvalid = node_t, node_n, valid
+            cvalid = valid
             if all_active:
                 surv = valid & (side_i == 0)
             else:
-                surv = (valid & active[cand_t, jnp.minimum(cand_m, M - 1)]
+                surv = (valid
+                        & active[node >> (2 * subdiv),
+                                 jnp.minimum(node & (M - 1), M - 1)]
                         & (side_i == 0))
 
-    # compact survivors to K_cap (flat id = t*M + m)
+    # compact survivors to K_cap (the final-level flat id IS t*M + m)
     poss = jnp.cumsum(surv.astype(jnp.int32)) - 1
     K = (poss[-1] + 1).astype(jnp.int32)
     tgt_s = jnp.where(surv & (poss < K_cap), poss, K_cap)
-    fid = cand_t * M + cand_m
-    ids = jnp.zeros((K_cap,), jnp.int32).at[tgt_s].set(fid, mode="drop")
+    ids = jnp.zeros((K_cap,), jnp.int32).at[tgt_s].set(node, mode="drop")
     kvalid = jnp.arange(K_cap, dtype=jnp.int32) < jnp.minimum(K, K_cap)
     flag = jnp.maximum(flag, jnp.where(K > K_cap, jnp.int32(1),
                                        jnp.int32(0)))
@@ -522,12 +522,12 @@ def _stageD(sides, nodes, ids, kvalid, mip_counts,
                             (T * N0, M // N0)).reshape(T * M)
     for i in range(1, m + 1):
         li = levels[i]
-        node_t, node_n, valid = nodes[i - 1]
+        node, valid = nodes[i - 1]
         span = M // (4 ** li)
         Nl = T * (4 ** li)
         rows = jnp.broadcast_to(map_side(sides[i])[:, None],
                                 (sides[i].shape[0], span))
-        row_tgt = jnp.where(valid, node_t * (4 ** li) + node_n, Nl)
+        row_tgt = jnp.where(valid, node, Nl)
         base = base.reshape(Nl, span).at[row_tgt].set(
             rows, mode="drop").reshape(T * M)
     # exact-kernel survivors
