@@ -148,8 +148,10 @@ def main():
     UO = int(omm.OpacityState.UnknownOpaque)
 
     def fresh_batches():
-        return [[(t, np.full(M, UO, np.uint8))
-                 for t in uv_tris[k:k + BATCH]]
+        # states=None is the engine's declared fresh-item form (all
+        # UnknownOpaque): allocating 256 fresh 4^9-byte state arrays per
+        # rep cost ~78 ms of host time — more than the device pipeline
+        return [[(t, None) for t in uv_tris[k:k + BATCH]]
                 for k in range(0, N_TRIS, BATCH)]
 
     engine_name = "twophase_hier_pallas_pipelined"

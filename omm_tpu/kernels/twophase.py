@@ -707,7 +707,8 @@ class _BatchCtx:
     def active(self):
         a = getattr(self, "_active_cache", None)
         if a is None:
-            a = np.stack([self.items[i][1] == UO for i in self.fast])
+            a = np.stack([np.ones(self.M, bool) if self.items[i][1] is None
+                          else self.items[i][1] == UO for i in self.fast])
             self._active_cache = a
         return a
 
@@ -724,23 +725,24 @@ class _BatchCtx:
         self.levels = _descend_levels(
             texture, [items[i][0] for i in fast], subdiv, self.lg)
         self.T = len(fast)
-        self.uv_flat = np.stack(
-            [items[i][0].reshape(6) for i in fast]).astype(np.float32)
-        self.ccw = np.array([bool(geom.is_ccw(items[i][0])) for i in fast])
+        uv_arr = np.stack([items[i][0] for i in fast])
+        self.uv_flat = uv_arr.reshape(self.T, 6).astype(np.float32)
+        self.ccw = geom.is_ccw(uv_arr)
         # avoid materializing the (T, M) mask in the common all-active
         # case (fresh bakes); states are in {0..3} so min()==UO(3) is
         # exactly "all UnknownOpaque", with no 4^subdiv-byte temporaries
         # (profiled at ~9 ms/batch as (st == UO).all()).  Callers that
-        # already scanned the states pass the answer in.
+        # already scanned the states pass the answer in.  states=None is
+        # the declared fresh-bake form: all UnknownOpaque, no scan.
         if all_active is None:
-            all_active = all(int(items[i][1].min()) == UO for i in fast)
+            all_active = all(items[i][1] is None
+                             or int(items[i][1].min()) == UO for i in fast)
         self.all_active = all_active
 
         cutoff = float(cfg.alpha_cutoff)
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
         self.tilesEs, self.rcps = [], []
         self.cls_lv = [[] for _ in self.levels]
-        uv_arr = np.stack([items[i][0] for i in fast])
         for mip in range(texture.mip_count):
             Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
             Hb, Wb = int(Hbs.max()), int(Wbs.max())
@@ -799,11 +801,11 @@ class _BatchCtx:
     def finish(self, packed):
         for t, i in enumerate(self.fast):
             states = self.items[i][1]
-            act = self.active[t]
             unp = _unpack_states(packed[t], self.M)
-            if self.all_active:
+            if self.all_active or states is None:
                 self.out[i] = unp
             else:
+                act = self.active[t]
                 st = states.copy()
                 st[act] = unp[act]
                 self.out[i] = st
@@ -827,7 +829,7 @@ class _BatchCtx:
             None if self.all_active else self.active)
         if rec is not None:
             for t, i in enumerate(self.fast):
-                if self.all_active:
+                if self.all_active or self.items[i][1] is None:
                     self.out[i] = rec[t]
                 else:
                     st = self.items[i][1].copy()
@@ -891,7 +893,7 @@ class _BatchCtx:
 
         base = base.reshape(T, M)
         for t, i in enumerate(self.fast):
-            if self.all_active:
+            if self.all_active or self.items[i][1] is None:
                 self.out[i] = base[t]
             else:
                 st = self.items[i][1].copy()
@@ -999,6 +1001,15 @@ def _spec_chain(cls_levels, tilesEs, uv_flat, ccw, active, fz, *, subdiv,
                         cutoff_le=cutoff_le, nblk_caps=nblks)
 
 
+@jax.jit
+def _concat_payloads(bufs):
+    """Device-side concatenation of per-batch compressed payloads so a
+    multi-batch call crosses the tunnel ONCE: every separate fetch pays
+    the link's fixed round-trip cost (~26.5 ms on the axon tunnel),
+    which dominates the per-batch transfer itself (~100 KB)."""
+    return jnp.concatenate(bufs)
+
+
 def _enqueue_batch_spec(ctx: _BatchCtx):
     """Single-sync speculative pipeline: the whole stage chain is ONE jit
     dispatch with cached capacities; overflow is detected in the meta
@@ -1048,10 +1059,15 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         todo = []
         mins = {}
         for i, (uv, st) in enumerate(items):
-            # states are in {0..3}: min()==UO(3) <=> ALL UnknownOpaque
-            # (the fresh-bake common case — decided with ONE 4^subdiv
-            # byte scan); only mixed states need the second (max) scan
-            # for "some UnknownOpaque left"
+            # states=None declares a fresh item (all UnknownOpaque)
+            # without allocating or scanning the 4^subdiv-byte array.
+            # Otherwise states are in {0..3}: min()==UO(3) <=> ALL
+            # UnknownOpaque (decided with ONE byte scan); only mixed
+            # states need the second (max) scan for "some UO left"
+            if st is None:
+                mins[i] = UO
+                todo.append(i)
+                continue
             mn = int(st.min())
             mins[i] = mn
             if mn == UO or int(st.max()) == UO:
@@ -1077,18 +1093,45 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         results.append(out)
         pending.append(_enqueue_batch_spec(ctx) if ctx is not None else None)
 
+    M = get_num_micro_triangles(subdiv)
+
+    def _states_of(st):
+        return np.full(M, UO, np.uint8) if st is None else st
+
     for items, out, i in slow:
         out[i] = classify_work_item_jax(texture, cfg, items[i][0],
-                                        subdiv, items[i][1])
+                                        subdiv, _states_of(items[i][1]))
 
     import concurrent.futures as cf
     nmip = texture.mip_count
 
-    def fetch_and_finish(ctx, p):
-        """Worker: one D2H sync + the state reconstruction, so batch k's
-        replay (C++ releases the GIL) overlaps batch k+1's transfer.
+    # Fused fetch: concatenate every pending payload ON DEVICE and cross
+    # the tunnel once — N separate fetches each pay the link's fixed
+    # round-trip cost, the dominant wall-clock term for a pipelined
+    # multi-batch call.  Host slices then feed the (GIL-releasing C++)
+    # reconstruction workers.
+    host_bufs: dict[int, np.ndarray] = {}
+    live = [(k, p) for k, p in enumerate(pending) if p is not None]
+    if len(live) >= 2:
+        try:
+            flat = np.asarray(_concat_payloads(
+                tuple(p[0] for _, p in live)))  # the ONE sync
+            o = 0
+            for k, p in live:
+                n = int(p[0].shape[0])
+                host_bufs[k] = flat[o:o + n]
+                o += n
+        except fb.KERNEL_FALLBACK_ERRORS as e:
+            fb.record("twophase.fused_fetch", e)
+            host_bufs = {}
+
+    def fetch_and_finish(ctx, p, buf):
+        """Worker: one D2H sync (skipped when the fused fetch already
+        brought the payload over) + the state reconstruction, so batch
+        k's replay (C++ releases the GIL) overlaps batch k+1's work.
         Returns True unless the speculative capacities overflowed."""
-        buf = np.asarray(p[0])  # the batch's one sync
+        if buf is None:
+            buf = np.asarray(p[0])  # the batch's one sync
         m = len(ctx.levels) - 1
         mrow = buf[:4 * (m + 2 + nmip)].view(np.int32)
         if int(mrow[m + 1]) != 0:
@@ -1098,11 +1141,11 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                            [int(x) for x in mrow[:m]], int(mrow[m]))
         return True
 
-    pool = cf.ThreadPoolExecutor(max_workers=2)
+    pool = cf.ThreadPoolExecutor(max_workers=4)
     try:
-        futs = [pool.submit(fetch_and_finish, ctx, p)
+        futs = [pool.submit(fetch_and_finish, ctx, p, host_bufs.get(k))
                 if p is not None else None
-                for ctx, p in zip(ctxs, pending)]
+                for k, (ctx, p) in enumerate(zip(ctxs, pending))]
         for ctx, fut in zip(ctxs, futs):
             if ctx is None:
                 continue
@@ -1116,7 +1159,7 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                 for i in ctx.fast:
                     ctx.out[i] = classify_work_item_jax(
                         texture, cfg, ctx.items[i][0], subdiv,
-                        ctx.items[i][1])
+                        _states_of(ctx.items[i][1]))
     finally:
         pool.shutdown(wait=True)
     return results
@@ -1125,7 +1168,9 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
 def classify_work_items_batch(texture: Texture, cfg, items, subdiv: int):
     """Classify a batch of work items sharing one subdivision level.
 
-    items: list of (uv_tri, states) — states uint8 (M,); micro-triangles
+    items: list of (uv_tri, states) — states uint8 (M,) or None (fresh
+    item: all UnknownOpaque, saving the caller the 4^subdiv-byte
+    allocation and the engine the activity scan); micro-triangles
     with state == UnknownOpaque are classified.  Returns the list of new
     state arrays.  Items that fail the fast-path preconditions fall back
     to the XLA gather path individually; device-side capacity overflow

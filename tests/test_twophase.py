@@ -206,6 +206,48 @@ def test_twophase_pipelined_batches(monkeypatch):
         assert (st == want).all()
 
 
+def test_twophase_none_states_fresh_items(monkeypatch):
+    """states=None (declared fresh item: all UnknownOpaque, no per-item
+    allocation/scan) must be bit-identical to an explicit all-UO array,
+    on the discovery pass, the speculative fused-fetch pass, and in a
+    mixed batch alongside partially-resolved items."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(6, seed=13)
+
+    def batches(st):
+        return [[(t, st() if st else None) for t in tris[k:k + 2]]
+                for k in range(0, 6, 2)]
+
+    fresh = lambda: np.full(M, 3, np.uint8)
+    want = [engine.resample_fine_item(tex, cfg, t, subdiv, fresh())
+            for t in tris]
+    for outs in (tp.classify_work_items_batches(tex, cfg, batches(None),
+                                                subdiv),
+                 tp.classify_work_items_batches(tex, cfg, batches(None),
+                                                subdiv),  # speculative
+                 tp.classify_work_items_batches(tex, cfg, batches(fresh),
+                                                subdiv)):
+        flat = [st for b in outs for st in b]
+        for w, st in zip(want, flat):
+            assert (st == w).all()
+
+    # mixed batch: partially-resolved array + None items together
+    half = want[0].copy()
+    half[M // 2:] = 3
+    mixed = [[(tris[0], half), (tris[1], None), (tris[2], fresh())]]
+    outs = tp.classify_work_items_batches(tex, cfg, mixed, subdiv)[0]
+    w0 = engine.resample_fine_item(tex, cfg, tris[0], subdiv, half.copy())
+    assert (outs[0] == w0).all()
+    assert (outs[1] == want[1]).all()
+    assert (outs[2] == want[2]).all()
+
+
 def test_auto_backend_small_routes_to_host():
     """backend='auto' must bake small workloads without device work and
     match the oracle exactly."""
