@@ -1039,11 +1039,27 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
         return None
 
 
+#: host-side phase trace (label, seconds-since-call-start) appended per
+#: classify_work_items_batches call when OMM_TP_TRACE is set — the wall
+#: clock attribution tool for tunnel-attached tuning (device-op times
+#: come from jax.profiler; this covers the host half).
+TRACE: list = []
+
+
 def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     """Classify several batches, pipelined: all speculative device chains
     are enqueued up-front so each batch's result fetch overlaps the next
     batches' device execution.  Returns a list of per-batch state lists."""
+    import os
+    import time as _time
+
     from .jax_classify import classify_work_item_jax
+
+    if os.environ.get("OMM_TP_TRACE"):
+        _tb = _time.perf_counter()
+        _mark = lambda lab: TRACE.append((lab, _time.perf_counter() - _tb))
+    else:
+        _mark = lambda lab: None
 
     # build each batch's context and enqueue its speculative chain
     # IMMEDIATELY (the device starts on batch 0 while later batches'
@@ -1089,9 +1105,29 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out,
                         all_active=all(mins[i] == UO for i in fast)) \
             if fast else None
+        _mark(f"ctx{len(ctxs)}")
         ctxs.append(ctx)
         results.append(out)
         pending.append(_enqueue_batch_spec(ctx) if ctx is not None else None)
+        _mark(f"enq{len(ctxs) - 1}")
+
+    # Fused fetch, part 1: concatenate every pending payload ON DEVICE
+    # and issue the D2H transfer NOW — N separate host-initiated fetches
+    # each pay the link's fixed round-trip cost (the dominant wall-clock
+    # term for a pipelined multi-batch call); with copy_to_host_async
+    # the payload streams back the moment the device finishes instead.
+    live = [(k, p) for k, p in enumerate(pending) if p is not None]
+    cat = None
+    if len(live) >= 2:
+        try:
+            cat = _concat_payloads(tuple(p[0] for _, p in live))
+            cat.copy_to_host_async()
+        except fb.KERNEL_FALLBACK_ERRORS as e:
+            fb.record("twophase.fused_fetch", e)
+            cat = None
+    elif len(live) == 1:
+        live[0][1][0].copy_to_host_async()
+    _mark("concat_enq")
 
     M = get_num_micro_triangles(subdiv)
 
@@ -1105,25 +1141,18 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     import concurrent.futures as cf
     nmip = texture.mip_count
 
-    # Fused fetch: concatenate every pending payload ON DEVICE and cross
-    # the tunnel once — N separate fetches each pay the link's fixed
-    # round-trip cost, the dominant wall-clock term for a pipelined
-    # multi-batch call.  Host slices then feed the (GIL-releasing C++)
-    # reconstruction workers.
+    # Fused fetch, part 2: materialize the one transfer and slice it per
+    # batch; host slices feed the (GIL-releasing C++) reconstruction
+    # workers.
     host_bufs: dict[int, np.ndarray] = {}
-    live = [(k, p) for k, p in enumerate(pending) if p is not None]
-    if len(live) >= 2:
-        try:
-            flat = np.asarray(_concat_payloads(
-                tuple(p[0] for _, p in live)))  # the ONE sync
-            o = 0
-            for k, p in live:
-                n = int(p[0].shape[0])
-                host_bufs[k] = flat[o:o + n]
-                o += n
-        except fb.KERNEL_FALLBACK_ERRORS as e:
-            fb.record("twophase.fused_fetch", e)
-            host_bufs = {}
+    if cat is not None:
+        flat = np.asarray(cat)  # the ONE sync
+        _mark("fetch")
+        o = 0
+        for k, p in live:
+            n = int(p[0].shape[0])
+            host_bufs[k] = flat[o:o + n]
+            o += n
 
     def fetch_and_finish(ctx, p, buf):
         """Worker: one D2H sync (skipped when the fused fetch already
@@ -1162,6 +1191,7 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                         _states_of(ctx.items[i][1]))
     finally:
         pool.shutdown(wait=True)
+    _mark("done")
     return results
 
 
