@@ -46,21 +46,28 @@ from . import mxu_classify as mx
 UO = int(OpacityState.UnknownOpaque)
 
 
-def _kernel_fence_default() -> bool:
+_KERNEL_FENCE: bool | None = None
+
+
+def kernel_fence() -> bool:
     """In-kernel fp-contraction fence policy: Mosaic's TPU codegen does
     not contract fp32 mul+add (verified by the smooth-alpha foliage
     parity checks, tests/test_scene_e2e.py + bench.py's gate), so the
     fence is only needed when the kernel body runs through XLA:CPU
-    (interpret mode in tests).  Override with OMM_TPU_KERNEL_FENCE=0/1."""
-    import os
-    v = os.environ.get("OMM_TPU_KERNEL_FENCE")
-    if v is not None:
-        return v not in ("0", "false", "False")
-    import jax
-    return jax.default_backend() == "cpu"
+    (interpret mode in tests).  Override with OMM_TPU_KERNEL_FENCE=0/1.
 
-
-KERNEL_FENCE = _kernel_fence_default()
+    Resolved lazily on first kernel use — `jax.default_backend()`
+    initializes the device client, and importing the package must work
+    (for the numpy backend) even when no jax backend is reachable."""
+    global _KERNEL_FENCE
+    if _KERNEL_FENCE is None:
+        v = os.environ.get("OMM_TPU_KERNEL_FENCE")
+        if v is not None:
+            _KERNEL_FENCE = v not in ("0", "false", "False")
+        else:
+            import jax
+            _KERNEL_FENCE = jax.default_backend() == "cpu"
+    return _KERNEL_FENCE
 B = int(os.environ.get("OMM_PALLAS_BLOCK", "128"))  # micro-tris per grid step
 
 # geo rows: x0, y0, x1, y1, oy, ox, sdy, sdx, valid, spare
@@ -520,7 +527,7 @@ def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
 
 def run_job_v3(job):
     import numpy as _np
-    fzv = jnp.asarray(_np.zeros((1, 1), _np.int32)) if KERNEL_FENCE else None
+    fzv = jnp.asarray(_np.zeros((1, 1), _np.int32)) if kernel_fence() else None
     return _run_v3(*job["args"], fzv, **job["kw"])
 
 

@@ -73,6 +73,25 @@ PHASE1_MARGIN = float(np.float32(2.0 ** -14))
 _INVALID_TILE = np.int32(0x7FFFFF00)
 _SENTINEL = np.int32(0x7FFFFF00)
 
+# Per-process device-resident constants: creating jnp.int32(0) / the
+# all-active (1,1) mask per batch costs one H2D transfer each — every
+# stream operation pays the tunnel's fixed RPC overhead.
+_dev_consts: dict = {}
+
+
+def _fz0():
+    c = _dev_consts.get("fz0")
+    if c is None:
+        c = _dev_consts["fz0"] = jnp.int32(0)
+    return c
+
+
+def _act_all():
+    c = _dev_consts.get("act_all")
+    if c is None:
+        c = _dev_consts["act_all"] = jnp.ones((1, 1), bool)
+    return c
+
 
 # ---------------------------------------------------------------------------
 # caches
@@ -460,7 +479,7 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
 
     a_b, b_b = pk._run_v3(
         tilesE, block_tile, ids_slot, uv6T, ccw1T,
-        fz.reshape(1, 1) if pk.KERNEL_FENCE else None,
+        fz.reshape(1, 1) if pk.kernel_fence() else None,
         H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
         size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk,
         subdiv=subdiv, pad=pad, ntx=ntx)
@@ -768,8 +787,8 @@ class _BatchCtx:
 
         self.uvJ = jnp.asarray(self.uv_flat)
         self.ccwJ = jnp.asarray(self.ccw)
-        self.actJ = jnp.asarray(self.active if not self.all_active
-                                else np.ones((1, 1), bool))
+        self.actJ = _act_all() if self.all_active \
+            else jnp.asarray(self.active)
         caps = getattr(texture, "_omm_caps", {})
         texture._omm_caps = caps
         self.caps = caps
@@ -781,7 +800,7 @@ class _BatchCtx:
 
     def stage_ab(self, Cs, K_cap):
         return _stageAB(self.cls_tuple, self.uvJ,
-                        self.ccwJ, self.actJ, jnp.int32(0),
+                        self.ccwJ, self.actJ, _fz0(),
                         subdiv=self.subdiv, levels=self.levels,
                         caps=tuple(Cs), K_cap=K_cap,
                         mips=tuple(self.mips), pads=tuple(self.pads),
@@ -792,7 +811,7 @@ class _BatchCtx:
         w, h = self.mips[mip]
         return _stageC_mip(
             self.tilesEs[mip], self.uvJ, self.ccwJ, ids, kvalid,
-            slots[mip][0], slots[mip][1], jnp.int32(0),
+            slots[mip][0], slots[mip][1], _fz0(),
             subdiv=self.subdiv, K_cap=K_cap,
             nblk=nblk, w=w, h=h, pad=self.pads[mip], ntx=self.ntxs[mip],
             H=self.HWu[mip][0], W=self.HWu[mip][1], rcp=self.rcps[mip],
@@ -1022,7 +1041,7 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
     try:
         dev = _spec_chain(
             ctx.cls_tuple, tuple(ctx.tilesEs),
-            ctx.uvJ, ctx.ccwJ, ctx.actJ, jnp.int32(0), subdiv=ctx.subdiv,
+            ctx.uvJ, ctx.ccwJ, ctx.actJ, _fz0(), subdiv=ctx.subdiv,
             levels=ctx.levels, caps=tuple(Cs), K_cap=K_cap,
             mips=tuple(ctx.mips),
             pads=tuple(ctx.pads), ntxs=tuple(ctx.ntxs),
@@ -1111,22 +1130,29 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         pending.append(_enqueue_batch_spec(ctx) if ctx is not None else None)
         _mark(f"enq{len(ctxs) - 1}")
 
-    # Fused fetch, part 1: concatenate every pending payload ON DEVICE
-    # and issue the D2H transfer NOW — N separate host-initiated fetches
-    # each pay the link's fixed round-trip cost (the dominant wall-clock
-    # term for a pipelined multi-batch call); with copy_to_host_async
-    # the payload streams back the moment the device finishes instead.
+    # Chunked fused fetch, part 1: group the pending payloads into a few
+    # device-side concatenations and issue every D2H transfer NOW.  Each
+    # host-initiated fetch pays the link's fixed round-trip cost, so
+    # payloads are fused; but the host here is a SINGLE core, so the
+    # serial per-batch reconstruction can only be hidden by starting it
+    # while later batches still run on the device — chunking trades one
+    # extra transfer for that overlap.  copy_to_host_async streams each
+    # chunk back the moment its last batch finishes.
     live = [(k, p) for k, p in enumerate(pending) if p is not None]
-    cat = None
-    if len(live) >= 2:
+    nch = max(1, min(int(os.environ.get("OMM_TP_FETCH_CHUNKS", "2")),
+                     len(live)))
+    step = max(1, (len(live) + nch - 1) // nch)
+    chunks = [live[o:o + step] for o in range(0, len(live), step)]
+    fetches = []  # (chunk, device array) — one transfer per chunk
+    for ch in chunks:
         try:
-            cat = _concat_payloads(tuple(p[0] for _, p in live))
+            cat = (_concat_payloads(tuple(p[0] for _, p in ch))
+                   if len(ch) > 1 else ch[0][1][0])
             cat.copy_to_host_async()
+            fetches.append((ch, cat))
         except fb.KERNEL_FALLBACK_ERRORS as e:
             fb.record("twophase.fused_fetch", e)
-            cat = None
-    elif len(live) == 1:
-        live[0][1][0].copy_to_host_async()
+            fetches.append((ch, None))
     _mark("concat_enq")
 
     M = get_num_micro_triangles(subdiv)
@@ -1138,29 +1164,11 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         out[i] = classify_work_item_jax(texture, cfg, items[i][0],
                                         subdiv, _states_of(items[i][1]))
 
-    import concurrent.futures as cf
     nmip = texture.mip_count
 
-    # Fused fetch, part 2: materialize the one transfer and slice it per
-    # batch; host slices feed the (GIL-releasing C++) reconstruction
-    # workers.
-    host_bufs: dict[int, np.ndarray] = {}
-    if cat is not None:
-        flat = np.asarray(cat)  # the ONE sync
-        _mark("fetch")
-        o = 0
-        for k, p in live:
-            n = int(p[0].shape[0])
-            host_bufs[k] = flat[o:o + n]
-            o += n
-
-    def fetch_and_finish(ctx, p, buf):
-        """Worker: one D2H sync (skipped when the fused fetch already
-        brought the payload over) + the state reconstruction, so batch
-        k's replay (C++ releases the GIL) overlaps batch k+1's work.
+    def finish_one(ctx, p, buf):
+        """Parse one batch's payload and reconstruct its states.
         Returns True unless the speculative capacities overflowed."""
-        if buf is None:
-            buf = np.asarray(p[0])  # the batch's one sync
         m = len(ctx.levels) - 1
         mrow = buf[:4 * (m + 2 + nmip)].view(np.int32)
         if int(mrow[m + 1]) != 0:
@@ -1170,27 +1178,37 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                            [int(x) for x in mrow[:m]], int(mrow[m]))
         return True
 
-    pool = cf.ThreadPoolExecutor(max_workers=4)
-    try:
-        futs = [pool.submit(fetch_and_finish, ctx, p, host_bufs.get(k))
-                if p is not None else None
-                for k, (ctx, p) in enumerate(zip(ctxs, pending))]
-        for ctx, fut in zip(ctxs, futs):
-            if ctx is None:
-                continue
-            ok = fut.result() if fut is not None else False
-            if not ok:
-                # overflow or no cached caps: the synchronous
-                # capacity-discovering path takes the batch (main
-                # thread — it dispatches new jit signatures)
-                ok = _run_batch_sync(ctx)
-            if not ok:
-                for i in ctx.fast:
-                    ctx.out[i] = classify_work_item_jax(
-                        texture, cfg, ctx.items[i][0], subdiv,
-                        _states_of(ctx.items[i][1]))
-    finally:
-        pool.shutdown(wait=True)
+    # part 2: drain chunks in order — chunk j's reconstruction runs
+    # while chunk j+1's batches are still executing/streaming
+    statuses: dict[int, bool] = {}
+    for ci, (ch, cat) in enumerate(fetches):
+        if cat is None:
+            # concat fell back: fetch each batch's payload individually
+            for k, p in ch:
+                statuses[k] = finish_one(ctxs[k], p, np.asarray(p[0]))
+            continue
+        flat = np.asarray(cat)  # the chunk's one sync
+        _mark(f"fetch{ci}")
+        o = 0
+        for k, p in ch:
+            n = int(p[0].shape[0])
+            statuses[k] = finish_one(ctxs[k], p, flat[o:o + n])
+            o += n
+        _mark(f"recon{ci}")
+
+    for k, (ctx, p) in enumerate(zip(ctxs, pending)):
+        if ctx is None:
+            continue
+        ok = statuses.get(k, False)
+        if not ok:
+            # overflow or no cached caps: the synchronous
+            # capacity-discovering path takes the batch
+            ok = _run_batch_sync(ctx)
+        if not ok:
+            for i in ctx.fast:
+                ctx.out[i] = classify_work_item_jax(
+                    texture, cfg, ctx.items[i][0], subdiv,
+                    _states_of(ctx.items[i][1]))
     _mark("done")
     return results
 
