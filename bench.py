@@ -134,7 +134,45 @@ def _spot_nearest():
     return True
 
 
+def _await_device(max_wait_s=1800):
+    """Wait for the TPU tunnel to come up before touching it in-process.
+
+    Backend init happens in a SUBPROCESS first: a wedged tunnel can hang
+    the initializing call indefinitely (not fail fast), and a hang inside
+    this process would eat the whole bench timeout.  Probe with a
+    per-attempt timeout and retry — transient tunnel outages (tenant
+    churn, terminal restarts) otherwise zero the headline number."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=300)
+            if p.returncode == 0:
+                return True
+            err = p.stderr.strip().splitlines()[-1:] or ["?"]
+        except subprocess.TimeoutExpired:
+            err = ["probe hung >300s"]
+        print(f"bench: device probe {attempt} failed: {err[0][:160]}",
+              file=sys.stderr)
+        if time.monotonic() > deadline:
+            print(json.dumps({
+                "metric": "utri_classified_per_sec_per_chip_subdiv9",
+                "value": 0.0, "unit": "utri/s", "vs_baseline": 0.0,
+                "error": "device backend unavailable "
+                         f"after {max_wait_s}s: {err[0][:200]}"}))
+            return False
+        time.sleep(60)
+
+
 def main():
+    if not _await_device():
+        sys.exit(1)
     import jax
 
     import omm_tpu as omm
