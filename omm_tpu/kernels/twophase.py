@@ -1089,6 +1089,35 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     ctxs = []
     pending = []
     slow = []
+
+    # Chunked fused fetch: group payloads into a few device-side
+    # concatenations, each issued IN STREAM ORDER right after its last
+    # member chain is enqueued — the device stream is FIFO, so a concat
+    # issued after ALL chains could not start until every batch had
+    # finished, and chunk 0's payload would arrive no earlier than the
+    # fully-fused form's.  Flushing chunk j before chunk j+1's chains
+    # are enqueued lets chunk j's D2H stream back (copy_to_host_async)
+    # while chunk j+1 still computes, hiding the host-side
+    # reconstruction behind device work.  Fusing within a chunk still
+    # amortizes the link's fixed per-fetch round-trip cost.
+    fetches = []  # (chunk, device array | None) — one D2H per chunk
+
+    def _flush_chunk(ch):
+        if not ch:
+            return
+        try:
+            cat = (_concat_payloads(tuple(p[0] for _, p in ch))
+                   if len(ch) > 1 else ch[0][1][0])
+            cat.copy_to_host_async()
+            fetches.append((ch, cat))
+        except fb.KERNEL_FALLBACK_ERRORS as e:
+            fb.record("twophase.fused_fetch", e)
+            fetches.append((ch, None))
+
+    nch = max(1, int(os.environ.get("OMM_TP_FETCH_CHUNKS", "2")))
+    chunk_step = max(1, (len(batches) + nch - 1) // nch)
+    cur_chunk = []
+
     for items in batches:
         out = [None] * len(items)
         todo = []
@@ -1129,30 +1158,12 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         results.append(out)
         pending.append(_enqueue_batch_spec(ctx) if ctx is not None else None)
         _mark(f"enq{len(ctxs) - 1}")
-
-    # Chunked fused fetch, part 1: group the pending payloads into a few
-    # device-side concatenations and issue every D2H transfer NOW.  Each
-    # host-initiated fetch pays the link's fixed round-trip cost, so
-    # payloads are fused; but the host here is a SINGLE core, so the
-    # serial per-batch reconstruction can only be hidden by starting it
-    # while later batches still run on the device — chunking trades one
-    # extra transfer for that overlap.  copy_to_host_async streams each
-    # chunk back the moment its last batch finishes.
-    live = [(k, p) for k, p in enumerate(pending) if p is not None]
-    nch = max(1, min(int(os.environ.get("OMM_TP_FETCH_CHUNKS", "2")),
-                     len(live)))
-    step = max(1, (len(live) + nch - 1) // nch)
-    chunks = [live[o:o + step] for o in range(0, len(live), step)]
-    fetches = []  # (chunk, device array) — one transfer per chunk
-    for ch in chunks:
-        try:
-            cat = (_concat_payloads(tuple(p[0] for _, p in ch))
-                   if len(ch) > 1 else ch[0][1][0])
-            cat.copy_to_host_async()
-            fetches.append((ch, cat))
-        except fb.KERNEL_FALLBACK_ERRORS as e:
-            fb.record("twophase.fused_fetch", e)
-            fetches.append((ch, None))
+        if pending[-1] is not None:
+            cur_chunk.append((len(pending) - 1, pending[-1]))
+            if len(cur_chunk) >= chunk_step:
+                _flush_chunk(cur_chunk)
+                cur_chunk = []
+    _flush_chunk(cur_chunk)
     _mark("concat_enq")
 
     M = get_num_micro_triangles(subdiv)
@@ -1164,11 +1175,16 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         out[i] = classify_work_item_jax(texture, cfg, items[i][0],
                                         subdiv, _states_of(items[i][1]))
 
+    import concurrent.futures as cf
     nmip = texture.mip_count
 
     def finish_one(ctx, p, buf):
-        """Parse one batch's payload and reconstruct its states.
+        """Parse one batch's payload and reconstruct its states (worker
+        thread; the C++ replay releases the GIL).  buf=None means the
+        chunk's concat fell back — fetch this batch's payload alone.
         Returns True unless the speculative capacities overflowed."""
+        if buf is None:
+            buf = np.asarray(p[0])  # the batch's one sync
         m = len(ctx.levels) - 1
         mrow = buf[:4 * (m + 2 + nmip)].view(np.int32)
         if int(mrow[m + 1]) != 0:
@@ -1178,23 +1194,32 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                            [int(x) for x in mrow[:m]], int(mrow[m]))
         return True
 
-    # part 2: drain chunks in order — chunk j's reconstruction runs
-    # while chunk j+1's batches are still executing/streaming
+    # drain chunks in order: chunk j's reconstructions run on worker
+    # threads while the main thread blocks on chunk j+1's sync (and the
+    # device is still executing chunk j+1's batches)
     statuses: dict[int, bool] = {}
-    for ci, (ch, cat) in enumerate(fetches):
-        if cat is None:
-            # concat fell back: fetch each batch's payload individually
+    pool = cf.ThreadPoolExecutor(max_workers=4)
+    try:
+        futs: dict[int, cf.Future] = {}
+        for ci, (ch, cat) in enumerate(fetches):
+            if cat is None:
+                # concat fell back: each batch fetches its own payload
+                for k, p in ch:
+                    futs[k] = pool.submit(finish_one, ctxs[k], p, None)
+                continue
+            flat = np.asarray(cat)  # the chunk's one sync
+            _mark(f"fetch{ci}")
+            o = 0
             for k, p in ch:
-                statuses[k] = finish_one(ctxs[k], p, np.asarray(p[0]))
-            continue
-        flat = np.asarray(cat)  # the chunk's one sync
-        _mark(f"fetch{ci}")
-        o = 0
-        for k, p in ch:
-            n = int(p[0].shape[0])
-            statuses[k] = finish_one(ctxs[k], p, flat[o:o + n])
-            o += n
-        _mark(f"recon{ci}")
+                n = int(p[0].shape[0])
+                futs[k] = pool.submit(finish_one, ctxs[k], p,
+                                      flat[o:o + n])
+                o += n
+        for k, fut in futs.items():
+            statuses[k] = fut.result()
+        _mark("recon")
+    finally:
+        pool.shutdown(wait=True)
 
     for k, (ctx, p) in enumerate(zip(ctxs, pending)):
         if ctx is None:
