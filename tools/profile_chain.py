@@ -41,6 +41,23 @@ def run(reps=2):
 
     for _ in range(5):
         one()
+
+    # fetch-chunk sweep (env read per call; all jit signatures identical
+    # so the sweep shares this process's compiles): best + mean of N
+    M = omm.get_num_micro_triangles(bm.SUBDIV)
+    for nch in (1, 2, 4):
+        os.environ["OMM_TP_FETCH_CHUNKS"] = str(nch)
+        one()  # settle
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            one()
+            ts.append(time.perf_counter() - t0)
+        best, mean = min(ts), sum(ts) / len(ts)
+        print("chunks=%d: best %.1f ms (%.0fM utri/s)  mean %.1f ms" %
+              (nch, best * 1e3, bm.N_TRIS * M / best / 1e6, mean * 1e3))
+    os.environ["OMM_TP_FETCH_CHUNKS"] = "2"
+
     log = "/tmp/jaxtrace"
     os.system(f"rm -rf {log}")
     with jax.profiler.trace(log):
