@@ -29,6 +29,22 @@ UO = int(OpacityState.UnknownOpaque)
 BLOCK = 8192  # micro-triangles per lax.map block
 
 
+def _dev_planes(texture: Texture):
+    """Device-resident mip planes, cached on the texture (same
+    `_omm_dev_cache` dict the two-phase engine uses): textures are
+    reused across many work items, and re-uploading the full mip chain
+    per item made every slow-path item pay an H2D of the texture."""
+    c = getattr(texture, "_omm_dev_cache", None)
+    if c is None:
+        c = {}
+        texture._omm_dev_cache = c
+    t = c.get("raw_planes")
+    if t is None:
+        t = c["raw_planes"] = tuple(jnp.asarray(texture.load_plane(m))
+                                    for m in range(texture.mip_count))
+    return t
+
+
 def _bilinear_seed(plane, p, size, size_log2, is_pow2, addr_mode,
                    border_alpha, fz=None):
     """Runtime bilinear at UV p (..., 2) on device (texture_impl.cpp:261-278)."""
@@ -188,8 +204,7 @@ def classify_work_item_jax(texture: Texture, cfg, uv_tri: np.ndarray,
         return states
 
     ccw = bool(geom.is_ccw(uv_tri))
-    planes = tuple(jnp.asarray(texture.load_plane(m))
-                   for m in range(texture.mip_count))
+    planes = _dev_planes(texture)
     mip_meta = tuple(
         (texture.info[m].size, texture.info[m].size_log2,
          texture.info[m].is_pow2,
@@ -308,8 +323,7 @@ def classify_nearest_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
 
     muvs_all = bird.micro_triangle_uvs(uv_tri, sel.astype(np.uint32),
                                        subdiv)  # (S, 3, 2) fp32
-    planes = tuple(jnp.asarray(texture.load_plane(m))
-                   for m in range(texture.mip_count))
+    planes = _dev_planes(texture)
     mip_meta = tuple(
         (texture.info[m].size, texture.info[m].size_log2,
          texture.info[m].is_pow2,
@@ -430,8 +444,7 @@ def classify_degenerate_device(texture: Texture, cfg, uv_tri: np.ndarray,
 
     muvs_all = bird.micro_triangle_uvs(uv_tri, sel.astype(np.uint32),
                                        subdiv)  # (S, 3, 2) fp32
-    planes = tuple(jnp.asarray(texture.load_plane(m))
-                   for m in range(texture.mip_count))
+    planes = _dev_planes(texture)
     mip_meta = tuple(
         (texture.info[m].size, texture.info[m].size_log2,
          texture.info[m].is_pow2,
