@@ -211,7 +211,12 @@ def classify_work_item_jax(texture: Texture, cfg, uv_tri: np.ndarray,
          (float(texture.info[m].rcp_size[0]),
           float(texture.info[m].rcp_size[1])))
         for m in range(texture.mip_count))
-    win = _window_bounds(texture, uv_tri, subdiv)
+    # pow2-bucket the static window bounds: exact per-item (W, H) would
+    # key a fresh jit signature per distinct window — minutes per compile
+    # on a remote device — for identical results (the in-bounds mask
+    # drops the padded texels; extra columns are dead compute only)
+    win = tuple((max(_bucket_pow2(W), 2), max(_bucket_pow2(H), 2))
+                for W, H in _window_bounds(texture, uv_tri, subdiv))
 
     above, below = _classify_item(
         planes, jnp.asarray(uv_tri, jnp.float32), jnp.asarray(ccw),
