@@ -1171,9 +1171,27 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     def _states_of(st):
         return np.full(M, UO, np.uint8) if st is None else st
 
+    def _classify_slow(uv_tri, states):
+        """Route one non-fast-path item like bake()'s _fine does:
+        classify_work_item_jax implements the linear-filter level-line
+        semantics for NON-degenerate triangles only — anything else
+        (degenerate lines, nearest filter, level-line disabled) must go
+        to its own device path or the exact host engine."""
+        if (cfg.filter == TextureFilterMode.Linear
+                and not getattr(cfg, "disable_level_line", False)
+                and not getattr(cfg, "disable_fine", False)):
+            if bool(geom.is_degenerate(uv_tri)):
+                from .jax_classify import classify_degenerate_device
+                return classify_degenerate_device(texture, cfg, uv_tri,
+                                                  subdiv, states)
+            return classify_work_item_jax(texture, cfg, uv_tri, subdiv,
+                                          states)
+        from .. import engine
+        return engine.resample_fine_item(texture, cfg, uv_tri, subdiv,
+                                         states)
+
     for items, out, i in slow:
-        out[i] = classify_work_item_jax(texture, cfg, items[i][0],
-                                        subdiv, _states_of(items[i][1]))
+        out[i] = _classify_slow(items[i][0], _states_of(items[i][1]))
 
     import concurrent.futures as cf
     nmip = texture.mip_count

@@ -622,3 +622,36 @@ def test_fast_path_mask_equals_scalar():
     # nearest filter / disable_level_line: everything rejected
     cfg_n = _cfg(filter=omm.TextureFilterMode.Nearest)
     assert not tp._fast_path_mask(tex, cfg_n, uv_arr, 6, 3).any()
+
+
+def test_twophase_fetch_chunk_grid(monkeypatch):
+    """The chunked fused fetch must be bit-exact for every chunking
+    shape: 1 chunk (fully fused), 2 (uneven 2+1 over 3 live batches),
+    and 4 (single-payload chunks, no concat), including a batch whose
+    items all take the slow path (no live payload, chunks skew)."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(6, seed=17)
+    degen = np.array([[0.1, 0.1], [0.5, 0.5], [0.9, 0.9]], np.float32)
+
+    def batches():
+        return ([[(t, None) for t in tris[k:k + 2]]
+                 for k in range(0, 6, 2)]
+                + [[(degen, None)]])  # all-slow batch: ctx is None
+
+    want = [engine.resample_fine_item(tex, cfg, t, subdiv,
+                                      np.full(M, 3, np.uint8))
+            for t in tris + [degen]]
+    for nch in ("1", "2", "4"):
+        monkeypatch.setenv("OMM_TP_FETCH_CHUNKS", nch)
+        tp.classify_work_items_batches(tex, cfg, batches(), subdiv)
+        outs = tp.classify_work_items_batches(tex, cfg, batches(), subdiv)
+        flat = [st for b in outs for st in b]
+        assert len(flat) == 7
+        for w, st in zip(want, flat):
+            assert (st == w).all(), f"chunks={nch}"
