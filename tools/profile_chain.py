@@ -58,6 +58,28 @@ def run(reps=2):
               (nch, best * 1e3, bm.N_TRIS * M / best / 1e6, mean * 1e3))
     os.environ["OMM_TP_FETCH_CHUNKS"] = "2"
 
+    # optional sub-batch sweep (OMM_PROF_SUBBATCH="64,128"): each size is
+    # a NEW jit signature (T changes) — budget a remote compile per value
+    for sb in filter(None, os.environ.get("OMM_PROF_SUBBATCH",
+                                          "").split(",")):
+        sb = int(sb)
+        sb_batches = [[(t, None) for t in uv_tris[k:k + sb]]
+                      for k in range(0, bm.N_TRIS, sb)]
+        t0 = time.perf_counter()
+        tp.classify_work_items_batches(tex, cfg, sb_batches, bm.SUBDIV)
+        print("sub-batch %d: first(+compile) %.1f s" %
+              (sb, time.perf_counter() - t0))
+        for _ in range(2):
+            tp.classify_work_items_batches(tex, cfg, sb_batches, bm.SUBDIV)
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            tp.classify_work_items_batches(tex, cfg, sb_batches, bm.SUBDIV)
+            ts.append(time.perf_counter() - t0)
+        best, mean = min(ts), sum(ts) / len(ts)
+        print("sub-batch %d: best %.1f ms (%.0fM utri/s)  mean %.1f ms" %
+              (sb, best * 1e3, bm.N_TRIS * M / best / 1e6, mean * 1e3))
+
     log = "/tmp/jaxtrace"
     os.system(f"rm -rf {log}")
     with jax.profiler.trace(log):
