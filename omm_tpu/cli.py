@@ -147,6 +147,17 @@ def cmd_viewer(args):
         vs.set_param(k, v)
     if args.reset:
         vs.reset_all()
+    if args.tui:
+        from omm_tpu.tui import run_curses
+        run_curses(vs, auto_rebake=args.auto_rebake)
+        return 0
+    if args.frame:
+        from omm_tpu.tui import TuiViewer, render_ansi
+        tv = TuiViewer(vs)
+        if args.zoom is not None:
+            tv.zoom_to_prim(args.zoom)
+        print(render_ansi(tv, rows=args.frame_rows, cols=args.frame_cols))
+        return 0
     if args.params:
         for k, v in vs.params().items():
             print(f"{k} = {v}")
@@ -256,6 +267,16 @@ def main(argv=None):
     v.add_argument("--save", metavar="OUT.bin",
                    help="write the tweaked inputs + result as a new blob")
     v.add_argument("--backend", default="numpy")
+    v.add_argument("--tui", action="store_true",
+                   help="interactive terminal viewer (pan/zoom/inspect/"
+                        "tweak/re-bake; curses)")
+    v.add_argument("--auto-rebake", action="store_true",
+                   help="TUI: re-bake immediately on parameter steps")
+    v.add_argument("--frame", action="store_true",
+                   help="print ONE ANSI half-block frame and exit "
+                        "(honors --zoom PRIM)")
+    v.add_argument("--frame-rows", type=int, default=24)
+    v.add_argument("--frame-cols", type=int, default=80)
     v.set_defaults(fn=cmd_viewer)
 
     be = sub.add_parser("bench", help="run the classification benchmark")
