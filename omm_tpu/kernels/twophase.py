@@ -785,14 +785,33 @@ class _BatchCtx:
             self.rcps.append((float(info.rcp_size[0]),
                               float(info.rcp_size[1])))
 
-        self.uvJ = jnp.asarray(self.uv_flat)
-        self.ccwJ = jnp.asarray(self.ccw)
-        self.actJ = _act_all() if self.all_active \
-            else jnp.asarray(self.active)
+        # device uploads are lazy (properties below): ctx construction is
+        # then pure host work, so it can pipeline with an enqueue thread
+        # that owns ALL device-stream operations (H2D + dispatch order)
+        self._uvJ = self._ccwJ = self._actJ = None
         caps = getattr(texture, "_omm_caps", {})
         texture._omm_caps = caps
         self.caps = caps
         self.cap_key = (subdiv, self.levels, self.T, self.all_active)
+
+    @property
+    def uvJ(self):
+        if self._uvJ is None:
+            self._uvJ = jnp.asarray(self.uv_flat)
+        return self._uvJ
+
+    @property
+    def ccwJ(self):
+        if self._ccwJ is None:
+            self._ccwJ = jnp.asarray(self.ccw)
+        return self._ccwJ
+
+    @property
+    def actJ(self):
+        if self._actJ is None:
+            self._actJ = _act_all() if self.all_active \
+                else jnp.asarray(self.active)
+        return self._actJ
 
     @property
     def cls_tuple(self):
@@ -1118,6 +1137,32 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     chunk_step = max(1, (len(batches) + nch - 1) // nch)
     cur_chunk = []
 
+    # Dedicated enqueue thread: on a tunnel-attached chip every device-
+    # stream operation (H2D upload, Execute, D2H initiation) blocks the
+    # issuing thread on the link's ack (~the one-way latency), which
+    # serializes with the next batch's host prep when issued from the
+    # main thread.  One single-worker executor owns ALL stream ops, so
+    # stream ORDER is unchanged (same FIFO, same chunk flush points) and
+    # ack waits overlap ctx builds.  OMM_TP_ENQUEUE_THREAD=0 restores
+    # in-line enqueueing.
+    import concurrent.futures as cf
+    enq_pool = (cf.ThreadPoolExecutor(max_workers=1)
+                if os.environ.get("OMM_TP_ENQUEUE_THREAD", "1") != "0"
+                and len(batches) > 1 else None)
+    enq_futs = []
+
+    def _enqueue_and_chunk(k, ctx):
+        # runs on the enqueue thread (or inline): dispatch the chain,
+        # then flush the chunk if this batch completed it
+        p = _enqueue_batch_spec(ctx) if ctx is not None else None
+        pending[k] = p
+        _mark(f"enq{k}")
+        if p is not None:
+            cur_chunk.append((k, p))
+            if len(cur_chunk) >= chunk_step:
+                _flush_chunk(list(cur_chunk))
+                cur_chunk.clear()
+
     for items in batches:
         out = [None] * len(items)
         todo = []
@@ -1156,14 +1201,19 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         _mark(f"ctx{len(ctxs)}")
         ctxs.append(ctx)
         results.append(out)
-        pending.append(_enqueue_batch_spec(ctx) if ctx is not None else None)
-        _mark(f"enq{len(ctxs) - 1}")
-        if pending[-1] is not None:
-            cur_chunk.append((len(pending) - 1, pending[-1]))
-            if len(cur_chunk) >= chunk_step:
-                _flush_chunk(cur_chunk)
-                cur_chunk = []
-    _flush_chunk(cur_chunk)
+        k = len(ctxs) - 1
+        pending.append(None)
+        if enq_pool is not None:
+            enq_futs.append(enq_pool.submit(_enqueue_and_chunk, k, ctx))
+        else:
+            _enqueue_and_chunk(k, ctx)
+    if enq_pool is not None:
+        enq_futs.append(enq_pool.submit(_flush_chunk, cur_chunk))
+        for f in enq_futs:
+            f.result()  # propagate enqueue errors; all stream ops issued
+        enq_pool.shutdown(wait=True)
+    else:
+        _flush_chunk(cur_chunk)
     _mark("concat_enq")
 
     M = get_num_micro_triangles(subdiv)
