@@ -155,7 +155,11 @@ def cmd_viewer(args):
         from omm_tpu.tui import TuiViewer, render_ansi
         tv = TuiViewer(vs)
         if args.zoom is not None:
-            tv.zoom_to_prim(args.zoom)
+            try:
+                tv.zoom_to_prim(args.zoom)
+            except IndexError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
         print(render_ansi(tv, rows=args.frame_rows, cols=args.frame_cols))
         return 0
     if args.params:

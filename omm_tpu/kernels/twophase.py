@@ -1208,10 +1208,14 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         else:
             _enqueue_and_chunk(k, ctx)
     if enq_pool is not None:
-        enq_futs.append(enq_pool.submit(_flush_chunk, cur_chunk))
-        for f in enq_futs:
-            f.result()  # propagate enqueue errors; all stream ops issued
-        enq_pool.shutdown(wait=True)
+        try:
+            enq_futs.append(enq_pool.submit(_flush_chunk, cur_chunk))
+            for f in enq_futs:
+                f.result()  # propagate enqueue errors; all ops issued
+        finally:
+            # on an enqueue error, cancel still-queued dispatches so the
+            # device does not keep executing work the caller abandoned
+            enq_pool.shutdown(wait=True, cancel_futures=True)
     else:
         _flush_chunk(cur_chunk)
     _mark("concat_enq")
@@ -1243,7 +1247,6 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
     for items, out, i in slow:
         out[i] = _classify_slow(items[i][0], _states_of(items[i][1]))
 
-    import concurrent.futures as cf
     nmip = texture.mip_count
 
     def finish_one(ctx, p, buf):

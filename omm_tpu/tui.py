@@ -43,11 +43,21 @@ _STEPS = {
     "max_workload_size": 1 << 20,
     "max_array_data_size": 1 << 16,
 }
+from .types import OpacityState
+
 _ENUM_CYCLES = {
     "format": [Format.OC1_2_State, Format.OC1_4_State],
     "unknown_state_promotion": list(UnknownStatePromotion),
-    "alpha_cutoff_greater": None,   # stepped as ints below
-    "alpha_cutoff_less_equal": None,
+    "alpha_cutoff_greater": list(OpacityState),
+    "alpha_cutoff_less_equal": list(OpacityState),
+}
+# Valid domains for stepped parameters (the widget range analog): the
+# status line must never display a value the bake would reject or alias.
+_CLAMP = {
+    "alpha_cutoff": (0.0, 1.0),
+    "rejection_threshold": (0.0, 1.0),
+    "near_duplicate_deduplication_factor": (0.0, 1.0),
+    "max_subdivision_level": (0, 12),
 }
 
 
@@ -73,7 +83,15 @@ class TuiViewer:
         # scale so the current window spans >= ~256 overlay samples
         need = max(1, int(np.ceil(256.0 / (self.tex_size[0] * self.span))))
         scale = min(8, need)
-        res = self.s._ensure_result()
+        from .types import BakeError
+        try:
+            res = self.s._ensure_result()
+        except BakeError as e:
+            # invalid parameter combo: keep showing the last good frame
+            self._say(f"bake failed: {e}")
+            if self._overlay is not None:
+                return self._overlay[1]
+            raise
         key = (scale, id(res))
         if self._overlay is None or self._overlay[0] != key:
             self._overlay = (key, self.s.render(scale=scale))
@@ -125,21 +143,20 @@ class TuiViewer:
             d.tex_coord_format, d.tex_coord_stride_in_bytes)
 
     def prim_at(self, uv) -> int:
-        """Primitive whose UV triangle contains the point (-1 if none)."""
-        t = self._tris().astype(np.float64)
-        p = np.asarray(uv, np.float64)
-        d = ((t[:, 1, 1] - t[:, 2, 1]) * (t[:, 0, 0] - t[:, 2, 0])
-             + (t[:, 2, 0] - t[:, 1, 0]) * (t[:, 0, 1] - t[:, 2, 1]))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            bu = ((t[:, 1, 1] - t[:, 2, 1]) * (p[0] - t[:, 2, 0])
-                  + (t[:, 2, 0] - t[:, 1, 0]) * (p[1] - t[:, 2, 1])) / d
-            bv = ((t[:, 2, 1] - t[:, 0, 1]) * (p[0] - t[:, 2, 0])
-                  + (t[:, 0, 0] - t[:, 2, 0]) * (p[1] - t[:, 2, 1])) / d
-        inside = (d != 0) & (bu >= 0) & (bv >= 0) & (bu + bv <= 1)
+        """Primitive whose UV triangle contains the point (-1 if none) —
+        the bake's own containment test (geom.point_in_triangle), so
+        crosshair picking never disagrees with classification."""
+        from . import geom
+        inside = geom.point_in_triangle(self._tris(),
+                                        np.asarray(uv, np.float32))
         hits = np.flatnonzero(inside)
         return int(hits[0]) if hits.size else -1
 
     def zoom_to_prim(self, prim: int):
+        tri_count = self.s.desc.index_count // 3
+        if not (0 <= prim < tri_count):
+            raise IndexError(f"primitive {prim} out of range "
+                             f"(mesh has {tri_count})")
         t = self._tris()[prim].astype(np.float64)
         lo, hi = t.min(axis=0), t.max(axis=0)
         self.center = (lo + hi) / 2
@@ -154,7 +171,12 @@ class TuiViewer:
         if prim < 0:
             self._say("no primitive under crosshair")
             return
-        info = self.s.inspect(prim, uv=tuple(self.center))
+        from .types import BakeError
+        try:
+            info = self.s.inspect(prim, uv=tuple(self.center))
+        except BakeError as e:
+            self._say(f"bake failed: {e}")
+            return
         if "special_index" in info:
             self._say(f"prim {prim}: {info['special_index']} "
                       f"({info['state']})")
@@ -178,18 +200,31 @@ class TuiViewer:
     def _step_param(self, sign: int):
         name = list(TWEAKABLE)[self.param_i]
         cur = self.s.params()[name]
-        if name in _ENUM_CYCLES and _ENUM_CYCLES[name]:
+        if name in _ENUM_CYCLES:
             cyc = _ENUM_CYCLES[name]
             nxt = cyc[(cyc.index(cur) + sign) % len(cyc)]
             self.s.set_param(name, nxt)
-        elif isinstance(cur, float):
-            self.s.set_param(name, cur + sign * _STEPS.get(name, 0.1))
         else:
-            self.s.set_param(name, max(0, int(cur)
-                                       + sign * int(_STEPS.get(name, 1))))
+            if isinstance(cur, float):
+                val = cur + sign * _STEPS.get(name, 0.1)
+            else:
+                val = int(cur) + sign * int(_STEPS.get(name, 1))
+            lo, hi = _CLAMP.get(name, (0, None))
+            val = max(lo, val) if hi is None else min(max(lo, val), hi)
+            self.s.set_param(name, val)
         if self.auto_rebake:
+            self._rebake()
+
+    def _rebake(self) -> bool:
+        """Re-bake, reporting failures as messages instead of tearing the
+        session down (invalid parameter combos raise BakeError)."""
+        from .types import BakeError
+        try:
             self.s.rebake()
-        self._overlay = None
+            return True
+        except BakeError as e:
+            self._say(f"bake failed: {e}")
+            return False
 
     # -- key dispatch ----------------------------------------------------------
     def handle_key(self, key: str) -> bool:
@@ -232,14 +267,11 @@ class TuiViewer:
             self._step_param(-1)
         elif key == "x":
             self.s.reset_param(list(TWEAKABLE)[self.param_i])
-            self._overlay = None
         elif key == "R":
             self.s.reset_all()
-            self._overlay = None
         elif key == "r":
-            self.s.rebake()
-            self._overlay = None
-            self._say("re-baked")
+            if self._rebake():
+                self._say("re-baked")
         elif key == "s":
             path = self.s.save_png("omm_tui_frame.png")
             self._say(f"saved {path}")
@@ -280,6 +312,12 @@ def run_curses(session: ViewerSession, auto_rebake: bool = False) -> None:
         curses.start_color()
         curses.use_default_colors()
         has256 = curses.COLORS >= 256
+        # Half-block cells need a (fg, bg) pair per color COMBINATION —
+        # up to 216² — which exhausts 256-pair terminals after one frame
+        # (pair() would then return default colors forever).  On small
+        # COLOR_PAIRS tables fall back to full blocks: fg-only, <= 216
+        # pairs total, half the vertical resolution but always readable.
+        half_blocks = has256 and curses.COLOR_PAIRS > 4096
         pairs: dict[tuple, int] = {}
 
         def pair(fg: int, bg: int) -> int:
@@ -302,14 +340,20 @@ def run_curses(session: ViewerSession, auto_rebake: bool = False) -> None:
             scr.erase()
             for r in range(rows):
                 for cx in range(cols):
-                    if has256:
+                    if half_blocks:
                         fg = to216(px[2 * r, cx])
                         bg = to216(px[2 * r + 1, cx])
                         at = curses.color_pair(pair(fg, bg))
+                        ch = "▀"
+                    elif has256:
+                        mean = (px[2 * r, cx] + px[2 * r + 1, cx]) / 2
+                        at = curses.color_pair(pair(to216(mean), -1))
+                        ch = "█"
                     else:
                         at = 0
+                        ch = "▀"
                     try:
-                        scr.addstr(r, cx, "▀", at)
+                        scr.addstr(r, cx, ch, at)
                     except curses.error:
                         pass
             for i, line in enumerate(viewer.status_lines()):

@@ -100,6 +100,53 @@ def test_param_step_rebake_reset(session_blob):
     assert tv.s.params()["format"] == f0
 
 
+def test_param_clamps_and_enum_domains(session_blob):
+    """Steps must stay inside each parameter's valid domain: the status
+    line never shows a value the bake would reject (subdiv > 12) or
+    silently alias (OpacityState > 3)."""
+    tv = _viewer(session_blob)
+    names = list(TWEAKABLE)
+    while names[tv.param_i] != "max_subdivision_level":
+        tv.handle_key("c")
+    for _ in range(15):
+        tv.handle_key("]")
+    assert tv.s.params()["max_subdivision_level"] == 12
+    while names[tv.param_i] != "alpha_cutoff_greater":
+        tv.handle_key("c")
+    seen = set()
+    for _ in range(6):
+        tv.handle_key("]")
+        seen.add(int(tv.s.params()["alpha_cutoff_greater"]))
+    assert seen <= {0, 1, 2, 3}  # cycles OpacityState, never escapes
+
+
+def test_failed_rebake_is_a_message_not_a_crash(session_blob):
+    """An invalid parameter combo must surface as a status message and
+    keep the last good frame — not tear the interactive session down."""
+    tv = _viewer(session_blob)
+    tv.frame_rgb(4, 8)  # bake + cache a good frame
+    tv.s.set_param("max_workload_size", 1)  # forces WORKLOAD_TOO_BIG
+    assert tv.handle_key("r")  # session stays alive
+    assert any("bake failed" in m for m in tv.messages)
+    f = tv.frame_rgb(4, 8)  # stale-but-good frame, no exception
+    assert np.isfinite(f).all()
+
+
+def test_zoom_to_prim_validates_index(session_blob):
+    tv = _viewer(session_blob)
+    with pytest.raises(IndexError):
+        tv.zoom_to_prim(99)
+    with pytest.raises(IndexError):
+        tv.zoom_to_prim(-1)
+
+
+def test_cli_frame_bad_zoom_exits_2(session_blob, tmp_path, capsys):
+    from omm_tpu import cli
+    p = tmp_path / "v.bin"
+    p.write_bytes(session_blob)
+    assert cli.main(["viewer", str(p), "--frame", "--zoom", "99"]) == 2
+
+
 def test_status_and_ansi_frame(session_blob):
     tv = _viewer(session_blob)
     lines = tv.status_lines()
