@@ -519,14 +519,33 @@ class Pipeline:
                         and rcfg.filter == TextureFilterMode.Linear
                         and not rcfg.disable_level_line)]
                 if compute_only:
-                    from ..kernels.jax_classify import \
-                        classify_work_item_jax
+                    # Pure-XLA engine, no custom rasterizer: a flat
+                    # window pre-pass resolves the interior (twophase
+                    # stage B alone), then only the contour survivors
+                    # run the exact XLA-gather kernel.  Falls back to
+                    # the dense all-micro-tri path when the window
+                    # preconditions fail.
+                    from ..kernels.jax_classify import (
+                        classify_linear_survivors, classify_work_item_jax)
+                    from ..kernels.twophase import resolve_linear_phase1
+                    by_level: dict = {}
                     for idx in eligible:
-                        it = items[idx]
-                        it.states = classify_work_item_jax(
-                            tex, rcfg, it.uv_tri, it.subdivision_level,
-                            it.states)
-                        done[idx] = True
+                        by_level.setdefault(
+                            items[idx].subdivision_level, []).append(idx)
+                    for lvl, idxs in by_level.items():
+                        pre = resolve_linear_phase1(
+                            tex, rcfg,
+                            [(items[i].uv_tri, items[i].states)
+                             for i in idxs], lvl)
+                        for k, i in enumerate(idxs):
+                            it = items[i]
+                            it.states = (
+                                classify_linear_survivors(
+                                    tex, rcfg, it.uv_tri, lvl, pre[k])
+                                if pre is not None else
+                                classify_work_item_jax(
+                                    tex, rcfg, it.uv_tri, lvl, it.states))
+                            done[i] = True
                 else:
                     from ..kernels.twophase import \
                         classify_work_items_batches

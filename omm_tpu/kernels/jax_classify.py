@@ -383,6 +383,144 @@ def _bucket_pow2(n: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# linear-filter survivors (device pass over the active micro-triangles)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "addr_mode", "alpha_cutoff", "border_alpha", "mip_meta", "win_wh",
+    "fmt", "promotion", "cutoff_gt", "cutoff_le"))
+def _classify_linear(planes, muvs, ccw, fz, *, addr_mode, alpha_cutoff,
+                     border_alpha, mip_meta, win_wh, fmt, promotion,
+                     cutoff_gt, cutoff_le):
+    """Linear-filter level-line fine pass over a compacted micro-triangle
+    set: the same per-mip ops, in the same fp32 order, as
+    `_classify_item`'s dense block (bilinear seed, conservative raster
+    mask, level-line texel kernel, early-unknown-exit mip accumulation) —
+    but over (S, 3, 2) survivor corners instead of all 4^N.  Returns
+    (above, below) int32 (S,)."""
+    from .levelline import guard as _gq
+
+    S = muvs.shape[0]
+    above = jnp.zeros(S, dtype=jnp.int32)
+    below = jnp.zeros(S, dtype=jnp.int32)
+    alive = jnp.ones(S, dtype=bool)
+
+    for mip, (size, size_log2, is_pow2, rcp) in enumerate(mip_meta):
+        W, H = win_wh[mip]
+        plane = planes[mip]
+        seed = _bilinear_seed(plane, muvs[:, 0, :], size, size_log2,
+                              is_pow2, addr_mode, border_alpha, fz)
+        seed_above = jnp.float32(alpha_cutoff) < seed
+
+        rf = jnp.asarray(np.array(size, dtype=np.float32))
+        q = _gq(jnp, muvs * rf, fz) + jnp.float32(-0.5)
+        qn = jnp.where(ccw[:, None, None], q, q[:, ::-1, :])
+        amin = qn.min(axis=-2)
+        amax = qn.max(axis=-2)
+        ix0 = jnp.floor(amin[:, 0]).astype(jnp.int32)
+        iy0 = jnp.floor(amin[:, 1]).astype(jnp.int32)
+        ix1 = jnp.ceil(amax[:, 0]).astype(jnp.int32)
+        iy1 = jnp.ceil(amax[:, 1]).astype(jnp.int32)
+        x = ix0[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        y = iy0[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        inb = (x < ix1[:, None, None]) & (y < iy1[:, None, None])
+        x = jnp.broadcast_to(x, (S, H, W))
+        y = jnp.broadcast_to(y, (S, H, W))
+        mask = inb & conservative_raster_mask(jnp, qn, x, y, fz)
+
+        tp = make_tri_params(jnp, muvs)
+        a_inc, b_inc = level_line_texel_kernel(
+            jnp, muvs, tp, x, y, plane, size, size_log2, is_pow2,
+            rcp, addr_mode, alpha_cutoff, border_alpha, degenerate=False,
+            fz=fz)
+        zero = jnp.int32(0)
+        a = jnp.where(mask, a_inc, zero).sum(axis=(-1, -2),
+                                             dtype=jnp.int32)
+        b = jnp.where(mask, b_inc, zero).sum(axis=(-1, -2),
+                                             dtype=jnp.int32)
+        a = a + seed_above.astype(jnp.int32)
+        b = b + (~seed_above).astype(jnp.int32)
+
+        above = above + jnp.where(alive, a, zero)
+        below = below + jnp.where(alive, b, zero)
+        if len(mip_meta) > 1:
+            st = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
+                                         cutoff_le, above, below)
+            unknown = (st == UO) \
+                | (st == int(OpacityState.UnknownTransparent))
+            alive = alive & ~unknown
+    return above, below
+
+
+def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
+                              subdiv: int, states: np.ndarray) -> np.ndarray:
+    """Device fine-pass for linear-filter work items, processing ONLY the
+    micro-triangles still UnknownOpaque (e.g. the contour survivors left
+    by kernels/twophase.resolve_linear_phase1, or a resumed partial
+    bake).  Compacted on host, padded to power-of-two buckets to bound
+    the jit cache, classified on device, scattered back.  Bit-exact with
+    engine.resample_fine_item (linear branch) — same kernels, same op
+    order, as classify_work_item_jax."""
+    sel = np.flatnonzero(states == UO)
+    if sel.size == 0:
+        return states
+    if sel.size >= states.shape[0]:
+        # nothing resolved yet: the dense path's (M-block, window) jit
+        # signatures are already warm in any mixed workload
+        return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
+
+    muvs_all = bird.micro_triangle_uvs(uv_tri, sel.astype(np.uint32),
+                                       subdiv)  # (S, 3, 2) fp32
+    ccw_item = bool(geom.is_ccw(uv_tri))
+    planes = _dev_planes(texture)
+    mip_meta = tuple(
+        (texture.info[m].size, texture.info[m].size_log2,
+         texture.info[m].is_pow2,
+         (float(texture.info[m].rcp_size[0]),
+          float(texture.info[m].rcp_size[1])))
+        for m in range(texture.mip_count))
+
+    out = states.copy()
+    from .levelline import get_state_from_coverage as gsc
+    for lo in range(0, sel.size, BLOCK):
+        block = sel[lo:lo + BLOCK]
+        muvs = muvs_all[lo:lo + BLOCK]
+
+        # static window bounds (seed/kernel -0.5 offset footprint),
+        # pow2-bucketed like classify_work_item_jax's
+        win = []
+        for m in range(texture.mip_count):
+            rf = np.array(texture.size(m), dtype=np.float32)
+            q = muvs.astype(np.float32) * rf + np.float32(-0.5)
+            W = int(np.max(np.ceil(q[..., 0].max(axis=-1))
+                           - np.floor(q[..., 0].min(axis=-1))))
+            H = int(np.max(np.ceil(q[..., 1].max(axis=-1))
+                           - np.floor(q[..., 1].min(axis=-1))))
+            win.append((max(_bucket_pow2(W), 2), max(_bucket_pow2(H), 2)))
+        Sp = _bucket_pow2(len(block))
+        ccw = np.full(len(block), ccw_item, bool)
+        if Sp > len(block):  # pad with row 0 (valid geometry, dropped)
+            padrows = np.broadcast_to(muvs[:1], (Sp - len(block), 3, 2))
+            muvs = np.concatenate([muvs, padrows])
+            ccw = np.concatenate([ccw, np.full(Sp - len(block), ccw_item,
+                                               bool)])
+
+        above, below = _classify_linear(
+            planes, jnp.asarray(muvs, jnp.float32), jnp.asarray(ccw),
+            jnp.int32(0), addr_mode=cfg.addr_mode,
+            alpha_cutoff=float(cfg.alpha_cutoff),
+            border_alpha=float(cfg.border_alpha), mip_meta=mip_meta,
+            win_wh=tuple(win), fmt=cfg.fmt, promotion=cfg.promotion,
+            cutoff_gt=cfg.cutoff_gt, cutoff_le=cfg.cutoff_le)
+        above = np.asarray(above)[:len(block)]
+        below = np.asarray(below)[:len(block)]
+        final = gsc(np, cfg.fmt, cfg.promotion, cfg.cutoff_gt,
+                    cfg.cutoff_le, above, below)
+        out[block] = np.asarray(final, dtype=np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # degenerate (line) triangles: host DDA schedule, device exact kernel
 # ---------------------------------------------------------------------------
 

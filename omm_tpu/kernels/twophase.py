@@ -1301,10 +1301,22 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
             # capacity-discovering path takes the batch
             ok = _run_batch_sync(ctx)
         if not ok:
-            for i in ctx.fast:
-                ctx.out[i] = classify_work_item_jax(
-                    texture, cfg, ctx.items[i][0], subdiv,
-                    _states_of(ctx.items[i][1]))
+            # Pallas/capacity fallback: flat window resolve + XLA
+            # survivors kernel (fast-path preconditions already hold
+            # for ctx.fast items); dense per-item path as last resort
+            from .jax_classify import classify_linear_survivors
+            fit = [(ctx.items[i][0], _states_of(ctx.items[i][1]))
+                   for i in ctx.fast]
+            pre = resolve_linear_phase1(texture, cfg, fit, subdiv)
+            for t, i in enumerate(ctx.fast):
+                ctx.out[i] = (
+                    classify_linear_survivors(texture, cfg,
+                                              ctx.items[i][0], subdiv,
+                                              pre[t])
+                    if pre is not None else
+                    classify_work_item_jax(texture, cfg, ctx.items[i][0],
+                                           subdiv,
+                                           _states_of(ctx.items[i][1])))
     _mark("done")
     return results
 
@@ -1328,6 +1340,76 @@ def classify_work_item_twophase(texture: Texture, cfg, uv_tri: np.ndarray,
     """Single-item wrapper over classify_work_items_batch."""
     return classify_work_items_batch(texture, cfg, [(uv_tri, states)],
                                      subdiv)[0]
+
+
+# ---------------------------------------------------------------------------
+# linear-filter phase-1 resolve (flat, no hierarchy — the ComputeOnly
+# engine's window pre-pass; stage B of the two-phase engine run alone)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("subdiv", "mips", "pads"))
+def _linear_sides(cls_planes, uv_flat, fz, *, subdiv, mips, pads):
+    """Per-micro-triangle combined-over-mips window side for every
+    micro-triangle of every item: the two-phase engine's micro resolve
+    (_sides_for at the finest level) evaluated densely over (T, M)."""
+    T = uv_flat.shape[0]
+    M = get_num_micro_triangles(subdiv)
+    node = jnp.arange(T * M, dtype=jnp.int32)
+    side = _sides_for((node & (M - 1)).astype(jnp.uint32),
+                      node >> (2 * subdiv), subdiv,
+                      uv_flat, cls_planes, mips, pads, fz)
+    return side.reshape(T, M)
+
+
+def resolve_linear_phase1(texture: Texture, cfg, items, subdiv: int):
+    """Phase-1 window resolve for linear-filter work items, WITHOUT the
+    hierarchical descent or the Pallas exact kernel: micro-triangles
+    whose (combined-over-mips) texel window sits strictly on one side of
+    the alpha cutoff get their final state; contour survivors stay
+    UnknownOpaque for an exact pass (classify_linear_survivors or the
+    host engine).  Exactness argument = the two-phase engine's micro
+    resolve (see the module docstring: a one-sided window forces every
+    per-texel increment and the bilinear seed to that side, and
+    PHASE1_MARGIN keeps fp32-borderline texels unresolved).  Returns the
+    updated per-item state list, or None when any item fails the
+    window-containment preconditions (_fast_path_mask)."""
+    if not items:
+        return []
+    uv_arr = np.stack([it[0] for it in items])
+    lg = _group_level(texture, [it[0] for it in items], subdiv)
+    if not _fast_path_mask(texture, cfg, uv_arr, subdiv, lg).all():
+        return None
+
+    cutoff = float(cfg.alpha_cutoff)
+    ba = float(getattr(cfg, "border_alpha", 0.0))
+    mips, pads, cls_planes = [], [], []
+    for mip in range(texture.mip_count):
+        Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
+        Hb, Wb = int(Hbs.max()), int(Wbs.max())
+        TSA = TILE + max(Hb + 2, Wb + 2)
+        pad = TSA
+        mips.append(texture.size(mip))
+        pads.append(pad)
+        cls_planes.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
+                                      TSA, Hb, Wb, cutoff, PHASE1_MARGIN,
+                                      ba))
+
+    uv_flat = uv_arr.reshape(len(items), 6).astype(np.float32)
+    side = np.asarray(_linear_sides(
+        tuple(cls_planes), jnp.asarray(uv_flat), _fz0(), subdiv=subdiv,
+        mips=tuple(mips), pads=tuple(pads)))
+
+    st_gt = np.uint8(int(cfg.cutoff_gt))
+    st_le = np.uint8(int(cfg.cutoff_le))
+    out = []
+    for t, (uv_tri, states) in enumerate(items):
+        st = np.full(get_num_micro_triangles(subdiv), UO, np.uint8) \
+            if states is None else states.copy()
+        act = st == UO
+        st[act & (side[t] == 1)] = st_gt
+        st[act & (side[t] == -1)] = st_le
+        out.append(st)
+    return out
 
 
 # ---------------------------------------------------------------------------
