@@ -58,6 +58,20 @@ def run(reps=2):
               (nch, best * 1e3, bm.N_TRIS * M / best / 1e6, mean * 1e3))
     os.environ["OMM_TP_FETCH_CHUNKS"] = "2"
 
+    # enqueue-thread A/B (env read per call; no recompiles)
+    for th in ("0", "1"):
+        os.environ["OMM_TP_ENQUEUE_THREAD"] = th
+        one()  # settle
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            one()
+            ts.append(time.perf_counter() - t0)
+        best, mean = min(ts), sum(ts) / len(ts)
+        print("enqueue_thread=%s: best %.1f ms (%.0fM utri/s)  mean %.1f ms"
+              % (th, best * 1e3, bm.N_TRIS * M / best / 1e6, mean * 1e3))
+    os.environ.pop("OMM_TP_ENQUEUE_THREAD", None)
+
     # optional sub-batch sweep (OMM_PROF_SUBBATCH="64,128"): each size is
     # a NEW jit signature (T changes) — budget a remote compile per value
     for sb in filter(None, os.environ.get("OMM_PROF_SUBBATCH",
