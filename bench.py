@@ -259,6 +259,29 @@ def main():
     spot_multimip = _spot_multimip()
     spot_nearest = _spot_nearest()
 
+    # Secondary metric: ONE full production bake of the same workload —
+    # classification plus everything around it (pre-bake dedup, exact
+    # dedup, special-index promotion, histograms, morton sort, 2-bit
+    # pack, index emission) through the public omm.bake API.
+    e2e_s = None
+    try:
+        import omm_tpu as _omm
+        # pin the fine-pass batch size to the already-warm timed-loop
+        # signature (a new batch size = a multi-minute remote compile)
+        os.environ["OMM_BAKE_SUBBATCH"] = str(BATCH)
+        tc = np.concatenate(uv_tris).astype(np.float32)  # (3*N, 2)
+        desc = _omm.BakeInputDesc(
+            texture=tex, tex_coords=tc,
+            index_buffer=np.arange(3 * N_TRIS, dtype=np.uint32),
+            index_count=3 * N_TRIS, alpha_cutoff=0.5,
+            max_subdivision_level=SUBDIV, dynamic_subdivision_scale=0.0)
+        _omm.bake(desc, backend="pallas")  # warm the e2e-only stages
+        t0 = time.perf_counter()
+        _omm.bake(desc, backend="pallas")
+        e2e_s = time.perf_counter() - t0
+    except Exception as e:
+        print(f"bench: e2e bake metric skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "utri_classified_per_sec_per_chip_subdiv9",
         "value": round(rate, 1),
@@ -275,6 +298,9 @@ def main():
         "spot_nearest_bit_exact": spot_nearest,
         "engine": engine_name,
         "batch_tris": N_TRIS, "sub_batch": BATCH,
+        "e2e_bake_s": round(e2e_s, 4) if e2e_s is not None else None,
+        "e2e_bake_utri_per_s": (round(N_TRIS * M / e2e_s, 1)
+                                if e2e_s else None),
         "device": str(jax.devices()[0]),
     }))
     if not (parity and spot_multimip and spot_nearest):

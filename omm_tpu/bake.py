@@ -13,6 +13,7 @@ Debug::Stats against the reference test suite's hard-coded expectations
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -871,9 +872,13 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         MAX_UTRI_PER_BATCH = 3 << 22  # ~12M micro-tris of device scratch
         # (finer batches pipeline better on a tunnel-attached chip: the
         # enqueue-ahead chain hides fetch+reconstruct under device time)
+        # OMM_BAKE_SUBBATCH overrides items-per-batch: a remote jit
+        # compile costs minutes per distinct batch size, so callers that
+        # already warmed one size (bench.py) pin it
+        sub_override = int(os.environ.get("OMM_BAKE_SUBBATCH", "0"))
         for level, idxs in by_level.items():
             per_item = get_num_micro_triangles(level)
-            chunk = max(1, MAX_UTRI_PER_BATCH // per_item)
+            chunk = sub_override or max(1, MAX_UTRI_PER_BATCH // per_item)
             chunks = [idxs[k:k + chunk] for k in range(0, len(idxs), chunk)]
             batches = [[(items[i].uv_tri, items[i].states) for i in c]
                        for c in chunks]
