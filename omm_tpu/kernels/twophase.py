@@ -801,6 +801,18 @@ class _BatchCtx:
         return self._uvJ
 
     @property
+    def uv7J(self):
+        """UV columns + winding in ONE device array (T, 7): the
+        speculative chain's only per-batch upload — each separate H2D
+        pays a tunnel round trip."""
+        u = getattr(self, "_uv7J", None)
+        if u is None:
+            u = self._uv7J = jnp.asarray(np.concatenate(
+                [self.uv_flat,
+                 self.ccw.astype(np.float32)[:, None]], axis=1))
+        return u
+
+    @property
     def ccwJ(self):
         if self._ccwJ is None:
             self._ccwJ = jnp.asarray(self.ccw)
@@ -1015,14 +1027,17 @@ def _run_batch_sync(ctx: _BatchCtx):
                                    "nblks", "HWs", "rcps", "alpha_cutoff",
                                    "fmt", "promotion", "cutoff_gt",
                                    "cutoff_le"))
-def _spec_chain(cls_levels, tilesEs, uv_flat, ccw, active, fz, *, subdiv,
+def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
                 levels, caps, K_cap, mips, pads, ntxs, all_active, nblks,
                 HWs, rcps, alpha_cutoff, fmt, promotion, cutoff_gt,
                 cutoff_le):
     """The whole speculative batch (descent A+B, per-mip C, compact D) as
     ONE jit dispatch: on a tunnel-attached chip every dispatch pays
     host-link latency, so the chain must cross the link once, not
-    3 + mip_count times."""
+    3 + mip_count times.  uv7 = (T, 7) fused [uv columns | ccw] upload
+    (one H2D per batch instead of two)."""
+    uv_flat = uv7[:, :6]
+    ccw = uv7[:, 6] > jnp.float32(0.5)
     res = _stageAB(cls_levels, uv_flat, ccw, active, fz, subdiv=subdiv,
                    levels=levels, caps=caps, K_cap=K_cap, mips=mips,
                    pads=pads, ntxs=ntxs, all_active=all_active)
@@ -1060,7 +1075,7 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
     try:
         dev = _spec_chain(
             ctx.cls_tuple, tuple(ctx.tilesEs),
-            ctx.uvJ, ctx.ccwJ, ctx.actJ, _fz0(), subdiv=ctx.subdiv,
+            ctx.uv7J, ctx.actJ, _fz0(), subdiv=ctx.subdiv,
             levels=ctx.levels, caps=tuple(Cs), K_cap=K_cap,
             mips=tuple(ctx.mips),
             pads=tuple(ctx.pads), ntxs=tuple(ctx.ntxs),
