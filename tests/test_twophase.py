@@ -739,3 +739,39 @@ def test_linear_phase1_preconditions_reject():
     t = np.array([[4.0, 4.1], [4.1, 9.5], [9.6, 9.4]], np.float32)
     assert resolve_linear_phase1(
         tex, cfg, [(t, np.full(M, 3, np.uint8))], subdiv) is None
+
+
+@pytest.mark.slow
+def test_concurrent_batch_calls_thread_safe(monkeypatch):
+    """Two threads driving classify_work_items_batches on the SAME
+    texture concurrently (a bake server's shape): shared caches (class
+    planes, caps buckets) and the per-call enqueue/fetch machinery must
+    stay bit-exact under interleaving."""
+    import concurrent.futures as cf
+
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris_a = _tris(4, seed=21)
+    tris_b = _tris(4, seed=22)
+
+    def run(tris):
+        batches = [[(t, None) for t in tris[k:k + 2]]
+                   for k in range(0, len(tris), 2)]
+        outs = tp.classify_work_items_batches(tex, cfg, batches, subdiv)
+        return [st for b in outs for st in b]
+
+    run(tris_a)  # warm compiles + caps in one thread first
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(run, tris_a)
+        fb = pool.submit(run, tris_b)
+        got_a, got_b = fa.result(), fb.result()
+    for tris, got in ((tris_a, got_a), (tris_b, got_b)):
+        for t, st in zip(tris, got):
+            want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                             np.full(M, 3, np.uint8))
+            assert (st == want).all()
