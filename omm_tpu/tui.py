@@ -80,9 +80,13 @@ class TuiViewer:
     def _image(self) -> np.ndarray:
         """Overlay image at a scale fitting the current zoom (cached until
         the bake or zoom bucket changes)."""
-        # scale so the current window spans >= ~256 overlay samples
+        # scale so the current window spans >= ~256 overlay samples, but
+        # cap the canvas at ~128 MB (scale 8 on a 1024² texture would be
+        # an 800 MB float RGB allocation)
         need = max(1, int(np.ceil(256.0 / (self.tex_size[0] * self.span))))
-        scale = min(8, need)
+        w, h = self.tex_size
+        cap = max(1, int(np.sqrt(128e6 / (12.0 * w * h))))
+        scale = min(8, need, cap)
         from .types import BakeError
         try:
             res = self.s._ensure_result()
