@@ -813,7 +813,8 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
                                   level)
             ok = [i for i in idxs
                   if _tp._fast_path_ok(tex, cfg, items[i].uv_tri, level,
-                                       lg)]
+                                       lg)
+                  and bool(geom.winding_stable(items[i].uv_tri, level))]
             if not ok:
                 continue
             sel = ok + ok[:1] * ((-len(ok)) % n_dev)  # pad to mesh multiple

@@ -79,6 +79,37 @@ def is_degenerate(tri: np.ndarray) -> np.ndarray:
     return area.astype(np.float64) < 1e-9
 
 
+def winding_stable(tri, subdiv: int) -> np.ndarray:
+    """True when every micro-triangle's winding test (is_ccw on the
+    fp32-interpolated corners, as the oracle computes it per
+    micro-triangle) provably agrees with the macro triangle's winding.
+
+    Derivation: the true micro cross is cross_macro * 4^-subdiv; each
+    fp32 corner coordinate carries <= ~4 ulp of |coord| interpolation
+    error (3 products + 2 adds), perturbing the float64 cross of the
+    rounded corners by <= 4 * L_micro * e with L_micro = L * 2^-subdiv
+    and e = 4 * 2^-23 * Cmax.  The sign is stable when
+    |cross_macro| * 4^-subdiv > SAFETY * 4 * L * 2^-subdiv * e, i.e.
+    |cross_macro| > SAFETY * 16 * 2^-23 * L * Cmax * 2^subdiv (SAFETY=4).
+    Thin slivers failing this bound must take an oracle-order path
+    (per-micro-triangle is_ccw) instead of a macro-winding shortcut.
+    tri: (..., 3, 2); returns bool array."""
+    t = np.asarray(tri, dtype=np.float32).astype(np.float64)
+    ax = t[..., 2, 0] - t[..., 0, 0]
+    ay = t[..., 2, 1] - t[..., 0, 1]
+    bx = t[..., 1, 0] - t[..., 0, 0]
+    by = t[..., 1, 1] - t[..., 0, 1]
+    cz = np.abs(ax * by - ay * bx)
+    e0 = np.hypot(bx, by)
+    e1 = np.hypot(ax, ay)
+    e2 = np.hypot(ax - bx, ay - by)
+    L = np.maximum(np.maximum(e0, e1), e2)
+    cmax = np.abs(t).max(axis=(-1, -2))
+    thresh = (4.0 * 16.0 * 2.0 ** -23) * L * np.maximum(cmax, 1e-30) \
+        * float(2 ** subdiv)
+    return cz > thresh
+
+
 def is_ccw(tri) -> np.ndarray:
     """Double-precision winding test (geometry.h:49-55). tri: (..., 3, 2).
 

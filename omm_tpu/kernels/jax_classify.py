@@ -203,6 +203,13 @@ def classify_work_item_jax(texture: Texture, cfg, uv_tri: np.ndarray,
     if not active.any():
         return states
 
+    if not bool(geom.winding_stable(uv_tri, subdiv)):
+        # fp32-thin sliver: the dense path's per-ITEM winding shortcut is
+        # unproven here — classify through the per-micro-triangle-winding
+        # survivors kernel instead (the oracle's exact op order)
+        return classify_linear_survivors(texture, cfg, uv_tri, subdiv,
+                                         states)
+
     ccw = bool(geom.is_ccw(uv_tri))
     planes = _dev_planes(texture)
     mip_meta = tuple(
@@ -464,14 +471,16 @@ def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
     sel = np.flatnonzero(states == UO)
     if sel.size == 0:
         return states
-    if sel.size >= states.shape[0]:
+    if sel.size >= states.shape[0] \
+            and bool(geom.winding_stable(uv_tri, subdiv)):
         # nothing resolved yet: the dense path's (M-block, window) jit
-        # signatures are already warm in any mixed workload
+        # signatures are already warm in any mixed workload.  (Winding-
+        # unstable slivers must NOT bounce back — classify_work_item_jax
+        # routes them here.)
         return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
 
     muvs_all = bird.micro_triangle_uvs(uv_tri, sel.astype(np.uint32),
                                        subdiv)  # (S, 3, 2) fp32
-    ccw_item = bool(geom.is_ccw(uv_tri))
     planes = _dev_planes(texture)
     mip_meta = tuple(
         (texture.info[m].size, texture.info[m].size_log2,
@@ -498,12 +507,15 @@ def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
                            - np.floor(q[..., 1].min(axis=-1))))
             win.append((max(_bucket_pow2(W), 2), max(_bucket_pow2(H), 2)))
         Sp = _bucket_pow2(len(block))
-        ccw = np.full(len(block), ccw_item, bool)
+        # per-micro-triangle float64 winding — the oracle's exact op
+        # order (engine.resample_fine_item: is_ccw(micro_uvs)); the
+        # macro triangle's winding can disagree on fp32-thin slivers
+        ccw = geom.is_ccw(muvs)
         if Sp > len(block):  # pad with row 0 (valid geometry, dropped)
             padrows = np.broadcast_to(muvs[:1], (Sp - len(block), 3, 2))
             muvs = np.concatenate([muvs, padrows])
-            ccw = np.concatenate([ccw, np.full(Sp - len(block), ccw_item,
-                                               bool)])
+            ccw = np.concatenate([ccw, np.broadcast_to(ccw[:1],
+                                                       (Sp - len(block),))])
 
         above, below = _classify_linear(
             planes, jnp.asarray(muvs, jnp.float32), jnp.asarray(ccw),

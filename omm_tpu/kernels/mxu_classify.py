@@ -72,14 +72,33 @@ def padded_plane(texture: Texture, mip: int, pad: int,
     return plane[np.ix_(wy, wx)]
 
 
+def _padded_plane_cached(texture: Texture, mip: int, pad: int, addr_mode,
+                         border_alpha: float):
+    """Device-resident padded plane cached on the texture (the dict the
+    two-phase engine and _dev_planes share): without it every slow-path
+    work item re-uploaded the whole mip over the tunnel."""
+    c = getattr(texture, "_omm_dev_cache", None)
+    if c is None:
+        c = {}
+        texture._omm_dev_cache = c
+    key = ("mxu_plane", mip, int(addr_mode), int(pad), float(border_alpha))
+    if key not in c:
+        c[key] = jnp.asarray(padded_plane(texture, mip, pad, addr_mode,
+                                          border_alpha))
+    return c[key]
+
+
 def _host_precompute(texture: Texture, uv_tri: np.ndarray, subdiv: int,
-                     mip: int, candidates=BLOCK_CANDIDATES):
+                     mip: int, candidates=BLOCK_CANDIDATES, muv=None):
     """Window origins, extents and block regions (host numpy).  The block
     size adapts: consecutive bird-curve micro-tris are grouped into the
-    largest block whose texel region stays under MAX_REGION."""
+    largest block whose texel region stays under MAX_REGION.  `muv` is
+    mip-independent — callers with a mip loop pass it in once (its bird
+    evaluation over all 4^N micro-tris dominates this function)."""
     M = get_num_micro_triangles(subdiv)
-    idx = np.arange(M, dtype=np.uint32)
-    muv = bird.micro_triangle_uvs(uv_tri, idx, subdiv)  # (M,3,2) fp32
+    if muv is None:
+        idx = np.arange(M, dtype=np.uint32)
+        muv = bird.micro_triangle_uvs(uv_tri, idx, subdiv)  # (M,3,2) fp32
     w, h = texture.size(mip)
     rf = np.array([w, h], dtype=np.float32)
     q = muv * rf + np.float32(-0.5)
@@ -265,10 +284,19 @@ def classify_work_item_mxu(texture: Texture, cfg, uv_tri: np.ndarray,
     if not active.any():
         return states
 
+    if not bool(geom.winding_stable(uv_tri, subdiv)):
+        # fp32-thin sliver: this engine normalizes corners with the
+        # macro winding, which the oracle's per-micro-triangle test can
+        # contradict — fall back (geom.winding_stable derivation)
+        return None
+
     border = cfg.addr_mode == TextureAddressMode.Border
     per_mip = []
+    muv0 = bird.micro_triangle_uvs(
+        uv_tri, np.arange(get_num_micro_triangles(subdiv), dtype=np.uint32),
+        subdiv)  # mip-independent; hoisted out of the mip loop
     for mip in range(texture.mip_count):
-        pc = _host_precompute(texture, uv_tri, subdiv, mip)
+        pc = _host_precompute(texture, uv_tri, subdiv, mip, muv=muv0)
         w, h = texture.size(mip)
         if border:
             # Border runtime-bilinear seed quirk: the oracle clamps the
@@ -282,7 +310,12 @@ def classify_work_item_mxu(texture: Texture, cfg, uv_tri: np.ndarray,
             return None
         # Pad covers the worst-case region overshoot so every region slice
         # is in-bounds (padded texels carry the wrap-mode-resolved values).
-        pad = max(pc["RW"] + pc["W"] + 3, pc["RH"] + pc["H"] + 3)
+        # Pow2-bucketed: a LARGER pad keeps every containment bound valid
+        # (same wrap-resolved ring values, shifted consistently via the
+        # `pad` operand) while collapsing the per-item plane re-uploads
+        # and jit signatures onto a few shared shapes.
+        pad_req = max(pc["RW"] + pc["W"] + 3, pc["RH"] + pc["H"] + 3)
+        pad = 1 << (int(pad_req) - 1).bit_length()
         if (pc["rx"].min() - 1 < -pad or pc["ry"].min() - 1 < -pad
                 or (pc["rx"].max() - 1 + pc["RW"] + pc["W"] + 2) > w + pad
                 or (pc["ry"].max() - 1 + pc["RH"] + pc["H"] + 2) > h + pad):
@@ -304,8 +337,8 @@ def classify_work_item_mxu(texture: Texture, cfg, uv_tri: np.ndarray,
     for mip, (pc, pad) in enumerate(per_mip):
         w, h = texture.size(mip)
         info = texture.info[mip]
-        planeP = jnp.asarray(padded_plane(texture, mip, pad, cfg.addr_mode,
-                                          float(cfg.border_alpha)))
+        planeP = _padded_plane_cached(texture, mip, pad, cfg.addr_mode,
+                                      float(cfg.border_alpha))
         nblk = pc["nblk"]
         padM = pc["padM"]
         B = pc["block"]

@@ -70,9 +70,6 @@ def kernel_fence() -> bool:
     return _KERNEL_FENCE
 B = int(os.environ.get("OMM_PALLAS_BLOCK", "128"))  # micro-tris per grid step
 
-# geo rows: x0, y0, x1, y1, oy, ox, sdy, sdx, valid, spare
-GEO_ROWS = 10
-
 
 def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
                               subdiv: int, states: np.ndarray):
@@ -440,19 +437,27 @@ def _halo_tiles(planeP, TS, TSA):
 
 
 def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
-    """Tile-sorted schedule.  Returns (jobs, inverse permutation) or None."""
+    """Tile-sorted schedule.  Returns the per-mip job list, or None when
+    the fast path's preconditions fail."""
     if (cfg.filter != TextureFilterMode.Linear
             or cfg.disable_level_line
-            or bool(geom.is_degenerate(uv_tri))):
+            or bool(geom.is_degenerate(uv_tri))
+            # the kernel normalizes corners with the macro winding; thin
+            # slivers where the oracle's per-micro-triangle winding could
+            # disagree must take an oracle-order path
+            or not bool(geom.winding_stable(uv_tri, subdiv))):
         return None
     border = cfg.addr_mode == TextureAddressMode.Border
 
     M = get_num_micro_triangles(subdiv)
     ccw = bool(geom.is_ccw(uv_tri))
     jobs = []
+    from .. import bird as _bird
+    muv0 = _bird.micro_triangle_uvs(
+        uv_tri, np.arange(M, dtype=np.uint32), subdiv)  # mip-independent
     for mip in range(texture.mip_count):
         pc = mx._host_precompute(texture, uv_tri, subdiv, mip,
-                                 candidates=(B,))
+                                 candidates=(B,), muv=muv0)
         w, h = texture.size(mip)
         H, W = pc["H"], pc["W"]
         He, We = H + 2, W + 2

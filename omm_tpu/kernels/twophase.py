@@ -63,7 +63,6 @@ UO = int(OpacityState.UnknownOpaque)
 UT = int(OpacityState.UnknownTransparent)
 B = pk.B
 TILE = pk.TILE
-GEO_ROWS = pk.GEO_ROWS
 
 # Relative margin below which the window test refuses to resolve: ~6e-5 of
 # the value scale, orders of magnitude above the <= 8-ulp (~5e-7) rounding
@@ -279,6 +278,11 @@ def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
             or subdiv < 2):
         return np.zeros(N, bool)
     ok = ~geom.is_degenerate(uv_arr)
+    # stage C normalizes survivor corners with the MACRO winding; thin
+    # slivers whose per-micro-triangle fp32 winding could disagree with
+    # it (the oracle's op order, engine.resample_fine_item) must take an
+    # oracle-order path instead (geom.winding_stable derivation)
+    ok &= geom.winding_stable(uv_arr, subdiv)
     if cfg.addr_mode == TextureAddressMode.Border:
         # rare mode with an exact per-µtri seed-footprint check: keep the
         # scalar path, but only for the non-degenerate candidates
@@ -289,9 +293,9 @@ def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
         Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
         Hgs, Wgs = _span_windows(texture, uv_arr, lg, mip)
         He, We = Hbs + 2, Wbs + 2
-        mx = np.maximum(He, We)
-        pad = TILE + mx  # per-item TSA
-        ok &= mx <= TILE
+        win_mx = np.maximum(He, We)
+        pad = TILE + win_mx  # per-item TSA
+        ok &= win_mx <= TILE
         ok &= np.maximum(Hgs, Wgs) + 6 < pad
         w, h = texture.size(mip)
         q = uv_arr.astype(np.float64) * np.array([w, h], np.float64)
@@ -305,7 +309,7 @@ def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
 
 @partial(jax.jit, static_argnames=("subdiv", "levels", "caps", "K_cap",
                                    "mips", "pads", "ntxs", "all_active"))
-def _stageAB(cls_levels, uv_flat, ccw, active, fz, *, subdiv, levels, caps,
+def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
              K_cap, mips, pads, ntxs, all_active):
     """Hierarchical descent over `levels` (l0 < ... < subdiv): level 0 is
     a dense (T, 4^l0) window resolve; each later level expands the
@@ -484,10 +488,16 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
         size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk,
         subdiv=subdiv, pad=pad, ntx=ntx)
     # One packed slot->survivor permutation gather instead of two: counts
-    # are bounded by the fast-path window (<= 66*66 texels * <=8
-    # increments < 2^16), so (a << 16) | b is lossless.  The XLA gather
-    # is latency-bound per element (~7 ns/elem at K_cap=196k), so
-    # halving the element count halves the readback cost.
+    # are bounded by the fast-path window (H, W <= TILE-2 texels, <= 8
+    # increments per texel + 1 seed), so (a << 16) | b is lossless and
+    # sign-safe iff 8*(TILE-2)^2 + 1 <= 32767 — i.e. TILE <= 65.  The
+    # guard turns a silent count corruption under an OMM_PALLAS_TILE
+    # override into a loud configuration error.  The XLA gather is
+    # latency-bound per element (~7 ns/elem at K_cap=196k), so halving
+    # the element count halves the readback cost.
+    assert 8 * (TILE - 2) ** 2 + 1 <= 0x7FFF, (
+        f"OMM_PALLAS_TILE={TILE} breaks the (above<<16)|below packing "
+        "(needs TILE <= 65)")
     ab = (a_b.reshape(-1) << 16) | b_b.reshape(-1)
     safe = jnp.minimum(tgt, padM - 1)
     abg = jnp.where(ok, ab[safe], 0)
@@ -831,7 +841,7 @@ class _BatchCtx:
 
     def stage_ab(self, Cs, K_cap):
         return _stageAB(self.cls_tuple, self.uvJ,
-                        self.ccwJ, self.actJ, _fz0(),
+                        self.actJ, _fz0(),
                         subdiv=self.subdiv, levels=self.levels,
                         caps=tuple(Cs), K_cap=K_cap,
                         mips=tuple(self.mips), pads=tuple(self.pads),
@@ -1038,7 +1048,7 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
     (one H2D per batch instead of two)."""
     uv_flat = uv7[:, :6]
     ccw = uv7[:, 6] > jnp.float32(0.5)
-    res = _stageAB(cls_levels, uv_flat, ccw, active, fz, subdiv=subdiv,
+    res = _stageAB(cls_levels, uv_flat, active, fz, subdiv=subdiv,
                    levels=levels, caps=caps, K_cap=K_cap, mips=mips,
                    pads=pads, ntxs=ntxs, all_active=all_active)
     (sides, nodes, ids, kvalid, meta, slots) = res
@@ -1521,8 +1531,10 @@ def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
     st_le = np.uint8(int(cfg.cutoff_le))
     out = []
     for t, (uv_tri, states) in enumerate(items):
-        st = states.copy()
-        act = states == UO
+        # states=None is the declared fresh-item form (all UnknownOpaque)
+        st = np.full(get_num_micro_triangles(subdiv), UO, np.uint8) \
+            if states is None else states.copy()
+        act = st == UO
         st[act & (side[t] == 1)] = st_gt
         st[act & (side[t] == -1)] = st_le
         out.append(st)

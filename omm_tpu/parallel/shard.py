@@ -19,7 +19,7 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from .. import bird
+from .. import bird, geom
 from ..kernels.jax_classify import _bilinear_seed
 from ..kernels.levelline import (conservative_raster_mask,
                                  get_state_from_coverage,
@@ -175,6 +175,10 @@ def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
             raise ValueError("sharded_classify_batch requires fresh items")
         if not tp._fast_path_ok(texture, cfg, uv, subdiv, lg):
             raise ValueError("item not fast-path eligible")
+        if not bool(geom.winding_stable(uv, subdiv)):
+            # stage C normalizes with the macro winding (see
+            # twophase._fast_path_mask); slivers take the host path
+            raise ValueError("item winding-unstable for the fast path")
     ctx = tp._BatchCtx(texture, cfg, items, subdiv, list(range(T)),
                        [None] * T)
     levels = ctx.levels
@@ -185,7 +189,7 @@ def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
     def run_ab_meta(Cs, K_cap):
         def shard_fn(uv_shard, ccw_shard, fz):
             res = tp._stageAB(
-                ctx.cls_tuple, uv_shard, ccw_shard, act_dummy, fz,
+                ctx.cls_tuple, uv_shard, act_dummy, fz,
                 subdiv=subdiv, levels=levels, caps=tuple(Cs), K_cap=K_cap,
                 mips=tuple(ctx.mips), pads=tuple(ctx.pads),
                 ntxs=tuple(ctx.ntxs), all_active=True)
@@ -215,7 +219,7 @@ def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
 
     def shard_fn(uv_shard, ccw_shard, fz):
         res = tp._stageAB(
-            ctx.cls_tuple, uv_shard, ccw_shard, act_dummy, fz,
+            ctx.cls_tuple, uv_shard, act_dummy, fz,
             subdiv=subdiv, levels=levels, caps=tuple(Cs), K_cap=K_cap,
             mips=tuple(ctx.mips), pads=tuple(ctx.pads),
             ntxs=tuple(ctx.ntxs), all_active=True)
