@@ -135,25 +135,40 @@ def _spot_nearest():
     return True
 
 
-def _await_device(max_wait_s=1800):
+def _await_device(max_wait_s=None):
     """Wait for the TPU tunnel to come up before touching it in-process.
 
     Backend init happens in a SUBPROCESS first: a wedged tunnel can hang
     the initializing call indefinitely (not fail fast), and a hang inside
     this process would eat the whole bench timeout.  Probe with a
     per-attempt timeout and retry — transient tunnel outages (tenant
-    churn, terminal restarts) otherwise zero the headline number."""
+    churn, terminal restarts) otherwise zero the headline number.
+
+    The TOTAL budget must come in well under the driver's capture window
+    (round-2 lesson: a 1800s budget outlived the window, so a down tunnel
+    produced rc=124 with NO JSON instead of the structured error line).
+    Default 540s, overridable via OMM_BENCH_PROBE_BUDGET; each attempt's
+    timeout is clipped to the remaining budget so the error JSON is
+    emitted the moment the deadline passes — never after one more retry.
+    """
     import subprocess
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("OMM_BENCH_PROBE_BUDGET", "540"))
     deadline = time.monotonic() + max_wait_s
     attempt = 0
+    err = ["no probe attempted"]
     while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
         attempt += 1
         try:
             p = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, text=True, timeout=300)
+                capture_output=True, text=True,
+                timeout=max(5.0, min(300.0, remaining)))
             if p.returncode == 0:
                 platform = p.stdout.strip().splitlines()[-1]
                 if platform != "cpu" or os.environ.get(
@@ -165,20 +180,51 @@ def _await_device(max_wait_s=1800):
             else:
                 err = p.stderr.strip().splitlines()[-1:] or ["?"]
         except subprocess.TimeoutExpired:
-            err = ["probe hung >300s"]
+            err = ["probe hung past its timeout"]
         print(f"bench: device probe {attempt} failed: {err[0][:160]}",
               file=sys.stderr)
-        if time.monotonic() > deadline:
-            print(json.dumps({
-                "metric": "utri_classified_per_sec_per_chip_subdiv9",
-                "value": 0.0, "unit": "utri/s", "vs_baseline": 0.0,
-                "error": "device backend unavailable "
-                         f"after {max_wait_s}s: {err[0][:200]}"}))
-            return False
-        time.sleep(60)
+        if time.monotonic() + 30 > deadline:
+            break
+        time.sleep(30)
+    print(json.dumps({
+        "metric": "utri_classified_per_sec_per_chip_subdiv9",
+        "value": 0.0, "unit": "utri/s", "vs_baseline": 0.0,
+        "error": "device backend unavailable "
+                 f"after {max_wait_s:.0f}s: {err[0][:200]}"}))
+    return False
+
+
+def _arm_watchdog():
+    """A tunnel can wedge AFTER the probe passed (mid-compile, mid-fetch);
+    a blocking device call then hangs the whole bench past the driver's
+    capture window.  A daemon timer emits the structured error JSON and
+    hard-exits at the deadline so the driver always records a parseable
+    line.  OMM_BENCH_DEADLINE seconds, 0 disables.  Default 1500s: the
+    driver's capture window is ~1800s (BENCH_r02 was timeout-killed after
+    ~1740s of probes)."""
+    import threading
+
+    budget = float(os.environ.get("OMM_BENCH_DEADLINE", "1500"))
+    done = threading.Event()
+    if budget <= 0:
+        return done
+
+    def fire():
+        if done.wait(budget):
+            return
+        print(json.dumps({
+            "metric": "utri_classified_per_sec_per_chip_subdiv9",
+            "value": 0.0, "unit": "utri/s", "vs_baseline": 0.0,
+            "error": f"bench exceeded OMM_BENCH_DEADLINE={budget:.0f}s "
+                     "(device call wedged mid-run)"}), flush=True)
+        os._exit(1)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
 
 
 def main():
+    watchdog_done = _arm_watchdog()
     if not _await_device():
         sys.exit(1)
     import jax
@@ -282,6 +328,7 @@ def main():
     except Exception as e:
         print(f"bench: e2e bake metric skipped: {e}", file=sys.stderr)
 
+    watchdog_done.set()
     print(json.dumps({
         "metric": "utri_classified_per_sec_per_chip_subdiv9",
         "value": round(rate, 1),
