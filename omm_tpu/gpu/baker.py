@@ -464,10 +464,15 @@ class Pipeline:
             promotion=cfg.unknown_state_promotion,
             cutoff_gt=cfg.alpha_cutoff_greater,
             cutoff_le=cfg.alpha_cutoff_less_equal,
+            # The reference GPU's DisableLevelLineIntersection runs the
+            # conservative-bilinear min/max test over the RASTERIZED
+            # TRIANGLE footprint (omm_resample_common.hlsli:355-372, gated
+            # at bake_gpu_impl.cpp:714) — i.e. two_tris=False semantics.
+            # The AABB-split two-triangle variant is the CPU baker's
+            # internal EnableAABBTesting debug mode, which has no GPU flag.
             disable_level_line=bool(cfg.bake_flags
                                     & GpuBakeFlags.DisableLevelLineIntersection),
-            enable_aabb_testing=bool(cfg.bake_flags
-                                     & GpuBakeFlags.DisableLevelLineIntersection),
+            enable_aabb_testing=False,
         )
         # bake on a copy so a stored setup can be re-baked (the
         # reference's bake-only dispatch is repeatable)

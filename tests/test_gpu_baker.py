@@ -341,7 +341,7 @@ _CHANNEL_FIXTURES = {  # R, G, B, A planes of the synthetic RGBA asset
 _MATRIX_VARIANTS = (
     "default", "compute_only", "setup_before_build", "no_special",
     "post_stats", "force32", "no_dedup", "uint16_indices",
-    "no_special_force32", "stats_compute_only")
+    "no_special_force32", "stats_compute_only", "no_level_line")
 
 
 @pytest.mark.parametrize("channel", sorted(_CHANNEL_FIXTURES))
@@ -371,6 +371,8 @@ def test_gpu_fixture_matrix(channel, variant):
     elif variant == "stats_compute_only":
         flags |= (gpu.GpuBakeFlags.EnablePostDispatchInfoStats
                   | gpu.GpuBakeFlags.ComputeOnly)
+    elif variant == "no_level_line":
+        flags |= gpu.GpuBakeFlags.DisableLevelLineIntersection
 
     base = dict(alpha_texture=tex, alpha_texture_channel=channel,
                 tex_coords=tc, index_buffer=ib, index_count=6,
@@ -394,6 +396,34 @@ def test_gpu_fixture_matrix(channel, variant):
     s = get_stats(res)
     assert (s.total_opaque + s.total_transparent + s.total_unknown_opaque
             + s.total_unknown_transparent) == 2 * 4 ** 3
+
+    if variant == "no_level_line":
+        # Not a packaging variant: DisableLevelLineIntersection changes the
+        # classification kernel (conservative bilinear min/max over the
+        # rasterized TRIANGLE footprint, omm_resample_common.hlsli:355-372,
+        # gated at bake_gpu_impl.cpp:714).  Parity oracle: the engine's
+        # fine pass under the same config.
+        from omm_tpu import engine as _engine
+        rcfg = _engine.ResampleConfig(
+            addr_mode=omm.TextureAddressMode.Clamp,
+            filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
+            border_alpha=0.0, fmt=omm.Format.OC1_4_State,
+            promotion=omm.UnknownStatePromotion.ForceOpaque,
+            cutoff_gt=omm.OpacityState.Opaque,
+            cutoff_le=omm.OpacityState.Transparent,
+            disable_level_line=True, enable_aabb_testing=False)
+        M = omm.get_num_micro_triangles(3)
+        UO = int(omm.OpacityState.UnknownOpaque)
+        want = np.zeros(4, np.int64)
+        for k in range(2):
+            tri = tc[ib[3 * k:3 * k + 3]]
+            st = _engine.resample_fine_item(tex, rcfg, tri, 3,
+                                            np.full(M, UO, np.uint8))
+            want += np.bincount(st, minlength=4)[:4]
+        assert (s.total_transparent, s.total_opaque,
+                s.total_unknown_transparent, s.total_unknown_opaque) \
+            == tuple(want)
+        return
 
     # per-state totals are a packaging invariant: every variant matches
     # the default bake of the same channel
@@ -420,6 +450,50 @@ def test_gpu_fixture_matrix(channel, variant):
     if variant == "setup_before_build":
         assert np.array_equal(res.array_data, ref.array_data)
         assert np.array_equal(res.index_buffer, ref.index_buffer)
+
+
+def test_gpu_disable_level_line_is_triangle_footprint():
+    """DisableLevelLineIntersection must select the conservative-bilinear
+    test over the rasterized TRIANGLE footprint (two_tris=False), NOT the
+    CPU baker's AABB-split debug mode (omm_resample_common.hlsli:355-372;
+    gate at bake_gpu_impl.cpp:714).  Regression: the flag used to route to
+    enable_aabb_testing=True."""
+    from omm_tpu import engine as _engine
+
+    plane = standard_circle(128, 128)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    tc = np.array([[0.07, 0.03], [0.06, 0.92], [0.96, 0.04]], np.float32)
+    ib = np.arange(3, dtype=np.uint32)
+    cfg = gpu.DispatchConfigDesc(
+        alpha_texture=tex, tex_coords=tc, index_buffer=ib, index_count=3,
+        max_subdivision_level=4, dynamic_subdivision_scale=0.0,
+        bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                    | gpu.GpuBakeFlags.DisableLevelLineIntersection
+                    | gpu.GpuBakeFlags.DisableSpecialIndices))
+    res, _ = gpu.Pipeline().dispatch(cfg, backend="numpy").execute()
+    s = get_stats(res)
+
+    M = omm.get_num_micro_triangles(4)
+    UO = int(omm.OpacityState.UnknownOpaque)
+    base = dict(addr_mode=omm.TextureAddressMode.Clamp,
+                filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
+                border_alpha=0.0, fmt=omm.Format.OC1_4_State,
+                promotion=omm.UnknownStatePromotion.ForceOpaque,
+                cutoff_gt=omm.OpacityState.Opaque,
+                cutoff_le=omm.OpacityState.Transparent,
+                disable_level_line=True)
+    tri_cfg = _engine.ResampleConfig(**base, enable_aabb_testing=False)
+    aabb_cfg = _engine.ResampleConfig(**base, enable_aabb_testing=True)
+    st_tri = _engine.resample_fine_item(tex, tri_cfg, tc, 4,
+                                        np.full(M, UO, np.uint8))
+    st_aabb = _engine.resample_fine_item(tex, aabb_cfg, tc, 4,
+                                         np.full(M, UO, np.uint8))
+    # the two internal modes genuinely differ on this workload...
+    assert not np.array_equal(st_tri, st_aabb)
+    # ...and the GPU flag picks the triangle-footprint one
+    cnt = np.bincount(st_tri, minlength=4)
+    assert (s.total_transparent, s.total_opaque, s.total_unknown_transparent,
+            s.total_unknown_opaque) == tuple(cnt[:4])
 
 
 # --- dispatch-chain consumer: RecordingRHI (omm-gpu-nvrhi analog) ---
