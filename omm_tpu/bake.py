@@ -179,6 +179,13 @@ def validate_desc(desc: BakeInputDesc, opts: Options, log=None):
     log = log or Logger()
     if desc.texture is None:
         log.invalid_arg("[Invalid Argument] - texture is not set")
+    elif desc.texture.channels != 1:
+        # the reference CPU texture object is strictly single-channel
+        # (ommCpuTextureFormat = FP32/UNORM8, texture_impl.cpp:40-66);
+        # RGBA channel selection is a GPU-dispatch concept
+        log.invalid_arg("[Invalid Argument] - texture must be "
+                        "single-channel (use Texture.channel_view or the "
+                        "GPU baker's alphaTextureChannel)")
     if desc.alpha_mode is None:
         log.invalid_arg("[Invalid Argument] - alphaMode is not set")
     if desc.runtime_sampler.addressing_mode is None:

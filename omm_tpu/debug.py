@@ -146,12 +146,161 @@ def render_overlay(desc: BakeInputDesc, result: BakeResult, scale: int = 5,
     return img
 
 
+def _prim_states(result: BakeResult, prim: int):
+    """(level, states, vm_index) for one primitive, special indices decoded
+    to a single-state level-0 array."""
+    vm = get_omm_index(result, prim)
+    if vm >= 0:
+        d = result.desc_array[vm]
+        return d.subdivision_level, decode_states(
+            result.array_data, d.offset, d.subdivision_level, d.format), vm
+    return 0, np.array([~vm & 3], dtype=np.uint8), vm
+
+
+def render_cutout(desc: BakeInputDesc, result: BakeResult, prim: int,
+                  monochrome_unknowns: bool = False,
+                  highlight_reuse: bool = False, max_dim: int = 8192,
+                  max_pixels: int = 1 << 22) -> np.ndarray:
+    """Detailed per-OMM closeup (debug_impl.cpp:189-250, detailedCutout):
+    the viewport is the primitive's UV AABB rendered at a virtual
+    max_dim-wide upscale of the alpha texture, with
+
+      - the (inverted) alpha as background, checker-tinted per source texel
+        so individual texels read at high zoom,
+      - the micro-triangle state fill (upright micro-tris darkened, which
+        draws the micro-tri grid),
+      - the alpha-cutoff contour line in red, one pass per mip.
+
+    The whole closeup is produced as one vectorized pass over the cutout
+    pixels rather than the reference's three conservative-raster passes.
+    Returns an RGB float32 image.
+    """
+    tex = desc.texture
+    w, h = tex.size(0)
+    lut = STATE_COLOR_MONO if monochrome_unknowns else STATE_COLOR_DEFAULT
+    from .types import TextureFilterMode
+    linear = desc.runtime_sampler.filter == TextureFilterMode.Linear
+    cutoff = np.float32(desc.alpha_cutoff)
+
+    level, states, _vm = _prim_states(result, prim)
+    tris = geom.triangles_from_indices(
+        np.asarray(desc.index_buffer)[:desc.index_count], desc.tex_coords,
+        desc.tex_coord_format, desc.tex_coord_stride_in_bytes)
+    t = tris[prim].astype(np.float64)
+    if bool(geom.is_degenerate(tris[prim])):
+        t = _de_degenerate(tris[prim]).astype(np.float64)
+
+    aabb_s = t.min(axis=0)
+    aabb_e = t.max(axis=0)
+    span = np.maximum(aabb_e - aabb_s, 1e-9)
+    # Per-axis virtual upscale (reference kMaxDim=8192), then shrink until
+    # the cutout fits the pixel budget.
+    sx = max(max_dim // w, 1)
+    sy = max(max_dim // h, 1)
+    while (int(span[0] * w * sx) + 1) * (int(span[1] * h * sy) + 1) \
+            > max_pixels and (sx > 1 or sy > 1):
+        sx = max(sx // 2, 1)
+        sy = max(sy // 2, 1)
+    src = np.array([w * sx, h * sy], np.float64)  # virtual canvas size
+    off = np.floor(src * aabb_s).astype(np.int64)
+    size = np.floor(src * span).astype(np.int64) + 1
+
+    # Global (virtual-canvas) pixel centers of the cutout.
+    gx = off[0] + np.arange(size[0], dtype=np.float64)
+    gy = off[1] + np.arange(size[1], dtype=np.float64)
+    u = (gx / src[0])[None, :]
+    v = (gy / src[1])[:, None]
+    uv = np.stack(np.broadcast_arrays(u, v), axis=-1).astype(np.float32)
+
+    # Background: inverted bilinear alpha, texel-parity checker tint.
+    mode = desc.runtime_sampler.addressing_mode
+    a = tex.bilinear(mode, uv.reshape(-1, 2), 0).reshape(uv.shape[:2]) \
+        if linear else _nearest_alpha(tex, mode, uv, 0)
+    gray = np.clip(np.float32(1.0) - a, 0.0, 1.0) * np.float32(0.85)
+    texel = np.floor(uv * np.array([w, h], np.float32)).astype(np.int64)
+    checker = (texel[..., 0] % 2) == (texel[..., 1] % 2)
+    gray = gray + checker.astype(np.float32) * np.float32(0.15)
+    img = np.stack([gray, gray, gray], axis=-1)
+
+    # Micro-triangle state fill over the macro triangle.
+    px = t[:, 0] * src[0]
+    py = t[:, 1] * src[1]
+    cx = gx[None, :] + 0.5
+    cy = gy[:, None] + 0.5
+    d = ((py[1] - py[2]) * (px[0] - px[2])
+         + (px[2] - px[1]) * (py[0] - py[2]))
+    if d != 0:
+        bu = ((py[1] - py[2]) * (cx - px[2])
+              + (px[2] - px[1]) * (cy - py[2])) / d
+        bv = ((py[2] - py[0]) * (cx - px[2])
+              + (px[0] - px[2]) * (cy - py[2])) / d
+        bw = 1.0 - bu - bv
+        inside = (bu >= 0) & (bv >= 0) & (bw >= 0)
+        steps = float(1 << level)
+        mx = (1 << level) - 1
+        gu = np.clip((bv * steps).astype(np.int64), 0, mx)
+        gv = np.clip((bw * steps).astype(np.int64), 0, mx)
+        gw = np.clip(((1.0 - bv - bw) * steps).astype(np.int64), 0, mx)
+        idx = bird.dbary2index(gu.astype(np.uint32), gv.astype(np.uint32),
+                               gw.astype(np.uint32), level)
+        idx = np.minimum(idx, get_num_micro_triangles(level) - 1)
+        color = lut[states[idx]]
+        # three floors sum to steps-1 for upright cells, steps-2 for
+        # inverted ones; darkening uprights draws the micro-tri grid
+        upright = (gu + gv + gw) == (1 << level) - 1
+        color = np.where(upright[..., None], color * np.float32(0.9), color)
+        if highlight_reuse:
+            color = color * np.float32(0.5)
+        img = np.where(inside[..., None],
+                       0.5 * color + 0.5 * img, img).astype(np.float32)
+
+    # Alpha-cutoff contour in red, one pass per mip (debug_impl.cpp
+    # DrawContourLine): a canvas pixel is on the contour when the 2x2
+    # bilinear samples behind it straddle the cutoff.
+    red = np.array([1.0, 0.0, 0.0], np.float32)
+    for mip in range(tex.mip_count):
+        if linear:
+            samples = []
+            for (ox, oy) in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                suv = np.stack(np.broadcast_arrays(
+                    (gx - ox)[None, :] / src[0],
+                    (gy - oy)[:, None] / src[1]), axis=-1).astype(np.float32)
+                samples.append(tex.bilinear(mode, suv.reshape(-1, 2), mip)
+                               .reshape(suv.shape[:2]))
+            above = sum((s > cutoff).astype(np.int32) for s in samples)
+            mean = sum(samples) / np.float32(4.0)
+            contour = ((above != 0) & (above != 4)) \
+                | (np.abs(mean - cutoff) < np.float32(1e-6))
+            img = np.where(contour[..., None], red, img)
+        else:
+            opaque = _nearest_alpha(tex, mode, uv, mip) > cutoff
+            img = np.where(opaque[..., None],
+                           np.float32(0.5) * (img + red), img)
+    return img.astype(np.float32)
+
+
+def _nearest_alpha(texture, mode, uv, mip):
+    """Nearest-texel alpha over a (h, w, 2) UV grid."""
+    from .texture import get_tex_coord
+    info = texture.info[mip]
+    pix = np.floor(uv * np.array(info.size, np.float32)).astype(np.int32)
+    coord = get_tex_coord(mode, pix, np.array(info.size, np.int32),
+                          np.array(info.size_log2, np.int32), info.is_pow2)
+    coord = np.clip(coord, 0, np.array(info.size, np.int32) - 1)
+    return texture.load_plane(mip)[coord[..., 1], coord[..., 0]]
+
+
 def save_as_images(desc: BakeInputDesc, result: BakeResult, path: str,
                    file_postfix: str = "", one_file: bool = True,
                    dump_only_first_omm: bool = False,
                    monochrome_unknowns: bool = False,
                    detailed_cutout: bool = False, scale: int = 5) -> list[str]:
     """ommDebugSaveAsImages analog; returns written file paths."""
+    if detailed_cutout and one_file:
+        # debug_impl.cpp:137-138: the cutout is per-OMM by construction
+        from .types import BakeError, Result
+        raise BakeError(Result.INVALID_ARGUMENT,
+                        "detailedCutout requires oneFile=False")
     os.makedirs(path, exist_ok=True)
     written = []
     if one_file:
@@ -164,11 +313,20 @@ def save_as_images(desc: BakeInputDesc, result: BakeResult, path: str,
         tri_count = desc.index_count // 3
         if dump_only_first_omm:
             tri_count = min(tri_count, 1)
+        drawn: set[int] = set()
         for prim in range(tri_count):
-            sub = _single_prim_desc(desc, prim)
-            img = render_overlay(sub, _single_prim_result(result, prim),
-                                 scale=scale,
-                                 monochrome_unknowns=monochrome_unknowns)
+            if detailed_cutout:
+                vm = get_omm_index(result, prim)
+                img = render_cutout(
+                    desc, result, prim,
+                    monochrome_unknowns=monochrome_unknowns,
+                    highlight_reuse=vm >= 0 and vm in drawn)
+                drawn.add(vm)
+            else:
+                sub = _single_prim_desc(desc, prim)
+                img = render_overlay(sub, _single_prim_result(result, prim),
+                                     scale=scale,
+                                     monochrome_unknowns=monochrome_unknowns)
             fname = os.path.join(path, f"0_{prim}_{file_postfix}.png")
             _write_png(fname, img)
             written.append(fname)

@@ -79,7 +79,7 @@ class DispatchConfigDesc:
     bake_flags: GpuBakeFlags = GpuBakeFlags.PerformSetupAndBake
     runtime_sampler: SamplerDesc = field(default_factory=SamplerDesc)
     alpha_texture: Optional[Texture] = None
-    alpha_texture_channel: int = 3  # metadata; Texture is single-channel
+    alpha_texture_channel: int = 3  # channel sampled from alpha_texture
     tex_coords: Optional[np.ndarray] = None
     index_buffer: Optional[np.ndarray] = None
     index_count: int = 0
@@ -348,6 +348,11 @@ class Pipeline:
     def _validate(self, cfg: DispatchConfigDesc):
         if cfg.alpha_texture is None:
             raise BakeError(Result.INVALID_ARGUMENT, "alpha texture not set")
+        if (cfg.alpha_texture.channels > 1
+                and not 0 <= cfg.alpha_texture_channel
+                < cfg.alpha_texture.channels):
+            raise BakeError(Result.INVALID_ARGUMENT,
+                            "alphaTextureChannel out of range")
         if cfg.tex_coords is None or cfg.index_buffer is None:
             raise BakeError(Result.INVALID_ARGUMENT, "geometry not set")
         if not (cfg.bake_flags & GpuBakeFlags.PerformSetupAndBake):
@@ -425,7 +430,10 @@ class Pipeline:
 
     def _execute(self, cfg: DispatchConfigDesc, levels: np.ndarray,
                  backend: str):
-        tex = cfg.alpha_texture
+        # Channel selection: the analog of the reference's per-channel
+        # Gather PSOs (bake_gpu_impl.cpp:313-419); every engine below
+        # samples the selected plane.
+        tex = cfg.alpha_texture.channel_view(cfg.alpha_texture_channel)
         disable_special = bool(cfg.bake_flags & GpuBakeFlags.DisableSpecialIndices)
         do_setup = bool(cfg.bake_flags & GpuBakeFlags.PerformSetup)
         do_bake = bool(cfg.bake_flags & GpuBakeFlags.PerformBake)

@@ -103,19 +103,41 @@ class Texture:
     def __init__(self, mips: list[np.ndarray], fmt: TextureFormat,
                  flags: TextureFlags = TextureFlags.NONE,
                  alpha_cutoff: float = -1.0):
-        """mips: list of (h, w) arrays; uint8 for UNORM8, float32 for FP32."""
+        """mips: list of (h, w) arrays (uint8 for UNORM8, float32 for FP32),
+        or (h, w, C) with C in 2..4 for a multi-channel (e.g. RGBA) texture.
+
+        A multi-channel texture cannot be sampled directly: the GPU baker
+        selects one channel per dispatch via alphaTextureChannel (the
+        reference binds per-channel Gather PSOs, bake_gpu_impl.cpp:313-419,
+        GatherRed/Green/Blue/Alpha in omm_resample_common.hlsli:201-209);
+        channel_view(c) yields the equivalent single-channel Texture."""
         if len(mips) == 0:
             raise BakeError(Result.INVALID_ARGUMENT, "mipCount must be non-zero")
         self.format = TextureFormat(fmt)
         self.flags = TextureFlags(flags)
         self.alpha_cutoff = float(alpha_cutoff)
+        self.channels = 1
+        self._channel_views: dict[int, "Texture"] = {}
         self.mips: list[np.ndarray] = []
         self.info: list[MipInfo] = []
-        for m in mips:
+        for mi, m in enumerate(mips):
             m = np.asarray(m)
-            if m.ndim != 2:
-                raise BakeError(Result.INVALID_ARGUMENT, "mip must be 2D (h, w)")
-            h, w = m.shape
+            if m.ndim == 3:
+                if not 2 <= m.shape[2] <= 4:
+                    raise BakeError(Result.INVALID_ARGUMENT,
+                                    "multi-channel mip must have 2..4 channels")
+                if mi == 0:
+                    self.channels = m.shape[2]
+                elif m.shape[2] != self.channels:
+                    raise BakeError(Result.INVALID_ARGUMENT,
+                                    "mips must agree on channel count")
+            elif m.ndim != 2:
+                raise BakeError(Result.INVALID_ARGUMENT,
+                                "mip must be (h, w) or (h, w, channels)")
+            elif self.channels != 1:
+                raise BakeError(Result.INVALID_ARGUMENT,
+                                "mips must agree on channel count")
+            h, w = m.shape[:2]
             if w == 0 or h == 0:
                 raise BakeError(Result.INVALID_ARGUMENT, "mip dims must be non-zero")
             if w > MAX_TEXTURE_DIM or h > MAX_TEXTURE_DIM:
@@ -133,8 +155,9 @@ class Texture:
             ))
         # SAT of the binarized (alpha > cutoff) image, built when the cutoff
         # is embedded (texture_impl.cpp:91,191-220).  uint32 per texel.
+        # Multi-channel textures defer it to their channel views.
         self.sat: Optional[list[np.ndarray]] = None
-        if self.alpha_cutoff >= 0.0:
+        if self.alpha_cutoff >= 0.0 and self.channels == 1:
             self.sat = []
             for mi, m in enumerate(self.mips):
                 binar = (self.load_plane(mi) > np.float32(self.alpha_cutoff))
@@ -159,10 +182,36 @@ class Texture:
     def has_sat(self) -> bool:
         return self.sat is not None
 
+    # -- channel selection ----------------------------------------------------
+    def channel_view(self, channel: int) -> "Texture":
+        """Single-channel Texture for one plane of a multi-channel texture
+        (the analog of binding the GatherRed/Green/Blue/Alpha PSO,
+        bake_gpu_impl.cpp:313-419).  Views are cached per channel so device
+        plane/SAT caches attached to them persist across dispatches.  A
+        single-channel texture returns itself for any channel index — the
+        reference gathers the only plane regardless of the channel swizzle."""
+        if self.channels == 1:
+            return self
+        if not 0 <= channel < self.channels:
+            raise BakeError(
+                Result.INVALID_ARGUMENT,
+                f"alphaTextureChannel {channel} out of range for a "
+                f"{self.channels}-channel texture")
+        view = self._channel_views.get(channel)
+        if view is None:
+            view = Texture([m[..., channel] for m in self.mips], self.format,
+                           self.flags, self.alpha_cutoff)
+            self._channel_views[channel] = view
+        return view
+
     # -- sampling -----------------------------------------------------------
     def load_plane(self, mip: int) -> np.ndarray:
         """Whole mip as fp32 (UNORM8 decoded as v * (1/255) like
         texture_impl.h:195-196)."""
+        if self.channels != 1:
+            raise BakeError(Result.INVALID_ARGUMENT,
+                            "multi-channel texture: select a channel first "
+                            "(alphaTextureChannel / channel_view)")
         m = self.mips[mip]
         if self.format == TextureFormat.UNORM8:
             return m.astype(np.float32) * np.float32(1.0 / 255.0)

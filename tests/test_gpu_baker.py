@@ -347,8 +347,12 @@ _MATRIX_VARIANTS = (
 @pytest.mark.parametrize("channel", sorted(_CHANNEL_FIXTURES))
 @pytest.mark.parametrize("variant", _MATRIX_VARIANTS)
 def test_gpu_fixture_matrix(channel, variant):
-    plane = _CHANNEL_FIXTURES[channel](128, 128)
-    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    # ONE genuine RGBA texture; the channel axis drives alphaTextureChannel
+    # like the reference's per-channel Gather PSOs
+    # (bake_gpu_impl.cpp:313-419).
+    rgba = np.stack([_CHANNEL_FIXTURES[c](128, 128)
+                     for c in sorted(_CHANNEL_FIXTURES)], axis=-1)
+    tex = omm.Texture([rgba], omm.TextureFormat.FP32)
     tc = np.array([[0.07, 0.03], [0.06, 0.92], [0.96, 0.04], [0.9, 0.9]],
                   np.float32)
     ib = np.array([0, 1, 2, 3, 1, 2], np.uint32)
@@ -417,8 +421,8 @@ def test_gpu_fixture_matrix(channel, variant):
         want = np.zeros(4, np.int64)
         for k in range(2):
             tri = tc[ib[3 * k:3 * k + 3]]
-            st = _engine.resample_fine_item(tex, rcfg, tri, 3,
-                                            np.full(M, UO, np.uint8))
+            st = _engine.resample_fine_item(tex.channel_view(channel), rcfg,
+                                            tri, 3, np.full(M, UO, np.uint8))
             want += np.bincount(st, minlength=4)[:4]
         assert (s.total_transparent, s.total_opaque,
                 s.total_unknown_transparent, s.total_unknown_opaque) \
@@ -450,6 +454,60 @@ def test_gpu_fixture_matrix(channel, variant):
     if variant == "setup_before_build":
         assert np.array_equal(res.array_data, ref.array_data)
         assert np.array_equal(res.index_buffer, ref.index_buffer)
+
+
+@pytest.mark.parametrize("channel", sorted(_CHANNEL_FIXTURES))
+def test_gpu_rgba_channel_bitmatch(channel):
+    """An RGBA bake with alphaTextureChannel=c is BYTE-identical to baking
+    the pre-extracted channel-c plane (GatherRed/Green/Blue/Alpha,
+    omm_resample_common.hlsli:201-209)."""
+    rgba = np.stack([_CHANNEL_FIXTURES[c](128, 128)
+                     for c in sorted(_CHANNEL_FIXTURES)], axis=-1)
+    tc = np.array([[0.07, 0.03], [0.06, 0.92], [0.96, 0.04], [0.9, 0.9]],
+                  np.float32)
+    ib = np.array([0, 1, 2, 3, 1, 2], np.uint32)
+
+    def bake_with(tex, ch):
+        cfg = gpu.DispatchConfigDesc(
+            alpha_texture=tex, alpha_texture_channel=ch, tex_coords=tc,
+            index_buffer=ib, index_count=6, max_subdivision_level=4,
+            dynamic_subdivision_scale=0.0)
+        return gpu.Pipeline().dispatch(cfg, backend="numpy").execute()[0]
+
+    got = bake_with(omm.Texture([rgba], omm.TextureFormat.FP32), channel)
+    want = bake_with(
+        omm.Texture([rgba[..., channel]], omm.TextureFormat.FP32), channel)
+    assert np.array_equal(got.array_data, want.array_data)
+    assert np.array_equal(got.index_buffer, want.index_buffer)
+    assert [(d.offset, d.subdivision_level, d.format)
+            for d in got.desc_array] == \
+        [(d.offset, d.subdivision_level, d.format) for d in want.desc_array]
+
+
+def test_gpu_rgba_channel_out_of_range():
+    rgba = np.zeros((32, 32, 4), np.float32)
+    tex = omm.Texture([rgba], omm.TextureFormat.FP32)
+    cfg = gpu.DispatchConfigDesc(
+        alpha_texture=tex, alpha_texture_channel=4,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0]], np.float32),
+        index_buffer=np.arange(3, dtype=np.uint32), index_count=3,
+        max_subdivision_level=2, dynamic_subdivision_scale=0.0)
+    with pytest.raises(omm.BakeError) as ei:
+        gpu.Pipeline().dispatch(cfg, backend="numpy")
+    assert ei.value.result == omm.Result.INVALID_ARGUMENT
+
+
+def test_cpu_bake_rejects_multichannel_texture():
+    rgba = np.zeros((32, 32, 4), np.float32)
+    tex = omm.Texture([rgba], omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex,
+        tex_coords=np.array([[0, 0], [0, 1], [1, 0]], np.float32),
+        index_buffer=np.arange(3, dtype=np.uint32), index_count=3,
+        max_subdivision_level=2)
+    with pytest.raises(omm.BakeError) as ei:
+        omm.bake(desc)
+    assert ei.value.result == omm.Result.INVALID_ARGUMENT
 
 
 def test_gpu_disable_level_line_is_triangle_footprint():

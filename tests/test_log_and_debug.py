@@ -133,6 +133,49 @@ def test_save_as_images(tmp_path):
     assert len(files) == 2
 
 
+def test_save_as_images_detailed_cutout(tmp_path):
+    """detailedCutout renders per-OMM cropped closeups of each primitive's
+    UV AABB at high zoom (debug_impl.cpp:189-250): distinct per-prim
+    images, viewport = the triangle's UV AABB (so the two quad halves,
+    which share only the diagonal, produce different crops), state fill +
+    red contour present.  oneFile+detailedCutout is INVALID_ARGUMENT
+    (debug_impl.cpp:137-138)."""
+    baker = Baker()
+    tex = baker.create_texture([standard_circle(64, 64)],
+                               omm.TextureFormat.FP32)
+    # asymmetric quad halves -> different UV AABBs -> different crops
+    desc = omm.BakeInputDesc(
+        texture=tex, dynamic_subdivision_scale=0.0,
+        tex_coords=np.array([[0.05, 0.1], [0.1, 0.9], [0.6, 0.2],
+                             [0.95, 0.85]], np.float32),
+        index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32), index_count=6,
+        max_subdivision_level=3)
+    res = baker.bake(desc)
+
+    with pytest.raises(omm.BakeError) as ei:
+        baker.save_as_images(desc, res, str(tmp_path), one_file=True,
+                             detailed_cutout=True)
+    assert ei.value.result == omm.Result.INVALID_ARGUMENT
+
+    files = baker.save_as_images(desc, res, str(tmp_path), one_file=False,
+                                 detailed_cutout=True, file_postfix="c")
+    assert len(files) == 2 and all(os.path.exists(f) for f in files)
+    from PIL import Image
+    imgs = [np.asarray(Image.open(f)) for f in files]
+    # distinct per-OMM closeups: crops differ in shape or content
+    assert imgs[0].shape != imgs[1].shape \
+        or not np.array_equal(imgs[0], imgs[1])
+    for img in imgs:
+        h, w = img.shape[:2]
+        # zoomed far beyond the plain per-prim overlay (64*5)
+        assert h * w > (64 * 5) ** 2
+        # state fill present (green opaque / blue transparent)...
+        assert (img[..., 1] > 200).any() and (img[..., 2] > 200).any()
+        # ...and the red cutoff-contour line
+        assert ((img[..., 0] > 240) & (img[..., 1] < 30)
+                & (img[..., 2] < 30)).any()
+
+
 def test_get_stats2_known_area():
     baker = Baker()
     tex = baker.create_texture([np.full((64, 64), 0.9, np.float32)],
