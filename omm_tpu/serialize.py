@@ -206,14 +206,14 @@ def _write_input_desc(w, desc: BakeInputDesc):
                   float(desc.runtime_sampler.border_alpha),
                   int(desc.alpha_mode)))
     w(struct.pack("<i", int(desc.tex_coord_format)))
-    stride = desc.tex_coord_stride_in_bytes or _texcoord_format_size(
-        desc.tex_coord_format)
     tc_size = _texcoord_format_size(desc.tex_coord_format) * (_max_index(desc) + 1)
+    # Quirk parity (serialize_impl.cpp:98-104): the reference writes the
+    # FIRST texCoordsSize bytes of the user buffer regardless of stride —
+    # element size * (maxIndex+1) bytes raw, so a strided buffer's payload
+    # includes the inter-element padding and is truncated relative to the
+    # stride * (maxIndex+1) bytes a strided reader would need.
     raw_tc = _texcoords_bytes(desc)
-    if stride == _texcoord_format_size(desc.tex_coord_format):
-        payload = raw_tc[:tc_size]
-    else:
-        payload = raw_tc[:tc_size]  # strided inputs serialize densely here
+    payload = raw_tc[:tc_size]
     w(struct.pack("<Q", tc_size))
     if tc_size:
         w(payload.ljust(tc_size, b"\0"))

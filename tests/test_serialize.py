@@ -84,6 +84,45 @@ def test_input_roundtrip_bake(compress):
     expect_stats(omm.get_stats(res), **GOLDEN_STATS)
 
 
+def test_input_strided_texcoords_quirk_bytes():
+    """Quirk parity with serialize_impl.cpp:98-104: the texcoord payload is
+    the FIRST elementSize*(maxIndex+1) bytes of the user buffer, stride
+    ignored — a stride-16 interleaved buffer serializes its raw leading
+    bytes (padding included, tail truncated), byte-identical to the
+    dense-stride blob of the same leading bytes."""
+    tex = omm.Texture([standard_circle(8, 8)], omm.TextureFormat.FP32)
+    uv32 = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.float32)
+    inter = np.zeros((4, 4), np.float32)  # stride 16: UV + 8 pad bytes
+    inter[:, 0:2] = uv32
+    raw = inter.reshape(-1).view(np.uint8)
+
+    def mk(tc, stride):
+        return omm.BakeInputDesc(
+            texture=tex, tex_coords=tc, tex_coord_stride_in_bytes=stride,
+            tex_coord_format=omm.TexCoordFormat.UV32_FLOAT,
+            index_buffer=np.array([0, 1, 2, 3, 1, 2], np.uint32),
+            index_count=6, dynamic_subdivision_scale=0.0,
+            max_subdivision_level=4)
+
+    blob = ser.serialize(DeserializedDesc(input_descs=[mk(raw, 16)]))
+    # same leading 8*(maxIndex+1)=32 bytes presented densely
+    dense = raw[:32].copy()
+    blob_dense = ser.serialize(DeserializedDesc(input_descs=[mk(dense, 0)]))
+    # the blobs differ ONLY in the stored texCoordStrideInBytes field
+    # (plus the leading 8-byte XXH64 digest that covers it)
+    assert len(blob) == len(blob_dense)
+    diff = np.flatnonzero(np.frombuffer(blob, np.uint8)
+                          != np.frombuffer(blob_dense, np.uint8))
+    assert list(diff[:8]) == list(range(8)) and len(diff) == 9
+
+    # round-trip preserves the stride field and the quirk payload
+    d = ser.deserialize(blob)
+    back = d.input_descs[0]
+    assert back.tex_coord_stride_in_bytes == 16
+    assert np.asarray(back.tex_coords).view(np.uint8).tobytes() \
+        == raw[:32].tobytes()
+
+
 @pytest.mark.parametrize("compress", [False, True])
 def test_result_roundtrip_bytes(compress):
     """Serialize -> deserialize of a result must be field-exact
