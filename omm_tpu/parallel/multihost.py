@@ -79,14 +79,20 @@ def partition_items(costs: Sequence[int], num_processes: int) -> list[Partition]
 
 
 def bake_partition(desc, partition: Partition, backend: str = "auto",
-                   logger=None) -> bytes:
+                   logger=None, mesh=None) -> bytes:
     """Bake only this host's triangles of `desc` and return the
     serialized result blob (the unit that travels over DCN).
 
     The partition is expressed per TRIANGLE: the host bakes the sub-mesh
     formed by its triangles (sharing the full texture), so dedup runs
     within the partition; spatially-contiguous partitions keep the
-    dedup-loss across hosts small."""
+    dedup-loss across hosts small.
+
+    `mesh` composes the two distribution levels: a jax.sharding.Mesh of
+    this host's LOCAL devices shards the partition's classification over
+    ICI (parallel/shard.py) while the partition boundary stays the DCN
+    unit.  Collectives then ride ICI only; nothing in the sharded
+    pipeline crosses hosts."""
     from .. import serialize as ser
     from ..bake import bake
     from ..types import BakeInputDesc
@@ -96,7 +102,7 @@ def bake_partition(desc, partition: Partition, backend: str = "auto",
     sub = BakeInputDesc(**{**desc.__dict__,
                            "index_buffer": mine.reshape(-1),
                            "index_count": mine.size})
-    result = bake(sub, backend=backend, logger=logger)
+    result = bake(sub, backend=backend, logger=logger, mesh=mesh)
     d = ser.DeserializedDesc(flags=ser.SerializeFlags.COMPRESS,
                              result_descs=[result])
     return ser.serialize(d)

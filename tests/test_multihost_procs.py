@@ -108,6 +108,18 @@ with open(os.path.join(outdir, f"blob{{pid}}.bin"), "wb") as f:
     f.write(blob)
 with open(os.path.join(outdir, f"counts{{pid}}.txt"), "w") as f:
     f.write(",".join(str(int(c)) for c in counts))
+
+# Two-level composition (SURVEY 5.8): the SAME partition re-baked with
+# this host's LOCAL 2-device mesh sharding the classification over "ICI"
+# while the partition boundary stays the DCN unit.  Local-only mesh =>
+# every collective stays within the host.
+from omm_tpu.parallel import shard as psh
+mesh_local = psh.make_mesh(jax.local_devices())
+assert mesh_local.devices.size == 2
+blob_mesh = mh.bake_partition(desc, parts[pid], backend="pallas",
+                              mesh=mesh_local)
+with open(os.path.join(outdir, f"blobmesh{{pid}}.bin"), "wb") as f:
+    f.write(blob_mesh)
 """
 
 
@@ -177,6 +189,18 @@ def test_four_process_two_device_bake_farm(tmp_path):
         [mh.bake_partition(desc, parts[p], backend="numpy")
          for p in range(4)])
     for got, ref in zip(results, want):
+        assert np.array_equal(got.array_data, ref.array_data)
+        assert np.array_equal(np.asarray(got.index_buffer),
+                              np.asarray(ref.index_buffer))
+
+    # two-level composition: the mesh-sharded (DCN partition x local
+    # 2-device ICI mesh) farm results must equal the single-process
+    # meshless oracle byte-for-byte — sharding at either level is
+    # invisible in the output (the bit-exactness contract)
+    blobs_mesh = [(tmp_path / f"blobmesh{p}.bin").read_bytes()
+                  for p in range(4)]
+    results_mesh = mh.gather_results(blobs_mesh)
+    for got, ref in zip(results_mesh, want):
         assert np.array_equal(got.array_data, ref.array_data)
         assert np.array_equal(np.asarray(got.index_buffer),
                               np.asarray(ref.index_buffer))
