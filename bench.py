@@ -194,6 +194,41 @@ def _await_device(max_wait_s=None):
     return False
 
 
+def _spot_wrapped(tex, uv_tris, cfg_base):
+    """Wrapped multi-repeat UVs through the SAME two-phase engine (the
+    workload class the reference handles via GPU samplers + its
+    11x-scaled viewport, bake_gpu_impl.cpp:716-723; here period planes +
+    modular anchors).  Returns (rate, parity_ok): best-of-N throughput on
+    a 64-tri sub-batch of 3x-scaled Wrap UVs, with an 8-tri oracle spot."""
+    import omm_tpu as omm
+    from omm_tpu import engine
+    from omm_tpu.kernels import twophase as tp
+
+    cfg = _cfg(engine, omm, addr_mode=omm.TextureAddressMode.Wrap)
+    M = omm.get_num_micro_triangles(SUBDIV)
+    wtris = [t * np.float32(3.0) + np.float32(1.0) for t in uv_tris[:64]]
+    lg = tp._group_level(tex, wtris, SUBDIV)
+    if not tp._fast_path_mask(tex, cfg, np.stack(wtris), SUBDIV, lg).all():
+        return None, False
+
+    def run():
+        return tp.classify_work_items_batches(
+            tex, cfg, [[(t, None) for t in wtris]], SUBDIV)[0]
+
+    got = run()  # compile + caps
+    got = run()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        got = run()
+        times.append(time.perf_counter() - t0)
+    parity = all(
+        (got[k] == engine.resample_fine_item(
+            tex, cfg, wtris[k], SUBDIV, np.full(M, 3, np.uint8))).all()
+        for k in range(8))
+    return len(wtris) * M / min(times), parity
+
+
 def _arm_watchdog():
     """A tunnel can wedge AFTER the probe passed (mid-compile, mid-fetch);
     a blocking device call then hangs the whole bench past the driver's
@@ -221,6 +256,9 @@ def _arm_watchdog():
 
     threading.Thread(target=fire, daemon=True).start()
     return done
+
+
+_T0 = time.monotonic()
 
 
 def main():
@@ -305,6 +343,18 @@ def main():
     spot_multimip = _spot_multimip()
     spot_nearest = _spot_nearest()
 
+    # Wrapped multi-repeat spot: one new jit signature (a remote compile),
+    # so only when enough of the capture window remains.
+    wrapped_rate = None
+    wrapped_ok = None
+    if engine_name != "xla_gather_fallback" \
+            and time.monotonic() - _T0 < float(
+                os.environ.get("OMM_BENCH_WRAP_BUDGET", "700")):
+        try:
+            wrapped_rate, wrapped_ok = _spot_wrapped(tex, uv_tris, cfg)
+        except Exception as e:
+            print(f"bench: wrapped spot skipped: {e}", file=sys.stderr)
+
     # Secondary metric: ONE full production bake of the same workload —
     # classification plus everything around it (pre-bake dedup, exact
     # dedup, special-index promotion, histograms, morton sort, 2-bit
@@ -343,6 +393,11 @@ def main():
         "parity_tris": f"{N_TRIS - parity_fail}/{N_TRIS}",
         "spot_multimip_bit_exact": spot_multimip,
         "spot_nearest_bit_exact": spot_nearest,
+        "wrapped_utri_per_s": (round(wrapped_rate, 1)
+                               if wrapped_rate else None),
+        "wrapped_vs_clamp": (round(wrapped_rate / rate, 3)
+                             if wrapped_rate else None),
+        "wrapped_bit_exact": wrapped_ok,
         "engine": engine_name,
         "batch_tris": N_TRIS, "sub_batch": BATCH,
         "e2e_bake_s": round(e2e_s, 4) if e2e_s is not None else None,

@@ -44,7 +44,8 @@ MAX_REGION = 64       # fallback threshold for region edge (texels)
 
 def padded_plane(texture: Texture, mip: int, pad: int,
                  addr_mode: TextureAddressMode,
-                 border_alpha: float = 0.0) -> np.ndarray:
+                 border_alpha: float = 0.0,
+                 period: tuple | None = None) -> np.ndarray:
     """Plane extended by `pad` texels on each side with the address mode's
     wrapped texels, so any load with coords in [-pad, size+pad) is a plain
     in-bounds read (replaces per-texel GetTexCoord in the hot loop).
@@ -52,7 +53,18 @@ def padded_plane(texture: Texture, mip: int, pad: int,
     Border mode fills the pad with border_alpha — the exact value the
     reference's kernels substitute for the kTexCoordBorder sentinel
     (util/texture.h:21-91; kernels read alpha values only, so value-level
-    substitution is bit-exact)."""
+    substitution is bit-exact).
+
+    period=(Pw, Ph): build the PERIODIC plane over [-pad, P+pad) per axis
+    — one full address-mode period (w for Wrap, 2w for Mirror) plus the
+    apron, extended by the true periodic continuation.  Window lookups
+    whose origin is wrapped modulo the period then read the same texel
+    values the reference's per-texel GetTexCoord (texture.h:34-91) yields
+    at the UNwrapped coordinate, for any UV repeat count.  (For pow2
+    textures GetTexCoord itself is exactly periodic including the
+    negative-coordinate uint32-cast quirk; for non-pow2 Wrap the quirk is
+    aperiodic at negative coords, so the fast-path mask keeps
+    negative-footprint items off this plane.)"""
     plane = texture.load_plane(mip)
     w, h = texture.size(mip)
     info = texture.info[mip]
@@ -61,8 +73,15 @@ def padded_plane(texture: Texture, mip: int, pad: int,
                       dtype=np.float32)
         out[pad:pad + h, pad:pad + w] = plane
         return out
-    cx = np.arange(-pad, w + pad, dtype=np.int32)
-    cy = np.arange(-pad, h + pad, dtype=np.int32)
+    if period is not None:
+        Pw, Ph = period
+        cx = np.mod(np.arange(-pad, Pw + pad, dtype=np.int64),
+                    Pw).astype(np.int32)
+        cy = np.mod(np.arange(-pad, Ph + pad, dtype=np.int64),
+                    Ph).astype(np.int32)
+    else:
+        cx = np.arange(-pad, w + pad, dtype=np.int32)
+        cy = np.arange(-pad, h + pad, dtype=np.int32)
     wx = get_tex_coord(addr_mode, np.stack([cx, np.zeros_like(cx)], -1),
                        np.array([w, h], np.int32),
                        np.array(info.size_log2, np.int32), info.is_pow2)[:, 0]

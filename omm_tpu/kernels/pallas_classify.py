@@ -177,7 +177,7 @@ def corner_cols(tri6, bu, bv, bd, fz=None):
 
 
 def derive_slot_geometry(ids, uv6T, ccw1T, bt, fz, *, subdiv, pad, ntx,
-                         size):
+                         size, period=None):
     """Per-slot geometry from survivor ids + the tiny per-item UV table —
     replaces 22 scattered rows with one (ids) plus an exact one-hot MXU
     table lookup.  Reproduces _stageC_mip's exact fp32 op order.
@@ -237,20 +237,29 @@ def derive_slot_geometry(ids, uv6T, ccw1T, bt, fz, *, subdiv, pad, ntx,
 
     btx = bt % ntx
     bty = bt // ntx
-    ox = (x0 + pad - btx * TILE).astype(jnp.int32)
-    oy = (y0 + pad - bty * TILE).astype(jnp.int32)
+    # Memory offsets only: periodic modes wrap the window origin into the
+    # canonical period (matching the slot sort's tile assignment) while
+    # the GEOMETRY above keeps the true absolute coordinates — the fp32
+    # level-line math must see the oracle's own raster coords.
+    if period is not None:
+        x0m = x0 % jnp.int32(period[0])
+        y0m = y0 % jnp.int32(period[1])
+    else:
+        x0m, y0m = x0, y0
+    ox = (x0m + pad - btx * TILE).astype(jnp.int32)
+    oy = (y0m + pad - bty * TILE).astype(jnp.int32)
     return (muv_rows, qn_rows, x0, y0, x1, y1, ox, oy,
             sy - y0, sx - x0, val)
 
 
 def _kernel_v3(tidx_ref, tile_ref, ids_ref, uv6T_ref, ccw_ref, fz_ref,
                above_ref, below_ref, *, H, W, He, We, TSA,
-               size, rcp, alpha_cutoff, subdiv, pad, ntx):
+               size, rcp, alpha_cutoff, subdiv, pad, ntx, period=None):
     fz = fz_ref[0, 0]
     bt = tidx_ref[pl.program_id(0)]
     geom_rows = derive_slot_geometry(
         ids_ref[0], uv6T_ref[...], ccw_ref[...], bt, fz, subdiv=subdiv,
-        pad=pad, ntx=ntx, size=size)
+        pad=pad, ntx=ntx, size=size, period=period)
     _kernel_body(tile_ref[0], geom_rows, above_ref, below_ref,
                  H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
                  size=size, rcp=rcp, alpha_cutoff=alpha_cutoff, fz=fz)
@@ -371,9 +380,10 @@ def _kernel_body(region, geom_rows, above_ref, below_ref, *,
 
 @partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
                                    "rcp", "alpha_cutoff", "nblk", "subdiv",
-                                   "pad", "ntx"))
+                                   "pad", "ntx", "period"))
 def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
-            TSA, size, rcp, alpha_cutoff, nblk, subdiv, pad, ntx):
+            TSA, size, rcp, alpha_cutoff, nblk, subdiv, pad, ntx,
+            period=None):
     """ids_r: (nblk, 1, B) int32 survivor ids (-1 = empty slot); uv6T:
     (6, T) fp32 per-item UV columns; ccw1T: (1, T) fp32 0/1 winding.  The
     kernel derives each slot's geometry from its id (bird curve + one-hot
@@ -381,7 +391,7 @@ def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
     instead of 22 (scatters were the stage-C bottleneck on chip)."""
     kern = partial(_kernel_v3, H=H, W=W, He=He, We=We, TSA=TSA, size=size,
                    rcp=rcp, alpha_cutoff=alpha_cutoff, subdiv=subdiv,
-                   pad=pad, ntx=ntx)
+                   pad=pad, ntx=ntx, period=period)
     if fzv is None:  # constant fallback: fence inert under interpret
         fzv = jnp.zeros((1, 1), jnp.int32)
     T = uv6T.shape[1]

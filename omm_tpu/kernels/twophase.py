@@ -104,13 +104,34 @@ def _tex_cache(texture: Texture) -> dict:
     return c
 
 
+def _period_for(texture: Texture, addr_mode, mip: int):
+    """Address-mode period (Pw, Ph) in texels, or None for aperiodic
+    modes.  Wrap repeats every w texels, Mirror every 2w
+    (texture.h:34-70); Clamp/Border/MirrorOnce are not periodic."""
+    w, h = texture.size(mip)
+    if addr_mode == TextureAddressMode.Wrap:
+        return (w, h)
+    if addr_mode == TextureAddressMode.Mirror:
+        return (2 * w, 2 * h)
+    return None
+
+
+def _wrap_origin(x0, y0, period):
+    """Wrap a window origin into the canonical period (jnp true mod);
+    no-op for aperiodic modes (period None)."""
+    if period is None:
+        return x0, y0
+    return x0 % jnp.int32(period[0]), y0 % jnp.int32(period[1])
+
+
 def _planes_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
-                   border_alpha: float = 0.0):
-    key = ("tiles", mip, int(addr_mode), pad, TSA, float(border_alpha))
+                   border_alpha: float = 0.0, period=None):
+    key = ("tiles", mip, int(addr_mode), pad, TSA, float(border_alpha),
+           period)
     c = _tex_cache(texture)
     if key not in c:
         planeP = jnp.asarray(mx.padded_plane(texture, mip, pad, addr_mode,
-                                             border_alpha))
+                                             border_alpha, period=period))
         tilesE, nty, ntx = pk._halo_tiles(planeP, TILE, TSA)
         c[key] = (planeP, tilesE, nty, ntx)
     return c[key]
@@ -165,15 +186,15 @@ def _class_plane_jit(planeP, *, Hb, Wb, cutoff, margin):
 
 def _cls_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
                 Hb: int, Wb: int, cutoff: float, margin: float,
-                border_alpha: float = 0.0):
+                border_alpha: float = 0.0, period=None):
     """Device-cached int8 class plane (textures are reused across many
     batches; the min/max filters run once per window class)."""
     key = ("cls", mip, int(addr_mode), pad, TSA, Hb, Wb, cutoff, margin,
-           float(border_alpha))
+           float(border_alpha), period)
     c = _tex_cache(texture)
     if key not in c:
         planeP, _, _, _ = _planes_cached(texture, mip, addr_mode, pad, TSA,
-                                         border_alpha)
+                                         border_alpha, period)
         c[key] = _class_plane_jit(planeP, Hb=Hb, Wb=Wb, cutoff=cutoff,
                                   margin=margin)
     return c[key]
@@ -244,15 +265,20 @@ def _tri6_of(uv_flat, t):
 
 
 def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads,
-               fz=None):
+               fz=None, periods=None):
     """Combined-over-mips side for subtriangles given by curve index
-    `ids` at `level` belonging to item `tvec` (column arrays)."""
+    `ids` at `level` belonging to item `tvec` (column arrays).
+
+    For periodic address modes the class planes cover one period + apron
+    and the anchor wraps modularly (window VALUES are period-invariant,
+    so the lookup is exact for any UV repeat)."""
     bu, bv, bd = _bary_cols(ids.astype(jnp.uint32), level)
     tri6 = _tri6_of(uv_flat, tvec)
     side = None
     for mi, (w, h) in enumerate(mips):
         pad = pads[mi]
         x0, y0 = _window_origin(tri6, bu, bv, bd, w, h, fz)
+        x0, y0 = _wrap_origin(x0, y0, periods[mi] if periods else None)
         cls = planes_cls[mi]
         s = cls[y0 - 1 + pad, x0 - 1 + pad]
         if side is None:
@@ -301,16 +327,28 @@ def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
         q = uv_arr.astype(np.float64) * np.array([w, h], np.float64)
         tmin = np.floor(q.min(axis=1)) - 2
         tmax = np.ceil(q.max(axis=1)) + 2
-        ok &= (tmin[:, 0] >= 1 - pad) & (tmin[:, 1] >= 1 - pad)
-        ok &= tmax[:, 0] + np.maximum(We + 2, Wgs + 6) <= w + pad
-        ok &= tmax[:, 1] + np.maximum(He + 2, Hgs + 6) <= h + pad
+        if _period_for(texture, cfg.addr_mode, mip) is not None:
+            # Periodic modes need no containment: the period plane +
+            # modular anchors handle any UV repeat.  Guards: int32 window
+            # origins, and non-pow2 Wrap's negative-coordinate uint32-cast
+            # quirk (texture.h:42) is aperiodic — keep negative footprints
+            # on the exact slow path there.
+            ok &= (np.abs(q) < 2.0 ** 30).all(axis=(1, 2))
+            if (cfg.addr_mode == TextureAddressMode.Wrap
+                    and not texture.info[mip].is_pow2):
+                ok &= (tmin[:, 0] >= 1) & (tmin[:, 1] >= 1)
+        else:
+            ok &= (tmin[:, 0] >= 1 - pad) & (tmin[:, 1] >= 1 - pad)
+            ok &= tmax[:, 0] + np.maximum(We + 2, Wgs + 6) <= w + pad
+            ok &= tmax[:, 1] + np.maximum(He + 2, Hgs + 6) <= h + pad
     return ok
 
 
 @partial(jax.jit, static_argnames=("subdiv", "levels", "caps", "K_cap",
-                                   "mips", "pads", "ntxs", "all_active"))
+                                   "mips", "pads", "ntxs", "all_active",
+                                   "periods"))
 def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
-             K_cap, mips, pads, ntxs, all_active):
+             K_cap, mips, pads, ntxs, all_active, periods=None):
     """Hierarchical descent over `levels` (l0 < ... < subdiv): level 0 is
     a dense (T, 4^l0) window resolve; each later level expands the
     previous level's unresolved nodes (compacted to caps[i-1]) into their
@@ -337,7 +375,8 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
         node = jnp.arange(T * N0, dtype=jnp.int32)  # == t*N0 + n
         side0 = _sides_for((node & (N0 - 1)).astype(jnp.uint32),
                            node >> (2 * levels[0]), levels[0],
-                           uv_flat, cls_levels[0], mips, pads)
+                           uv_flat, cls_levels[0], mips, pads,
+                           periods=periods)
     sides = [side0]
 
     # a node is skippable entirely when none of its members are active
@@ -372,7 +411,8 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
         with jax.named_scope(f"omm.resolve_l{li}"):
             side_i = _sides_for((node & (4 ** li - 1)).astype(jnp.uint32),
                                 node >> (2 * li), li,
-                                uv_flat, cls_levels[i], mips, pads)
+                                uv_flat, cls_levels[i], mips, pads,
+                                periods=periods)
         sides.append(side_i)
         nodes.append((node, valid))
         if i < m:
@@ -408,6 +448,7 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
         pad = pads[mi]
         ntx = ntxs[mi]
         x0, y0 = _window_origin(tri6, bu, bv, bd, w, h, fz)
+        x0, y0 = _wrap_origin(x0, y0, periods[mi] if periods else None)
         tile = ((y0 + pad) // TILE) * ntx + (x0 + pad) // TILE
         tile = jnp.where(kvalid, tile, _INVALID_TILE)
         # One sort co-sorts the permutation payload (argsort + a follow-up
@@ -448,9 +489,10 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
 
 @partial(jax.jit, static_argnames=("subdiv", "K_cap", "nblk", "w", "h",
                                    "pad", "ntx", "H", "W", "rcp",
-                                   "alpha_cutoff"))
+                                   "alpha_cutoff", "period"))
 def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
-                K_cap, nblk, w, h, pad, ntx, H, W, rcp, alpha_cutoff):
+                K_cap, nblk, w, h, pad, ntx, H, W, rcp, alpha_cutoff,
+                period=None):
     """Build the (nblk, 1, B) slot id stream on device and run the exact
     Pallas kernel (which derives each slot's geometry in-kernel from the
     id + the tiny per-item UV table); returns (above, below) int32
@@ -477,6 +519,7 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
     fbu, fbv, fbd = _bary_cols(fb_m, subdiv)
     ftri6 = _tri6_of(uv_flat, fb_t)
     fx0, fy0 = _window_origin(ftri6, fbu, fbv, fbd, w, h, fz)
+    fx0, fy0 = _wrap_origin(fx0, fy0, period)
     block_tile = jnp.where(
         first_ids >= 0,
         ((fy0 + pad) // TILE) * ntx + (fx0 + pad) // TILE, 0)
@@ -486,7 +529,7 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
         fz.reshape(1, 1) if pk.kernel_fence() else None,
         H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
         size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk,
-        subdiv=subdiv, pad=pad, ntx=ntx)
+        subdiv=subdiv, pad=pad, ntx=ntx, period=period)
     # One packed slot->survivor permutation gather instead of two: counts
     # are bounded by the fast-path window (H, W <= TILE-2 texels, <= 8
     # increments per texel + 1 seed), so (a << 16) | b is lossless and
@@ -722,7 +765,15 @@ def _fast_path_ok(texture: Texture, cfg, uv_tri: np.ndarray,
         q = uv_tri.astype(np.float64) * np.array([w, h], np.float64)
         tmin = np.floor(q.min(axis=0)) - 2
         tmax = np.ceil(q.max(axis=0)) + 2
-        if (tmin[0] < 1 - pad or tmin[1] < 1 - pad
+        if _period_for(texture, cfg.addr_mode, mip) is not None:
+            # see _fast_path_mask: periodic modes skip containment
+            if (np.abs(q) >= 2.0 ** 30).any():
+                return False
+            if (cfg.addr_mode == TextureAddressMode.Wrap
+                    and not texture.info[mip].is_pow2
+                    and (tmin[0] < 1 or tmin[1] < 1)):
+                return False
+        elif (tmin[0] < 1 - pad or tmin[1] < 1 - pad
                 or tmax[0] + max(We + 2, Wg + 6) > w + pad
                 or tmax[1] + max(He + 2, Hg + 6) > h + pad):
             return False
@@ -771,6 +822,7 @@ class _BatchCtx:
         cutoff = float(cfg.alpha_cutoff)
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
         self.tilesEs, self.rcps = [], []
+        self.periods = []
         self.cls_lv = [[] for _ in self.levels]
         for mip in range(texture.mip_count):
             Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
@@ -778,8 +830,11 @@ class _BatchCtx:
             TSA = TILE + max(Hb + 2, Wb + 2)
             pad = TSA
             ba = float(getattr(cfg, "border_alpha", 0.0))
+            period = _period_for(texture, cfg.addr_mode, mip)
+            self.periods.append(period)
             _, tilesE, nty, ntx = _planes_cached(texture, mip,
-                                                 cfg.addr_mode, pad, TSA, ba)
+                                                 cfg.addr_mode, pad, TSA, ba,
+                                                 period)
             self.mips.append(texture.size(mip))
             self.pads.append(pad)
             self.HWu.append((Hb, Wb))
@@ -789,7 +844,7 @@ class _BatchCtx:
                 self.cls_lv[li].append(
                     _cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
                                 int(Hls.max()), int(Wls.max()), cutoff,
-                                PHASE1_MARGIN, ba))
+                                PHASE1_MARGIN, ba, period))
             self.tilesEs.append(tilesE)
             info = texture.info[mip]
             self.rcps.append((float(info.rcp_size[0]),
@@ -845,7 +900,8 @@ class _BatchCtx:
                         subdiv=self.subdiv, levels=self.levels,
                         caps=tuple(Cs), K_cap=K_cap,
                         mips=tuple(self.mips), pads=tuple(self.pads),
-                        ntxs=tuple(self.ntxs), all_active=self.all_active)
+                        ntxs=tuple(self.ntxs), all_active=self.all_active,
+                        periods=tuple(self.periods))
 
     def stage_c(self, mip, res, K_cap, nblk):
         (sides, nodes, ids, kvalid, meta, slots) = res
@@ -856,7 +912,8 @@ class _BatchCtx:
             subdiv=self.subdiv, K_cap=K_cap,
             nblk=nblk, w=w, h=h, pad=self.pads[mip], ntx=self.ntxs[mip],
             H=self.HWu[mip][0], W=self.HWu[mip][1], rcp=self.rcps[mip],
-            alpha_cutoff=float(self.cfg.alpha_cutoff))
+            alpha_cutoff=float(self.cfg.alpha_cutoff),
+            period=self.periods[mip])
 
     def finish(self, packed):
         for t, i in enumerate(self.fast):
@@ -1036,11 +1093,11 @@ def _run_batch_sync(ctx: _BatchCtx):
                                    "mips", "pads", "ntxs", "all_active",
                                    "nblks", "HWs", "rcps", "alpha_cutoff",
                                    "fmt", "promotion", "cutoff_gt",
-                                   "cutoff_le"))
+                                   "cutoff_le", "periods"))
 def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
                 levels, caps, K_cap, mips, pads, ntxs, all_active, nblks,
                 HWs, rcps, alpha_cutoff, fmt, promotion, cutoff_gt,
-                cutoff_le):
+                cutoff_le, periods=None):
     """The whole speculative batch (descent A+B, per-mip C, compact D) as
     ONE jit dispatch: on a tunnel-attached chip every dispatch pays
     host-link latency, so the chain must cross the link once, not
@@ -1050,7 +1107,8 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
     ccw = uv7[:, 6] > jnp.float32(0.5)
     res = _stageAB(cls_levels, uv_flat, active, fz, subdiv=subdiv,
                    levels=levels, caps=caps, K_cap=K_cap, mips=mips,
-                   pads=pads, ntxs=ntxs, all_active=all_active)
+                   pads=pads, ntxs=ntxs, all_active=all_active,
+                   periods=periods)
     (sides, nodes, ids, kvalid, meta, slots) = res
     mip_counts = []
     for mip, (w, h) in enumerate(mips):
@@ -1058,7 +1116,8 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
             tilesEs[mip], uv_flat, ccw, ids, kvalid, slots[mip][0],
             slots[mip][1], fz, subdiv=subdiv, K_cap=K_cap, nblk=nblks[mip],
             w=w, h=h, pad=pads[mip], ntx=ntxs[mip], H=HWs[mip][0],
-            W=HWs[mip][1], rcp=rcps[mip], alpha_cutoff=alpha_cutoff))
+            W=HWs[mip][1], rcp=rcps[mip], alpha_cutoff=alpha_cutoff,
+            period=periods[mip] if periods else None))
     return _stageD_spec(sides, tuple(mip_counts), meta, fmt=fmt,
                         promotion=promotion, cutoff_gt=cutoff_gt,
                         cutoff_le=cutoff_le, nblk_caps=nblks)
@@ -1093,7 +1152,7 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
             HWs=tuple(ctx.HWu), rcps=tuple(ctx.rcps),
             alpha_cutoff=float(ctx.cfg.alpha_cutoff), fmt=ctx.cfg.fmt,
             promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
-            cutoff_le=ctx.cfg.cutoff_le)
+            cutoff_le=ctx.cfg.cutoff_le, periods=tuple(ctx.periods))
         return (dev, tuple(Cs), K_cap)
     except fb.KERNEL_FALLBACK_ERRORS as e:
         # toolchain gap (Mosaic lowering / backend compile): recorded +
@@ -1372,8 +1431,10 @@ def classify_work_item_twophase(texture: Texture, cfg, uv_tri: np.ndarray,
 # engine's window pre-pass; stage B of the two-phase engine run alone)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("subdiv", "mips", "pads"))
-def _linear_sides(cls_planes, uv_flat, fz, *, subdiv, mips, pads):
+@partial(jax.jit, static_argnames=("subdiv", "mips", "pads",
+                                   "periods"))
+def _linear_sides(cls_planes, uv_flat, fz, *, subdiv, mips, pads,
+                  periods=None):
     """Per-micro-triangle combined-over-mips window side for every
     micro-triangle of every item: the two-phase engine's micro resolve
     (_sides_for at the finest level) evaluated densely over (T, M)."""
@@ -1382,7 +1443,8 @@ def _linear_sides(cls_planes, uv_flat, fz, *, subdiv, mips, pads):
     node = jnp.arange(T * M, dtype=jnp.int32)
     side = _sides_for((node & (M - 1)).astype(jnp.uint32),
                       node >> (2 * subdiv), subdiv,
-                      uv_flat, cls_planes, mips, pads, fz)
+                      uv_flat, cls_planes, mips, pads, fz,
+                      periods=periods)
     return side.reshape(T, M)
 
 
@@ -1407,22 +1469,24 @@ def resolve_linear_phase1(texture: Texture, cfg, items, subdiv: int):
 
     cutoff = float(cfg.alpha_cutoff)
     ba = float(getattr(cfg, "border_alpha", 0.0))
-    mips, pads, cls_planes = [], [], []
+    mips, pads, cls_planes, periods = [], [], [], []
     for mip in range(texture.mip_count):
         Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
         Hb, Wb = int(Hbs.max()), int(Wbs.max())
         TSA = TILE + max(Hb + 2, Wb + 2)
         pad = TSA
+        period = _period_for(texture, cfg.addr_mode, mip)
+        periods.append(period)
         mips.append(texture.size(mip))
         pads.append(pad)
         cls_planes.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
                                       TSA, Hb, Wb, cutoff, PHASE1_MARGIN,
-                                      ba))
+                                      ba, period))
 
     uv_flat = uv_arr.reshape(len(items), 6).astype(np.float32)
     side = np.asarray(_linear_sides(
         tuple(cls_planes), jnp.asarray(uv_flat), _fz0(), subdiv=subdiv,
-        mips=tuple(mips), pads=tuple(pads)))
+        mips=tuple(mips), pads=tuple(pads), periods=tuple(periods)))
 
     st_gt = np.uint8(int(cfg.cutoff_gt))
     st_le = np.uint8(int(cfg.cutoff_le))

@@ -192,7 +192,8 @@ def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
                 ctx.cls_tuple, uv_shard, act_dummy, fz,
                 subdiv=subdiv, levels=levels, caps=tuple(Cs), K_cap=K_cap,
                 mips=tuple(ctx.mips), pads=tuple(ctx.pads),
-                ntxs=tuple(ctx.ntxs), all_active=True)
+                ntxs=tuple(ctx.ntxs), all_active=True,
+                periods=tuple(ctx.periods))
             return jax.lax.pmax(res[4], OMM_AXIS)
         return shard_map(shard_fn, mesh=mesh,
                          in_specs=(P(OMM_AXIS), P(OMM_AXIS), P()),
@@ -222,7 +223,8 @@ def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
             ctx.cls_tuple, uv_shard, act_dummy, fz,
             subdiv=subdiv, levels=levels, caps=tuple(Cs), K_cap=K_cap,
             mips=tuple(ctx.mips), pads=tuple(ctx.pads),
-            ntxs=tuple(ctx.ntxs), all_active=True)
+            ntxs=tuple(ctx.ntxs), all_active=True,
+            periods=tuple(ctx.periods))
         sides, nodes, ids, kvalid, meta, slots = res
         mip_counts = []
         for mip, (w, h) in enumerate(ctx.mips):
@@ -232,7 +234,8 @@ def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
                 K_cap=K_cap, nblk=nblks[mip], w=w, h=h, pad=ctx.pads[mip],
                 ntx=ctx.ntxs[mip], H=ctx.HWu[mip][0], W=ctx.HWu[mip][1],
                 rcp=ctx.rcps[mip],
-                alpha_cutoff=float(cfg.alpha_cutoff)))
+                alpha_cutoff=float(cfg.alpha_cutoff),
+                period=ctx.periods[mip]))
         packed = tp._stageD(
             sides, nodes, ids, kvalid, tuple(mip_counts), subdiv=subdiv,
             levels=levels, fmt=cfg.fmt, promotion=cfg.promotion,

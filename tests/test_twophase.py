@@ -727,18 +727,144 @@ def test_linear_survivors_partial_states():
 
 
 def test_linear_phase1_preconditions_reject():
-    """Out-of-window geometry fails the preconditions -> None (callers
-    fall back to the dense path)."""
+    """Geometry whose micro-tri window exceeds a tile fails the
+    preconditions -> None (callers fall back to the dense path).  (Wrap
+    multi-repeat UVs are NO LONGER a rejection: the periodic fast path
+    takes them — see test_wrap_multirepeat_fast_path.)"""
     from omm_tpu.kernels.twophase import resolve_linear_phase1
 
     tex = omm.Texture([standard_circle(32, 32)], omm.TextureFormat.FP32)
     cfg = _cfg(addr_mode=omm.TextureAddressMode.Wrap)
-    subdiv = 4
+    # at subdiv 2 this ~56-period span makes the per-micro-tri window
+    # ~450 texels > TILE
+    subdiv = 2
     M = omm.get_num_micro_triangles(subdiv)
-    # triangle far outside [0,1]^2: wrap-mode reads exceed the padding
-    t = np.array([[4.0, 4.1], [4.1, 9.5], [9.6, 9.4]], np.float32)
+    t = np.array([[40.0, 40.1], [40.1, 95.5], [95.6, 95.4]], np.float32)
     assert resolve_linear_phase1(
         tex, cfg, [(t, np.full(M, 3, np.uint8))], subdiv) is None
+
+    # Clamp stays containment-gated: far-out UVs reject
+    cfg_c = _cfg(addr_mode=omm.TextureAddressMode.Clamp)
+    t2 = np.array([[40.0, 40.1], [40.1, 40.5], [40.6, 40.4]], np.float32)
+    assert resolve_linear_phase1(
+        tex, cfg_c, [(t2, np.full(4 ** 4, 3, np.uint8))], 4) is None
+
+
+# ---------------------------------------------------------------------------
+# wrapped / tiled UVs on the fast path (texture.h:34-91 periodicity; the
+# reference GPU tolerates wrap modes via its 11x-scaled viewport,
+# bake_gpu_impl.cpp:716-723 — here via period planes + modular anchors)
+# ---------------------------------------------------------------------------
+
+def _wrap_tris(scale=3.0, offset=(2.0, 1.0), n=4, seed=11):
+    """Multi-repeat UV triangles: span several address-mode periods."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        b = (rng.rand(2).astype(np.float32) * 0.5 - 0.25) * scale \
+            + np.asarray(offset, np.float32)
+        out.append(np.stack(
+            [b + rng.rand(2).astype(np.float32) * scale * 0.8
+             for _ in range(3)]))
+    return out
+
+
+@pytest.mark.parametrize("mode", [omm.TextureAddressMode.Wrap,
+                                  omm.TextureAddressMode.Mirror])
+@pytest.mark.parametrize("size", [64, 48])
+def test_wrap_multirepeat_fast_path(mode, size):
+    """Multi-repeat wrap/mirror UVs take the two-phase fast path (mask
+    accepts) and the result is bit-exact vs the oracle — pow2 and
+    non-pow2, including negative-UV footprints where periodicity holds
+    (non-pow2 Wrap keeps negative footprints on the slow path: the
+    reference's uint32-cast quirk, texture.h:42, is aperiodic there)."""
+    from omm_tpu.kernels import twophase as tp
+
+    rng = np.random.RandomState(5)
+    tex = omm.Texture([rng.rand(size, size).astype(np.float32)],
+                      omm.TextureFormat.FP32)
+    cfg = _cfg(addr_mode=mode)
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _wrap_tris() + [
+        np.array([[-1.7, -0.4], [0.2, 1.9], [1.4, -2.2]], np.float32)]
+
+    lg = tp._group_level(tex, tris, subdiv)
+    mask = tp._fast_path_mask(tex, cfg, np.stack(tris), subdiv, lg)
+    nonpow2_wrap = (mode == omm.TextureAddressMode.Wrap and size == 48)
+    # all positive-footprint items admitted; the negative-footprint one
+    # admitted except under non-pow2 Wrap
+    assert mask[:-1].all()
+    assert bool(mask[-1]) == (not nonpow2_wrap)
+
+    got = tp.classify_work_items_batch(tex, cfg, [(t, None) for t in tris],
+                                       subdiv)
+    for k, t in enumerate(tris):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (got[k] == want).all(), k
+
+
+def test_wrap_multirepeat_multimip_and_phase1():
+    """Wrap multi-repeat over a mip chain: the hierarchical engine AND
+    the flat phase-1 + survivors pair both match the oracle."""
+    from omm_tpu.kernels import twophase as tp
+    from omm_tpu.kernels.jax_classify import classify_linear_survivors
+
+    rng = np.random.RandomState(6)
+    mips = [rng.rand(64, 64).astype(np.float32)]
+    while mips[-1].shape[0] >= 32:
+        m = mips[-1]
+        mips.append((m[0::2, 0::2] + m[1::2, 0::2] + m[0::2, 1::2]
+                     + m[1::2, 1::2]) * np.float32(0.25))
+    tex = omm.Texture(mips, omm.TextureFormat.FP32)
+    cfg = _cfg(addr_mode=omm.TextureAddressMode.Wrap)
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _wrap_tris(n=3, seed=12)
+
+    got = tp.classify_work_items_batch(tex, cfg, [(t, None) for t in tris],
+                                       subdiv)
+    pre = tp.resolve_linear_phase1(
+        tex, cfg, [(t, np.full(M, 3, np.uint8)) for t in tris], subdiv)
+    assert pre is not None
+    for k, t in enumerate(tris):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (got[k] == want).all(), k
+        resolved = pre[k] != 3
+        assert (pre[k][resolved] == want[resolved]).all()
+        done = classify_linear_survivors(tex, cfg, t, subdiv, pre[k])
+        assert (done == want).all()
+
+
+def test_address_mode_periodicity():
+    """The wrapped-anchor construction is sound iff GetTexCoord is
+    periodic: Wrap with period w (pow2: including negative coords via the
+    uint32 cast; non-pow2: non-negative coords only), Mirror with period
+    2w everywhere (the fp32 |c+0.5| quirk reflects around -0.5, which IS
+    the periodic extension).  Brute-force over several periods."""
+    from omm_tpu.texture import get_tex_coord
+
+    for w in (32, 48):
+        size = np.array([w, w], np.int32)
+        log2 = np.array([int(np.log2(w)) if (w & (w - 1)) == 0 else 0] * 2,
+                        np.int32)
+        pow2 = (w & (w - 1)) == 0
+        lo = -3 * w if pow2 else 0
+        c = np.arange(lo, 5 * w, dtype=np.int32)
+        cc = np.stack([c, c], -1)
+        for mode, period in ((omm.TextureAddressMode.Wrap, w),
+                             (omm.TextureAddressMode.Mirror, 2 * w)):
+            if mode == omm.TextureAddressMode.Mirror:
+                c2 = np.arange(-3 * w, 5 * w, dtype=np.int32)
+                cc2 = np.stack([c2, c2], -1)
+            else:
+                cc2 = cc
+            got = get_tex_coord(mode, cc2, size, log2, pow2)
+            canon = get_tex_coord(
+                mode, np.mod(cc2, period).astype(np.int32), size, log2, pow2)
+            assert np.array_equal(got, canon), (mode, w)
 
 
 @pytest.mark.slow
