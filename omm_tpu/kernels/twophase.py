@@ -1123,6 +1123,82 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
                         cutoff_le=cutoff_le, nblk_caps=nblks)
 
 
+@partial(jax.jit, static_argnames=("NB", "subdiv", "levels", "caps",
+                                   "K_cap", "mips", "pads", "ntxs",
+                                   "nblks", "HWs", "rcps", "alpha_cutoff",
+                                   "fmt", "promotion", "cutoff_gt",
+                                   "cutoff_le", "periods"))
+def _spec_chain_multi(cls_levels, tilesEs, uv7s, fz, *, NB, subdiv, levels,
+                      caps, K_cap, mips, pads, ntxs, nblks, HWs, rcps,
+                      alpha_cutoff, fmt, promotion, cutoff_gt, cutoff_le,
+                      periods=None):
+    """NB identical-signature speculative chains as ONE dispatch returning
+    ONE flat payload: on the tunnel-attached chip every stream operation
+    (H2D, Execute, D2H) pays a fixed link cost, so a 4-sub-batch rep goes
+    from ~12 stream ops (4 uploads + 4 dispatches + 2 concats + 2
+    fetches) to 3.  Trade-off: the chunked fetch's reconstruct-during-
+    compute overlap is lost and the program compiles NB bodies —
+    OMM_TP_MEGACHAIN gates it for the chip sweep.  uv7s: (NB, T, 7)."""
+    act = jnp.ones((1, 1), bool)
+    outs = []
+    for b in range(NB):
+        outs.append(_spec_chain(
+            cls_levels, tilesEs, uv7s[b], act, fz, subdiv=subdiv,
+            levels=levels, caps=caps, K_cap=K_cap, mips=mips, pads=pads,
+            ntxs=ntxs, all_active=True, nblks=nblks, HWs=HWs, rcps=rcps,
+            alpha_cutoff=alpha_cutoff, fmt=fmt, promotion=promotion,
+            cutoff_gt=cutoff_gt, cutoff_le=cutoff_le, periods=periods))
+    return jnp.concatenate(outs)
+
+
+class _PayloadStub:
+    """Shape-only stand-in for a batch's device payload when it lives
+    inside a mega-chain's fused buffer (the drain loop slices by shape)."""
+
+    def __init__(self, n):
+        self.shape = (n,)
+
+
+def _try_enqueue_mega(live, nmips):
+    """One fused dispatch for all live batches when OMM_TP_MEGACHAIN=1
+    and every batch shares the speculative signature (same caps entry,
+    statics, all-active).  Returns (chunk, device_payload) or None."""
+    import os
+    if os.environ.get("OMM_TP_MEGACHAIN", "0") != "1" or len(live) < 2:
+        return None
+    c0 = live[0][1]
+    entry = c0.caps.get(c0.cap_key)
+    if entry is None or len(entry) < 3 or not c0.all_active:
+        return None
+    for _, c in live[1:]:
+        if (c.cap_key != c0.cap_key or not c.all_active
+                or c.mips != c0.mips or c.pads != c0.pads
+                or c.ntxs != c0.ntxs or c.HWu != c0.HWu
+                or c.periods != c0.periods):
+            return None
+    Cs, K_cap, nblks = entry
+    uv7s = np.stack([np.concatenate(
+        [c.uv_flat, c.ccw.astype(np.float32)[:, None]], axis=1)
+        for _, c in live])
+    try:
+        dev = _spec_chain_multi(
+            c0.cls_tuple, tuple(c0.tilesEs), jnp.asarray(uv7s), _fz0(),
+            NB=len(live), subdiv=c0.subdiv, levels=c0.levels,
+            caps=tuple(Cs), K_cap=K_cap, mips=tuple(c0.mips),
+            pads=tuple(c0.pads), ntxs=tuple(c0.ntxs), nblks=tuple(nblks),
+            HWs=tuple(c0.HWu), rcps=tuple(c0.rcps),
+            alpha_cutoff=float(c0.cfg.alpha_cutoff), fmt=c0.cfg.fmt,
+            promotion=c0.cfg.promotion, cutoff_gt=c0.cfg.cutoff_gt,
+            cutoff_le=c0.cfg.cutoff_le, periods=tuple(c0.periods))
+        dev.copy_to_host_async()
+    except fb.KERNEL_FALLBACK_ERRORS as e:
+        fb.record("twophase.mega_chain", e)
+        return None
+    L = dev.shape[0] // len(live)
+    chunk = [(k, (_PayloadStub(L), tuple(Cs), K_cap)) for k, _ in live]
+    return chunk, dev
+
+
 @jax.jit
 def _concat_payloads(bufs):
     """Device-side concatenation of per-batch compressed payloads so a
@@ -1287,10 +1363,29 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         results.append(out)
         k = len(ctxs) - 1
         pending.append(None)
+        if os.environ.get("OMM_TP_MEGACHAIN", "0") == "1":
+            continue  # fused dispatch below, after every ctx is built
         if enq_pool is not None:
             enq_futs.append(enq_pool.submit(_enqueue_and_chunk, k, ctx))
         else:
             _enqueue_and_chunk(k, ctx)
+    if os.environ.get("OMM_TP_MEGACHAIN", "0") == "1":
+        live = [(k, c) for k, c in enumerate(ctxs) if c is not None]
+        mega = _try_enqueue_mega(live, texture.mip_count) if live else None
+        if mega is not None:
+            chunk, dev = mega
+            for k, p in chunk:
+                pending[k] = p
+            fetches.append((chunk, dev))
+            _mark("mega_enq")
+        else:
+            # signature mismatch / cold caps: the per-batch pipeline
+            for k, c in enumerate(ctxs):
+                if enq_pool is not None:
+                    enq_futs.append(
+                        enq_pool.submit(_enqueue_and_chunk, k, c))
+                else:
+                    _enqueue_and_chunk(k, c)
     if enq_pool is not None:
         try:
             enq_futs.append(enq_pool.submit(_flush_chunk, cur_chunk))

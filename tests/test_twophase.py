@@ -838,6 +838,31 @@ def test_wrap_multirepeat_multimip_and_phase1():
         assert (done == want).all()
 
 
+def test_megachain_bit_exact(monkeypatch):
+    """OMM_TP_MEGACHAIN=1 fuses all sub-batches of a call into ONE
+    dispatch + ONE fetch (link-economics lever for the tunnel-attached
+    chip); results must be byte-identical to the per-batch pipeline.
+    Also exercises the cold-cache fallback (first call has no caps entry
+    -> per-batch path) and the warm fused path (second call)."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    tris = _tris(12, seed=31)
+    batches = [[(t, None) for t in tris[k:k + 4]] for k in range(0, 12, 4)]
+
+    want = tp.classify_work_items_batches(tex, cfg, batches, subdiv)
+
+    monkeypatch.setenv("OMM_TP_MEGACHAIN", "1")
+    got_cold = tp.classify_work_items_batches(tex, cfg, batches, subdiv)
+    got_warm = tp.classify_work_items_batches(tex, cfg, batches, subdiv)
+    for wb, cb, hb in zip(want, got_cold, got_warm):
+        for w, c, h in zip(wb, cb, hb):
+            assert (w == c).all() and (w == h).all()
+
+
 def test_address_mode_periodicity():
     """The wrapped-anchor construction is sound iff GetTexCoord is
     periodic: Wrap with period w (pow2: including negative coords via the

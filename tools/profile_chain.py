@@ -72,6 +72,26 @@ def run(reps=2):
               % (th, best * 1e3, bm.N_TRIS * M / best / 1e6, mean * 1e3))
     os.environ.pop("OMM_TP_ENQUEUE_THREAD", None)
 
+    # mega-chain A/B (one fused dispatch per rep vs the chunked
+    # pipeline; ONE extra remote compile for the fused program)
+    if os.environ.get("OMM_PROF_MEGACHAIN", "1") != "0":
+        os.environ["OMM_TP_MEGACHAIN"] = "1"
+        t0 = time.perf_counter()
+        one()  # cold caps -> per-batch; second call compiles the fused
+        one()
+        print("megachain: first+compile %.1f s"
+              % (time.perf_counter() - t0))
+        one()  # settle
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            one()
+            ts.append(time.perf_counter() - t0)
+        best, mean = min(ts), sum(ts) / len(ts)
+        print("megachain=1: best %.1f ms (%.0fM utri/s)  mean %.1f ms"
+              % (best * 1e3, bm.N_TRIS * M / best / 1e6, mean * 1e3))
+        os.environ.pop("OMM_TP_MEGACHAIN", None)
+
     # optional sub-batch sweep (OMM_PROF_SUBBATCH="64,128"): each size is
     # a NEW jit signature (T changes) — budget a remote compile per value
     for sb in filter(None, os.environ.get("OMM_PROF_SUBBATCH",
