@@ -1600,8 +1600,10 @@ def resolve_linear_phase1(texture: Texture, cfg, items, subdiv: int):
 # nearest-filter phase-1 resolve (bake_cpu_impl.cpp:969-1022 semantics)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("subdiv", "mips", "pads"))
-def _nearest_sides(cls_planes, uv_flat, *, subdiv, mips, pads):
+@partial(jax.jit, static_argnames=("subdiv", "mips", "pads",
+                                   "periods"))
+def _nearest_sides(cls_planes, uv_flat, *, subdiv, mips, pads,
+                   periods=None):
     """Per-micro-triangle side for nearest-filter items: the kernel loads
     single texels at wrapped coords over the conservative window
     [floor(min(q)), ceil(max(q))) with q = muv*size (NO -0.5 offset), and
@@ -1624,6 +1626,7 @@ def _nearest_sides(cls_planes, uv_flat, *, subdiv, mips, pads):
         qym = _g(jnp, jnp.minimum(jnp.minimum(ay, by), cy) * hf)
         x0 = jnp.floor(qxm).astype(jnp.int32)
         y0 = jnp.floor(qym).astype(jnp.int32)
+        x0, y0 = _wrap_origin(x0, y0, periods[mi] if periods else None)
         s = cls_planes[mi][y0 - 1 + pad, x0 - 1 + pad]
         side = s if side is None else jnp.where(s == side, side,
                                                 jnp.int8(0))
@@ -1660,13 +1663,22 @@ def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
             pad = TSA
             tmin = np.floor(q.min(axis=0)) - 2
             tmax = np.ceil(q.max(axis=0)) + 2
-            if (tmin[0] < 1 - pad or tmin[1] < 1 - pad
+            if _period_for(texture, cfg.addr_mode, mip) is not None:
+                # periodic modes: modular anchors need no containment
+                # (see _fast_path_mask for the guards)
+                if (np.abs(q) >= 2.0 ** 30).any():
+                    return None
+                if (cfg.addr_mode == TextureAddressMode.Wrap
+                        and not texture.info[mip].is_pow2
+                        and (tmin[0] < 1 or tmin[1] < 1)):
+                    return None
+            elif (tmin[0] < 1 - pad or tmin[1] < 1 - pad
                     or tmax[0] + Wb + 6 > w + pad
                     or tmax[1] + Hb + 6 > h + pad):
                 return None
 
     cutoff = float(cfg.alpha_cutoff)
-    mips, pads, cls_planes = [], [], []
+    mips, pads, cls_planes, periods = [], [], [], []
     for mip in range(texture.mip_count):
         Hb = max(_span_window(texture, it[0], subdiv, mip)[0]
                  for it in items)
@@ -1674,17 +1686,19 @@ def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
                  for it in items)
         TSA = TILE + max(Hb + 2, Wb + 2)
         pad = TSA
+        period = _period_for(texture, cfg.addr_mode, mip)
+        periods.append(period)
         mips.append(texture.size(mip))
         pads.append(pad)
         cls_planes.append(_cls_cached(texture, mip, cfg.addr_mode, pad,
                                       TSA, Hb, Wb, cutoff, PHASE1_MARGIN,
                                       float(getattr(cfg, "border_alpha",
-                                                    0.0))))
+                                                    0.0)), period))
 
     uv_flat = np.stack([it[0].reshape(6) for it in items]).astype(np.float32)
     side = np.asarray(_nearest_sides(
         tuple(cls_planes), jnp.asarray(uv_flat), subdiv=subdiv,
-        mips=tuple(mips), pads=tuple(pads)))
+        mips=tuple(mips), pads=tuple(pads), periods=tuple(periods)))
 
     st_gt = np.uint8(int(cfg.cutoff_gt))
     st_le = np.uint8(int(cfg.cutoff_le))

@@ -838,6 +838,34 @@ def test_wrap_multirepeat_multimip_and_phase1():
         assert (done == want).all()
 
 
+@pytest.mark.parametrize("mode", [omm.TextureAddressMode.Wrap,
+                                  omm.TextureAddressMode.Mirror])
+def test_wrap_multirepeat_nearest_phase1(mode):
+    """Nearest-filter phase-1 admits periodic multi-repeat UVs too:
+    resolved micro-tris exact, survivors complete to oracle equality."""
+    from omm_tpu.kernels import twophase as tp
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg(addr_mode=mode, filter=omm.TextureFilterMode.Nearest)
+    subdiv = 6
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _wrap_tris(n=2, seed=13) + [
+        np.array([[-1.7, -0.4], [0.2, 1.9], [1.4, -2.2]], np.float32)]
+    items = [(t, np.full(M, 3, np.uint8)) for t in tris]
+    res = tp.resolve_nearest_phase1(tex, cfg, items, subdiv)
+    assert res is not None
+    n_resolved = 0
+    for t, st in zip(tris, res):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        resolved = st != 3
+        n_resolved += int(resolved.sum())
+        assert (st[resolved] == want[resolved]).all()
+        assert (engine.resample_fine_item(tex, cfg, t, subdiv, st)
+                == want).all()
+    assert n_resolved > 0
+
+
 def test_megachain_bit_exact(monkeypatch):
     """OMM_TP_MEGACHAIN=1 fuses all sub-batches of a call into ONE
     dispatch + ONE fetch (link-economics lever for the tunnel-attached
