@@ -259,3 +259,36 @@ def test_bake_with_mesh_matches_single_device():
                           np.asarray(want.index_buffer))
     assert got.index_format == want.index_format
     assert omm.get_stats(got) == omm.get_stats(want)
+
+
+def test_bake_with_mesh_wrapped_uvs():
+    """Multi-repeat Wrap UVs are mesh-shardable too (the periodic fast
+    path composes with shard_map): byte-identical to the meshless
+    numpy bake."""
+    import jax
+    import omm_tpu as omm
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    rng = np.random.RandomState(9)
+    uvs, idxb = [], []
+    for q in range(8):
+        b = rng.rand(2).astype(np.float32) * 2.0 + 1.0
+        base = len(uvs)
+        uvs += [b, b + [0.1, 1.2], b + [1.3, 1.1]]
+        idxb += [base, base + 1, base + 2]
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=np.asarray(uvs, np.float32),
+        runtime_sampler=omm.SamplerDesc(
+            addressing_mode=omm.TextureAddressMode.Wrap,
+            filter=omm.TextureFilterMode.Linear),
+        index_buffer=np.asarray(idxb, np.uint32), index_count=len(idxb),
+        max_subdivision_level=5, dynamic_subdivision_scale=0.0)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("omm",))
+    got = omm.bake(desc, backend="pallas", mesh=mesh)
+    want = omm.bake(desc, backend="numpy")
+    assert np.array_equal(got.array_data, want.array_data)
+    assert np.array_equal(np.asarray(got.index_buffer),
+                          np.asarray(want.index_buffer))
+    assert omm.get_stats(got) == omm.get_stats(want)
