@@ -34,10 +34,12 @@ import numpy as np
 TARGET = 100e6  # utri/s/chip (BASELINE.md driver-set target)
 SUBDIV = 9
 N_TRIS = 256
-BATCH = 64  # pipelined sub-batches: fetches overlap later batches' compute
-# (round-2 sweep on v5e after the window shrink + native reconstruct:
-# 64 beats 32/48/96 — the smaller survivor set moved the sweet spot up
-# from round 1's 48)
+BATCH = 128  # pipelined sub-batches: fetches overlap later batches' compute
+# (round-3 sweep on v5e: 128 beats 64 best AND mean — half the
+# dispatch+fetch cycles halves the exposure to the tunnel's fixed
+# ~26.5 ms/cycle cost: 124.2 ms best / 129.0 mean vs 126/146+ at 64;
+# 256 regresses to 151.5 best — the single chain loses all
+# fetch/compute overlap.  Round-2 landscape at 64: beat 32/48/96.)
 
 
 def _workload():
@@ -266,6 +268,26 @@ def main():
     if not _await_device():
         sys.exit(1)
     import jax
+
+    # Persistent compile cache ON THE TUNNEL BACKEND (verified round 3:
+    # executables serialize/deserialize across processes on the axon
+    # tunnel; a cold spec-chain compile is ~180 s remote, a warm start
+    # cuts the first call to ~106 s).  Keyed by HLO content hash, so
+    # code changes invalidate automatically.  OMM_BENCH_CACHE_DIR=""
+    # disables.
+    cache_dir = os.environ.get(
+        "OMM_BENCH_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_tpu"))
+    if cache_dir:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception as e:
+            print(f"bench: compile cache unavailable: {e}",
+                  file=sys.stderr)
 
     import omm_tpu as omm
     from omm_tpu import engine

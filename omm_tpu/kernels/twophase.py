@@ -793,7 +793,7 @@ class _BatchCtx:
         return a
 
     def __init__(self, texture, cfg, items, subdiv, fast, out,
-                 all_active=None):
+                 all_active=None, precomp=None):
         self.texture = texture
         self.cfg = cfg
         self.items = items
@@ -801,9 +801,19 @@ class _BatchCtx:
         self.fast = fast
         self.out = out
         self.M = get_num_micro_triangles(subdiv)
-        self.lg = _group_level(texture, [items[i][0] for i in fast], subdiv)
-        self.levels = _descend_levels(
-            texture, [items[i][0] for i in fast], subdiv, self.lg)
+        # precomp: the caller's one vectorized pass over ITS WHOLE fast
+        # set ({lg, levels, HW, HWl}); window maxima over a superset are
+        # still conservative (a larger phase-1 window only sends more
+        # nodes to the exact kernel, never changes a resolved state) and
+        # give every batch of the call one shared jit signature.
+        if precomp is not None:
+            self.lg = precomp["lg"]
+            self.levels = precomp["levels"]
+        else:
+            self.lg = _group_level(texture,
+                                   [items[i][0] for i in fast], subdiv)
+            self.levels = _descend_levels(
+                texture, [items[i][0] for i in fast], subdiv, self.lg)
         self.T = len(fast)
         uv_arr = np.stack([items[i][0] for i in fast])
         self.uv_flat = uv_arr.reshape(self.T, 6).astype(np.float32)
@@ -825,8 +835,11 @@ class _BatchCtx:
         self.periods = []
         self.cls_lv = [[] for _ in self.levels]
         for mip in range(texture.mip_count):
-            Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
-            Hb, Wb = int(Hbs.max()), int(Wbs.max())
+            if precomp is not None:
+                Hb, Wb = precomp["HW"][mip]
+            else:
+                Hbs, Wbs = _span_windows(texture, uv_arr, subdiv, mip)
+                Hb, Wb = int(Hbs.max()), int(Wbs.max())
             TSA = TILE + max(Hb + 2, Wb + 2)
             pad = TSA
             ba = float(getattr(cfg, "border_alpha", 0.0))
@@ -840,10 +853,14 @@ class _BatchCtx:
             self.HWu.append((Hb, Wb))
             self.ntxs.append(ntx)
             for li, lv in enumerate(self.levels):
-                Hls, Wls = _span_windows(texture, uv_arr, lv, mip)
+                if precomp is not None:
+                    Hl, Wl = precomp["HWl"][li][mip]
+                else:
+                    Hls, Wls = _span_windows(texture, uv_arr, lv, mip)
+                    Hl, Wl = int(Hls.max()), int(Wls.max())
                 self.cls_lv[li].append(
                     _cls_cached(texture, mip, cfg.addr_mode, pad, TSA,
-                                int(Hls.max()), int(Wls.max()), cutoff,
+                                Hl, Wl, cutoff,
                                 PHASE1_MARGIN, ba, period))
             self.tilesEs.append(tilesE)
             info = texture.info[mip]
@@ -1294,7 +1311,21 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
             fetches.append((ch, None))
 
     nch = max(1, int(os.environ.get("OMM_TP_FETCH_CHUNKS", "2")))
-    chunk_step = max(1, (len(batches) + nch - 1) // nch)
+    nch = min(nch, max(1, len(batches)))
+    # Unequal chunks, LAST chunk smallest (one batch): the last chunk's
+    # reconstruction is the pipeline's non-overlapped tail — there is no
+    # later device work to hide it behind — while earlier chunks' replay
+    # overlaps the remaining batches' compute + transfer.  Measured host
+    # marks (sb=64, chunks=2, equal [2,2]): fetch1->recon was a ~17 ms
+    # tail; [3,1] halves it.
+    if nch > 1:
+        rest, k = len(batches) - 1, nch - 1
+        chunk_sizes = [rest // k + (1 if i < rest % k else 0)
+                       for i in range(k)] + [1]
+        chunk_sizes = [s for s in chunk_sizes if s > 0]
+    else:
+        chunk_sizes = [len(batches)]
+    chunk_idx = [0]  # consumed in order; enqueue runs on ONE thread
     cur_chunk = []
 
     # Dedicated enqueue thread: on a tunnel-attached chip every device-
@@ -1319,10 +1350,21 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
         _mark(f"enq{k}")
         if p is not None:
             cur_chunk.append((k, p))
-            if len(cur_chunk) >= chunk_step:
+            ci = chunk_idx[0]
+            if (ci < len(chunk_sizes)
+                    and len(cur_chunk) >= chunk_sizes[ci]):
                 _flush_chunk(list(cur_chunk))
                 cur_chunk.clear()
+                chunk_idx[0] = ci + 1
 
+    # Pass 1 (host, vectorized): route every item of every batch.  The
+    # routing scans are cheap (fresh items scan nothing) and running
+    # them up-front lets the group level, descent schedule, and
+    # span-window maxima be computed ONCE over the whole call's fast
+    # set instead of once per batch — and guarantees every batch shares
+    # one jit signature (identical pads/windows), so caps/cache entries
+    # and the mega-chain always apply call-wide.
+    routed = []  # (items, out, todo, mins)
     for items in batches:
         out = [None] * len(items)
         todo = []
@@ -1343,8 +1385,16 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                 todo.append(i)
             else:
                 out[i] = st
-        lg = _group_level(texture, [items[i][0] for i in todo], subdiv) \
-            if todo else 1
+        routed.append((items, out, todo, mins))
+        results.append(out)
+
+    all_todo_uvs = [items[i][0] for items, _, todo, _ in routed
+                    for i in todo]
+    lg = _group_level(texture, all_todo_uvs, subdiv) if all_todo_uvs \
+        else 1
+    fast_lists = []
+    fast_uvs = []
+    for (items, out, todo, mins) in routed:
         fast = []
         if todo:
             mask = _fast_path_mask(
@@ -1355,12 +1405,32 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                     fast.append(i)
                 else:
                     slow.append((items, out, i))
+        fast_lists.append(fast)
+        fast_uvs.extend(items[i][0] for i in fast)
+    precomp = None
+    if fast_uvs:
+        levels = _descend_levels(texture, fast_uvs, subdiv, lg)
+        uv_all = np.stack(fast_uvs)
+        HW = []
+        HWl = [[] for _ in levels]
+        for mip in range(texture.mip_count):
+            Hbs, Wbs = _span_windows(texture, uv_all, subdiv, mip)
+            HW.append((int(Hbs.max()), int(Wbs.max())))
+            for li, lv in enumerate(levels):
+                Hls, Wls = _span_windows(texture, uv_all, lv, mip)
+                HWl[li].append((int(Hls.max()), int(Wls.max())))
+        precomp = {"lg": lg, "levels": levels, "HW": HW, "HWl": HWl}
+    _mark("precomp")
+
+    # Pass 2: build each batch's ctx and enqueue it immediately (the
+    # device starts on batch 0 while later batches' ctxs build)
+    for (items, out, todo, mins), fast in zip(routed, fast_lists):
         ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out,
-                        all_active=all(mins[i] == UO for i in fast)) \
+                        all_active=all(mins[i] == UO for i in fast),
+                        precomp=precomp) \
             if fast else None
         _mark(f"ctx{len(ctxs)}")
         ctxs.append(ctx)
-        results.append(out)
         k = len(ctxs) - 1
         pending.append(None)
         if os.environ.get("OMM_TP_MEGACHAIN", "0") == "1":
