@@ -326,7 +326,9 @@ def promote_special_indices(desc: BakeInputDesc, opts: Options,
         if it.has_special_index():
             continue
         st = it.states
-        all_equal = bool((st == st[0]).all())
+        u = native.all_uniform_u8(st)
+        all_equal = (u >= 0) if u is not None \
+            else bool((st == st[0]).all())
         common = int(st[0])
         if not all_equal and desc.rejection_threshold > 0.0:
             known = int(np.count_nonzero((st == 0) | (st == 1)))
@@ -342,11 +344,26 @@ def promote_special_indices(desc: BakeInputDesc, opts: Options,
 # ---------------------------------------------------------------------------
 
 def deduplicate_exact(opts: Options, items: list[WorkItem]):
+    """Merge byte-identical state arrays.  Keyed by the XXH64 digest of
+    the 3-state view, exactly like the reference (which dedups on the
+    hash alone, bake_cpu_impl.cpp:1031-1066); the native digest fuses
+    the UT->UO remap into the hash pass so no 4^N-byte copy is made."""
     if opts.disable_duplicate_detection:
         return
-    digest_to_idx: dict[bytes, int] = {}
+    if len(items) > 8 and native.get_lib() is not None:
+        # the native digest releases the GIL: hash items in parallel
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=min(
+                os.cpu_count() or 4, 8)) as pool:
+            digests = list(pool.map(
+                lambda it: native.states3_digest(it.states), items))
+    else:
+        digests = [native.states3_digest(it.states) for it in items]
+    digest_to_idx: dict = {}
     for i, it in enumerate(items):
-        digest = it.states3().tobytes()
+        digest = digests[i]
+        if digest is None:  # no native lib: key on the exact bytes
+            digest = it.states3().tobytes()
         j = digest_to_idx.get(digest)
         if j is None:
             digest_to_idx[digest] = i
@@ -673,9 +690,15 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
                                            format=int(it.vm_format)))
             it.desc_offset = len(desc_array) - 1
             M = get_num_micro_triangles(it.subdivision_level)
-            packed = pack_states(it.states, it.vm_format)
-            array_data[offset:offset + len(packed)] |= packed
-            offset += max((M * bit_count) >> 3, 1)
+            stride = max((M * bit_count) >> 3, 1)
+            bits = 1 if it.vm_format == Format.OC1_2_State else 2
+            # pack straight into the (zeroed) output buffer; packed
+            # length always equals the stride (M is a power of 4)
+            if not native.pack_states_into(
+                    it.states, bits, array_data[offset:offset + stride]):
+                packed = pack_states(it.states, it.vm_format)
+                array_data[offset:offset + len(packed)] |= packed
+            offset += stride
 
     def hist_list(h):
         out = []

@@ -68,6 +68,11 @@ def get_lib():
                                                 ctypes.c_size_t, u8p]
         lib.omm_hamming_u8.restype = ctypes.c_size_t
         lib.omm_hamming_u8.argtypes = [u8p, u8p, ctypes.c_size_t]
+        lib.omm_states3_xxh64.restype = ctypes.c_uint64
+        lib.omm_states3_xxh64.argtypes = [u8p, ctypes.c_size_t,
+                                          ctypes.c_uint64]
+        lib.omm_all_uniform_u8.restype = ctypes.c_int
+        lib.omm_all_uniform_u8.argtypes = [u8p, ctypes.c_size_t]
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.omm_reconstruct_states.restype = None
@@ -92,7 +97,7 @@ def pack_states(states, bits: int):
     s = np.ascontiguousarray(states, dtype=np.uint8)
     m = len(s)
     per = 4 if bits == 2 else 8
-    nbytes = max(m * bits >> 3, 1)
+    nbytes = max((m * bits + 7) >> 3, 1)
     lib = get_lib()
     if lib is not None:
         out = np.zeros(nbytes, dtype=np.uint8)
@@ -116,6 +121,43 @@ def pack_states(states, bits: int):
         else:
             out[j >> 3] |= np.uint8((s[j] & 1) << (j & 7))
     return out
+
+
+def pack_states_into(states, bits: int, out) -> bool:
+    """OC1 bit-pack directly into a caller-provided zeroed uint8 view
+    (the bake's array-data buffer) — skips the intermediate allocation
+    and OR pass of pack_states.  Returns False when the native library
+    is unavailable (caller falls back to pack_states + copy)."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not out.flags["C_CONTIGUOUS"]:
+        return False
+    s = np.ascontiguousarray(states, dtype=np.uint8)
+    lib.omm_pack_states(_u8ptr(s), len(s), bits, _u8ptr(out))
+    return True
+
+
+def states3_digest(states, seed: int = 0):
+    """XXH64 of the 3-state view (UT==UO) WITHOUT materializing the
+    remapped copy — the exact-dedup key (bake_cpu_impl.cpp:1031-1066).
+    Returns None when the native library is unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(states, dtype=np.uint8)
+    return int(lib.omm_states3_xxh64(_u8ptr(s), len(s), seed))
+
+
+def all_uniform_u8(arr):
+    """states[0] if every byte matches it, else -1; None when the native
+    library is unavailable.  Early-exits at the first differing word."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    return int(lib.omm_all_uniform_u8(_u8ptr(a), len(a)))
 
 
 def unpack_2bit_strided(packed, m: int):

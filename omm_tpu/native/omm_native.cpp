@@ -273,28 +273,111 @@ int omm_lz4_compress_default(const uint8_t* src, int src_size, uint8_t* dst,
 
 // Pack (M,) uint8 states into OC1 bytes: 2 bits/state (4-state) or
 // 1 bit/state (2-state).  out must hold max(M*bits/8, 1) zeroed bytes.
+// Hot loop runs 8 states per u64 with bit-folds (states are the bake's
+// 67 MB/s-scale output; the byte-at-a-time form measured ~0.8 GB/s).
 void omm_pack_states(const uint8_t* states, size_t m, int bits,
                      uint8_t* out) {
     if (bits == 2) {
-        size_t full = m / 4;
-        for (size_t i = 0; i < full; ++i) {
-            const uint8_t* s = states + 4 * i;
-            out[i] = (uint8_t)((s[0] & 3) | ((s[1] & 3) << 2)
-                               | ((s[2] & 3) << 4) | ((s[3] & 3) << 6));
+        size_t full8 = m / 8;
+        for (size_t i = 0; i < full8; ++i) {
+            uint64_t x = read64(states + 8 * i) & 0x0303030303030303ULL;
+            x |= x >> 6;   // pair states k,k+1 into byte k's low nibble
+            x |= x >> 12;  // pair nibbles into bytes 0 and 4
+            out[2 * i] = (uint8_t)(x & 0xFF);
+            out[2 * i + 1] = (uint8_t)((x >> 32) & 0xFF);
         }
-        for (size_t j = 4 * full; j < m; ++j)
+        for (size_t j = 8 * full8; j < m; ++j)
             out[j >> 2] |= (uint8_t)((states[j] & 3) << ((j & 3) << 1));
     } else {
         size_t full = m / 8;
         for (size_t i = 0; i < full; ++i) {
-            const uint8_t* s = states + 8 * i;
-            uint8_t v = 0;
-            for (int k = 0; k < 8; ++k) v |= (uint8_t)((s[k] & 1) << k);
-            out[i] = v;
+            uint64_t x = read64(states + 8 * i) & 0x0101010101010101ULL;
+            out[i] = (uint8_t)((x * 0x0102040810204080ULL) >> 56);
         }
         for (size_t j = 8 * full; j < m; ++j)
             out[j >> 3] |= (uint8_t)((states[j] & 1) << (j & 7));
     }
+}
+
+// XXH64 over the 3-STATE view of a state array (UT==2 reads as UO==3,
+// OmmArrayDataView bake_cpu_impl.cpp:374-377) without materializing the
+// remapped copy: the exact-dedup stage keys work items by this digest
+// (bake_cpu_impl.cpp:1031-1066), and the remap+copy+hash in numpy was
+// the single most expensive host stage of a production bake.
+// Input bytes must be states in {0..3}; remap is b | (b>>1 & 1).
+static inline uint64_t s3map64(uint64_t x) {
+    return x | ((x >> 1) & 0x0101010101010101ULL);
+}
+
+uint64_t omm_states3_xxh64(const uint8_t* data, size_t len, uint64_t seed) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    uint64_t h;
+
+    if (len >= 32) {
+        uint64_t v1 = seed + P1 + P2;
+        uint64_t v2 = seed + P2;
+        uint64_t v3 = seed + 0;
+        uint64_t v4 = seed - P1;
+        const uint8_t* limit = end - 32;
+        do {
+            v1 = xxh_round(v1, s3map64(read64(p))); p += 8;
+            v2 = xxh_round(v2, s3map64(read64(p))); p += 8;
+            v3 = xxh_round(v3, s3map64(read64(p))); p += 8;
+            v4 = xxh_round(v4, s3map64(read64(p))); p += 8;
+        } while (p <= limit);
+        h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+        h = xxh_merge(h, v1);
+        h = xxh_merge(h, v2);
+        h = xxh_merge(h, v3);
+        h = xxh_merge(h, v4);
+    } else {
+        h = seed + P5;
+    }
+
+    h += (uint64_t)len;
+
+    while (p + 8 <= end) {
+        h ^= xxh_round(0, s3map64(read64(p)));
+        h = rotl64(h, 27) * P1 + P4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        uint32_t w = read32(p);
+        w |= (w >> 1) & 0x01010101u;
+        h ^= (uint64_t)w * P1;
+        h = rotl64(h, 23) * P2 + P3;
+        p += 4;
+    }
+    while (p < end) {
+        uint8_t b = *p;
+        b = (uint8_t)(b | ((b >> 1) & 1));
+        h ^= b * P5;
+        h = rotl64(h, 11) * P1;
+        p++;
+    }
+
+    h ^= h >> 33;
+    h *= P2;
+    h ^= h >> 29;
+    h *= P3;
+    h ^= h >> 32;
+    return h;
+}
+
+// Returns states[0] if every byte equals it, else -1 (early exit at the
+// first differing 8-byte word).  Special-index promotion scans every
+// work item per pass (bake_cpu_impl.cpp:1432-1472); contour-bearing
+// items exit within their first cache lines.
+int omm_all_uniform_u8(const uint8_t* p, size_t n) {
+    if (n == 0) return -1;
+    const uint64_t rep = 0x0101010101010101ULL * p[0];
+    size_t i = 0;
+    for (; i + 8 <= n; i += 8)
+        if (read64(p + i) != rep) return -1;
+    for (; i < n; ++i)
+        if (p[i] != p[0]) return -1;
+    return (int)p[0];
 }
 
 // Inverse of the device-side strided 2-bit pack (kernels/twophase.py

@@ -164,3 +164,59 @@ def test_sat_query():
         got = tex.sat_query(np.array([x0, y0]), np.array([x1, y1]), 0)
         want = binar[y0:y1 + 1, x0:x1 + 1].sum()
         assert int(got) == int(want)
+
+
+# --- native host-stage fast paths (omm_native.cpp) ----------------------
+
+def test_native_states3_digest_matches_materialized():
+    """states3_digest fuses the UT->UO remap into XXH64; it must equal
+    the hash of the materialized 3-state view (the exact-dedup key,
+    bake_cpu_impl.cpp:1031-1066)."""
+    from omm_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(11)
+    for n in (1, 4, 16, 31, 32, 33, 100, 4096, 262144):
+        st = rng.randint(0, 4, n).astype(np.uint8)
+        s3 = np.where(st == 2, np.uint8(3), st)
+        assert native.states3_digest(st) == native.xxh64(s3.tobytes(),
+                                                         seed=0)
+
+
+def test_native_pack_matches_fallback_and_into():
+    """The u64-folded native pack must bit-match the numpy fallback, and
+    pack_states_into must write the same bytes into a provided view."""
+    import omm_tpu.native as nm
+    from omm_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(13)
+    for bits in (1, 2):
+        for n in (1, 4, 16, 64, 256, 4096, 16384):
+            st = rng.randint(0, 4, n).astype(np.uint8)
+            got = native.pack_states(st, bits)
+            real = nm._LIB
+            nm._LIB = None
+            try:
+                want = native.pack_states(st, bits)
+            finally:
+                nm._LIB = real
+            assert (got == want).all(), (bits, n)
+            out = np.zeros(len(want), np.uint8)
+            assert native.pack_states_into(st, bits, out)
+            assert (out == want).all(), (bits, n)
+
+
+def test_native_all_uniform():
+    from omm_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    assert native.all_uniform_u8(np.full(4 ** 5, 3, np.uint8)) == 3
+    assert native.all_uniform_u8(np.full(5, 1, np.uint8)) == 1
+    a = np.full(4 ** 5, 2, np.uint8)
+    a[-1] = 0
+    assert native.all_uniform_u8(a) == -1
+    a = np.zeros(9, np.uint8)
+    a[8] = 1  # differs only in the sub-word tail
+    assert native.all_uniform_u8(a) == -1
+    assert native.all_uniform_u8(np.zeros(0, np.uint8)) == -1
