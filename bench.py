@@ -393,10 +393,17 @@ def main():
             index_buffer=np.arange(3 * N_TRIS, dtype=np.uint32),
             index_count=3 * N_TRIS, alpha_cutoff=0.5,
             max_subdivision_level=SUBDIV, dynamic_subdivision_scale=0.0)
-        _omm.bake(desc, backend="pallas")  # warm the e2e-only stages
-        t0 = time.perf_counter()
+        # two warm reps (the tunnel's dispatch path keeps warming after
+        # the last compile — a single warm rep under-reports ~2x), then
+        # best-of-3: same tenancy-noise discipline as the main metric
         _omm.bake(desc, backend="pallas")
-        e2e_s = time.perf_counter() - t0
+        _omm.bake(desc, backend="pallas")
+        e2e_reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _omm.bake(desc, backend="pallas")
+            e2e_reps.append(time.perf_counter() - t0)
+        e2e_s = min(e2e_reps)
     except Exception as e:
         print(f"bench: e2e bake metric skipped: {e}", file=sys.stderr)
 

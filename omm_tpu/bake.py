@@ -61,6 +61,30 @@ class WorkItem:
         return np.where(self.states == UT, np.uint8(UO), self.states)
 
 
+def split_tail_light(seq, schedule):
+    """Split seq into batches by a descending size schedule: the head
+    size repeats while enough items remain, then the tail sizes apply
+    in order.  [128, 96, 32] over 256 items -> [128, 96, 32]; over 512
+    -> [128, 128, 128, 96, 32].  The pipelined engine's LAST batch sets
+    its non-overlapped fetch+reconstruct tail, so a small final batch
+    raises end-to-end throughput (a plain fixed size is schedule=[n])."""
+    head, tail = schedule[0], schedule[1:]
+    tail_sum = sum(tail)
+    out = []
+    o = 0
+    while len(seq) - o - tail_sum >= head:
+        out.append(seq[o:o + head])
+        o += head
+    for s in tail:
+        if o >= len(seq):
+            break
+        out.append(seq[o:o + s])
+        o += s
+    if o < len(seq):
+        out.append(seq[o:])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Subdivision-level heuristics (bake_cpu_impl.cpp:470-560)
 # ---------------------------------------------------------------------------
@@ -350,11 +374,12 @@ def deduplicate_exact(opts: Options, items: list[WorkItem]):
     the UT->UO remap into the hash pass so no 4^N-byte copy is made."""
     if opts.disable_duplicate_detection:
         return
-    if len(items) > 8 and native.get_lib() is not None:
+    ncpu = os.cpu_count() or 1
+    if len(items) > 8 and ncpu > 1 and native.get_lib() is not None:
         # the native digest releases the GIL: hash items in parallel
+        # (single-core hosts skip the pool — it is pure overhead there)
         import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(max_workers=min(
-                os.cpu_count() or 4, 8)) as pool:
+        with cf.ThreadPoolExecutor(max_workers=min(ncpu, 8)) as pool:
             digests = list(pool.map(
                 lambda it: native.states3_digest(it.states), items))
     else:
@@ -396,14 +421,17 @@ def _merge_work_items(to: WorkItem, frm: WorkItem):
 
 
 def deduplicate_similar_lsh(desc: BakeInputDesc, opts: Options,
-                            items: list[WorkItem], iterations: int):
+                            items: list[WorkItem],
+                            iterations: int) -> bool:
     """LSH hamming bit-sampling merge (bake_cpu_impl.cpp:1134-1352);
-    reproduces the reference's std::mt19937(42) draw sequence exactly."""
+    reproduces the reference's std::mt19937(42) draw sequence exactly.
+    Returns True when any merge mutated states."""
     if opts.disable_duplicate_detection:
-        return
+        return False
     if (not opts.enable_near_duplicate_detection
             or opts.enable_near_duplicate_detection_brute_force):
-        return
+        return False
+    any_merge = False
 
     mt = MT19937(42)
 
@@ -471,17 +499,20 @@ def deduplicate_similar_lsh(desc: BakeInputDesc, opts: Options,
                         nearest = cand
                 if nearest >= 0:
                     _merge_work_items(it, items[nearest])
+                    any_merge = True
+    return any_merge
 
 
-def deduplicate_similar_brute_force(opts: Options, items: list[WorkItem]):
-    """bake_cpu_impl.cpp:1354-1430."""
+def deduplicate_similar_brute_force(opts: Options,
+                                    items: list[WorkItem]) -> bool:
+    """bake_cpu_impl.cpp:1354-1430.  Returns True on any merge."""
     if opts.disable_duplicate_detection:
-        return
+        return False
     if (not opts.enable_near_duplicate_detection
             or not opts.enable_near_duplicate_detection_brute_force):
-        return
+        return False
     if not items:
-        return
+        return False
 
     MERGE_THRESHOLD = 0.1
     MAX_COMPARISONS = 2048
@@ -518,6 +549,7 @@ def deduplicate_similar_brute_force(opts: Options, items: list[WorkItem]):
             merged.add(a)
             merged.add(nearest)
             _merge_work_items(ia, items[nearest])
+    return bool(merged)
 
 
 # ---------------------------------------------------------------------------
@@ -566,9 +598,11 @@ def _item_info(desc: BakeInputDesc, it: WorkItem) -> dict:
     return {"mem": mem, "mem_ds": mem_ds, "cpb": cpb}
 
 
-def compress(desc: BakeInputDesc, opts: Options, items: list[WorkItem]):
+def compress(desc: BakeInputDesc, opts: Options,
+             items: list[WorkItem]) -> bool:
+    """Returns True when any item was downsampled (states mutated)."""
     if desc.max_array_data_size == 0xFFFFFFFF:
-        return
+        return False
     active = []
     for i, it in enumerate(items):
         if it.subdivision_level == 0 or not it.primitive_indices \
@@ -578,7 +612,7 @@ def compress(desc: BakeInputDesc, opts: Options, items: list[WorkItem]):
 
     total = sum(a[1]["mem"] for a in active)
     if total < desc.max_array_data_size:
-        return
+        return False
 
     active.sort(key=lambda a: a[1]["cpb"])
     while total >= desc.max_array_data_size and active:
@@ -609,6 +643,7 @@ def compress(desc: BakeInputDesc, opts: Options, items: list[WorkItem]):
             else:
                 j += 1
         active.sort(key=lambda a: a[1]["cpb"])
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -905,12 +940,18 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         # enqueue-ahead chain hides fetch+reconstruct under device time)
         # OMM_BAKE_SUBBATCH overrides items-per-batch: a remote jit
         # compile costs minutes per distinct batch size, so callers that
-        # already warmed one size (bench.py) pin it
-        sub_override = int(os.environ.get("OMM_BAKE_SUBBATCH", "0"))
+        # already warmed one size (bench.py) pin it.  A comma list
+        # ("128,96,32") is a tail-light schedule: the head size repeats,
+        # then the tail sizes shrink the LAST batches — the final
+        # payload fetch + reconstruction are the pipeline's
+        # non-overlapped tail, so a small last batch trims it
+        sub_env = os.environ.get("OMM_BAKE_SUBBATCH", "0")
+        schedule = [int(s) for s in sub_env.split(",") if int(s or 0) > 0]
         for level, idxs in by_level.items():
             per_item = get_num_micro_triangles(level)
-            chunk = sub_override or max(1, MAX_UTRI_PER_BATCH // per_item)
-            chunks = [idxs[k:k + chunk] for k in range(0, len(idxs), chunk)]
+            chunks = split_tail_light(
+                idxs, schedule or
+                [max(1, MAX_UTRI_PER_BATCH // per_item)])
             batches = [[(items[i].uv_tri, items[i].states) for i in c]
                        for c in chunks]
             outs = classify_work_items_batches(tex, cfg, batches, level)
@@ -966,12 +1007,17 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
 
     promote_special_indices(desc, opts, items)
     deduplicate_exact(opts, items)
-    deduplicate_similar_lsh(desc, opts, items, iterations=3)
-    deduplicate_similar_brute_force(opts, items)
+    changed = deduplicate_similar_lsh(desc, opts, items, iterations=3)
+    changed |= deduplicate_similar_brute_force(opts, items)
     promote_special_indices(desc, opts, items)
-    compress(desc, opts, items)
-    deduplicate_exact(opts, items)
-    promote_special_indices(desc, opts, items)
+    changed |= compress(desc, opts, items)
+    if changed:
+        # only near-duplicate merges or downsampling can mint new exact
+        # duplicates / uniform items; when none ran, the second dedup +
+        # promotion passes are identities (the reference runs them
+        # unconditionally, but they observably do nothing then)
+        deduplicate_exact(opts, items)
+        promote_special_indices(desc, opts, items)
 
     arr_hist, idx_hist = create_usage_histograms(items)
     order = micromap_spatial_sort(items)

@@ -213,7 +213,8 @@ def reconstruct_states(buf, hdr: int, levels, T: int, subdiv: int,
         o += s // 4
     final_off = o
     max_nodes = max(sizes)
-    scratch = np.empty(2 * max_nodes, np.int32)
+    # 4 * max_nodes: two ping-pong (node_t, node_n) candidate lists
+    scratch = np.empty(4 * max_nodes, np.int32)
     out = np.empty(T * M, np.uint8)
     b = np.ascontiguousarray(buf, np.uint8)
     lv = np.asarray(levels, np.int32)

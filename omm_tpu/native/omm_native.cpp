@@ -396,13 +396,18 @@ void omm_unpack_2bit_strided(const uint8_t* packed, size_t q, size_t m,
 // Reconstruct per-micro-triangle states from the two-phase engine's
 // compressed payload (kernels/twophase.py _stageD_spec layout): replays
 // the device descent's deterministic scan-order compaction host-side —
-// the C++ fast path of _BatchCtx.finish_compact (profiled ~18 ms/batch
-// in numpy; this loop does one pass per level over the side streams).
+// the C++ fast path of _BatchCtx.finish_compact.  This is the
+// pipeline's non-overlapped tail (the LAST batch's payload has no later
+// device work to hide behind), so the hot loops are byte-granular: a
+// 256-entry LUT turns each packed side byte into 4 output states, and
+// the final level streams parent-wise (E contiguous child bytes per
+// parent) instead of materializing expanded node lists.
 //
 // buf: payload bytes; side stream i starts at side_off[i] (2-bit packed,
 // value 0..2 maps to side -1/0/+1); the finals stream (2-bit states)
 // starts at final_off.  active: T*M 0/1 mask or NULL (all active).
-// scratch: caller-allocated int32[2 * max_nodes] for the node lists.
+// scratch: caller-allocated int32[4 * max_nodes] — two ping-pong
+// (node_t, node_n) candidate lists.
 void omm_reconstruct_states(
     const uint8_t* buf, const int64_t* side_off, int64_t final_off,
     const int32_t* levels, int32_t nlevels, int32_t T, int32_t subdiv,
@@ -414,24 +419,59 @@ void omm_reconstruct_states(
     const int64_t N0 = (int64_t)1 << (2 * levels[0]);
     const uint8_t smap[3] = {st_le, 0, st_gt};  // side -1/0/+1
 
+    // byte -> 4 unpacked states (one state per output byte)
+    uint32_t lut[256];
+    for (int b = 0; b < 256; ++b) {
+        uint32_t v = 0;
+        for (int k = 0; k < 4; ++k)
+            v |= (uint32_t)smap[(b >> (2 * k)) & 3] << (8 * k);
+        lut[b] = v;
+    }
+
     #define SIDE(i, j) \
         ((int)((buf[side_off[i] + ((j) >> 2)] >> (((j) & 3) * 2)) & 3) - 1)
 
-    // level 0: dense fill, one run of M/N0 per node
+    // level 0: dense fill (one run of M/N0 per node) + initial candidate
+    // list in the same walk.  span0 is a power of 4: 1 or >= 4.
     const int64_t span0 = M / N0;
-    for (int64_t n = 0; n < (int64_t)T * N0; ++n) {
-        int s = SIDE(0, n);
-        memset(out + n * span0, smap[s + 1], (size_t)span0);
-    }
-
-    // unresolved level-0 nodes -> initial candidate list
-    int32_t* node_t = scratch;
-    int32_t* node_n = scratch + max_nodes;
+    const int64_t total0 = (int64_t)T * N0;
+    const uint8_t* s0 = buf + side_off[0];
+    int32_t* cur_t = scratch;
+    int32_t* cur_n = scratch + max_nodes;
+    int32_t* nxt_t = scratch + 2 * max_nodes;
+    int32_t* nxt_n = scratch + 3 * max_nodes;
     int64_t cnt = 0;
-    for (int64_t t = 0; t < T; ++t) {
-        for (int64_t g = 0; g < N0; ++g) {
-            int64_t j = t * N0 + g;
-            if (SIDE(0, j) != 0) continue;
+    if (span0 == 1 && !active) {
+        // levels[0] == subdiv: out IS the side stream mapped through lut
+        int64_t q = 0;
+        for (; q < total0 >> 2; ++q) {
+            uint8_t b = s0[q];
+            memcpy(out + 4 * q, &lut[b], 4);
+            uint8_t z = (uint8_t)(b & ~(b >> 1) & 0x55);
+            while (z) {
+                int k = __builtin_ctz(z) >> 1;
+                z = (uint8_t)(z & (z - 1));
+                int64_t j = 4 * q + k;
+                cur_t[cnt] = (int32_t)(j / N0);
+                cur_n[cnt] = (int32_t)(j % N0);
+                ++cnt;
+            }
+        }
+        for (int64_t j = 4 * q; j < total0; ++j) {
+            int s = SIDE(0, j);
+            out[j] = smap[s + 1];
+            if (s == 0) {
+                cur_t[cnt] = (int32_t)(j / N0);
+                cur_n[cnt] = (int32_t)(j % N0);
+                ++cnt;
+            }
+        }
+    } else {
+        for (int64_t j = 0; j < total0; ++j) {
+            int s = SIDE(0, j);
+            memset(out + j * span0, smap[s + 1], (size_t)span0);
+            if (s != 0) continue;
+            int64_t t = j / N0, g = j % N0;
             if (active) {
                 const uint8_t* a = active + t * M + g * span0;
                 int any = 0;
@@ -439,55 +479,78 @@ void omm_reconstruct_states(
                     if (a[k]) { any = 1; break; }
                 if (!any) continue;
             }
-            node_t[cnt] = (int32_t)t;
-            node_n[cnt] = (int32_t)g;
+            cur_t[cnt] = (int32_t)t;
+            cur_n[cnt] = (int32_t)g;
             ++cnt;
         }
     }
 
     int64_t prev_cnt = cnt;
     for (int i = 1; i <= m; ++i) {
-        const int E = 1 << (2 * (levels[i] - levels[i - 1]));
+        const int E = 1 << (2 * (levels[i] - levels[i - 1]));  // >= 4
         int64_t Ci = Cs[i - 1] < Cs_cap[i - 1] ? Cs[i - 1] : Cs_cap[i - 1];
         if (Ci > prev_cnt) Ci = prev_cnt;
         const int64_t li_n = (int64_t)1 << (2 * levels[i]);
         const int64_t span = M / li_n;
-        // expand in place back-to-front so node arrays can be reused
-        for (int64_t p = Ci - 1; p >= 0; --p) {
-            int32_t pt = node_t[p];
-            int32_t pn = node_n[p];
-            for (int e = E - 1; e >= 0; --e) {
-                node_t[p * E + e] = pt;
-                node_n[p * E + e] = pn * E + e;
-            }
-        }
-        const int64_t n_child = Ci * E;
-        for (int64_t j = 0; j < n_child; ++j) {
-            int s = SIDE(i, j);
-            int64_t flat = ((int64_t)node_t[j] * li_n + node_n[j]) * span;
-            memset(out + flat, smap[s + 1], (size_t)span);
-        }
+        const uint8_t* si = buf + side_off[i];
         if (i < m) {
-            // compact unresolved children (scan order)
+            // parent-wise walk: per child memset + unresolved compaction
+            // into the other ping-pong buffer (scan order preserved)
             int64_t w = 0;
-            for (int64_t j = 0; j < n_child; ++j) {
-                if (SIDE(i, j) == 0) {
-                    node_t[w] = node_t[j];
-                    node_n[w] = node_n[j];
-                    ++w;
+            for (int64_t p = 0; p < Ci; ++p) {
+                const int64_t pt = cur_t[p];
+                const int64_t pn0 = (int64_t)cur_n[p] * E;
+                const uint8_t* sp = si + ((p * (int64_t)E) >> 2);
+                uint8_t* op = out + (pt * li_n + pn0) * span;
+                for (int eb = 0; eb < E >> 2; ++eb) {
+                    uint8_t b = sp[eb];
+                    if (span == 1) {
+                        memcpy(op + 4 * eb, &lut[b], 4);
+                    } else {
+                        for (int k = 0; k < 4; ++k)
+                            memset(op + (4 * eb + k) * span,
+                                   smap[(b >> (2 * k)) & 3], (size_t)span);
+                    }
+                    uint8_t z = (uint8_t)(b & ~(b >> 1) & 0x55);
+                    while (z) {
+                        int k = __builtin_ctz(z) >> 1;
+                        z = (uint8_t)(z & (z - 1));
+                        nxt_t[w] = (int32_t)pt;
+                        nxt_n[w] = (int32_t)(pn0 + 4 * eb + k);
+                        ++w;
+                    }
                 }
             }
             prev_cnt = w;
+            int32_t* tmp;
+            tmp = cur_t; cur_t = nxt_t; nxt_t = tmp;
+            tmp = cur_n; cur_n = nxt_n; nxt_n = tmp;
         } else {
-            // survivors: finals stream in scan order, capped at K
+            // final level (span == 1): E contiguous out bytes per parent
+            // via the LUT, then the finals stream scattered over the
+            // survivors in the same ascending scan order
+            const uint8_t* fin = buf + final_off;
             int64_t fc = 0;
-            for (int64_t j = 0; j < n_child && fc < K; ++j) {
-                if (SIDE(i, j) != 0) continue;
-                int64_t fid = (int64_t)node_t[j] * M + node_n[j];
-                if (active && !active[fid]) continue;
-                out[fid] = (uint8_t)((buf[final_off + (fc >> 2)]
-                                      >> ((fc & 3) * 2)) & 3);
-                ++fc;
+            for (int64_t p = 0; p < Ci; ++p) {
+                const int64_t base =
+                    (int64_t)cur_t[p] * M + (int64_t)cur_n[p] * E;
+                const uint8_t* sp = si + ((p * (int64_t)E) >> 2);
+                uint8_t* op = out + base;
+                for (int eb = 0; eb < E >> 2; ++eb) {
+                    uint8_t b = sp[eb];
+                    memcpy(op + 4 * eb, &lut[b], 4);
+                    uint8_t z = (uint8_t)(b & ~(b >> 1) & 0x55);
+                    while (z) {
+                        int k = __builtin_ctz(z) >> 1;
+                        z = (uint8_t)(z & (z - 1));
+                        int64_t fid = base + 4 * eb + k;
+                        if (active && !active[fid]) continue;
+                        if (fc >= K) continue;
+                        op[4 * eb + k] = (uint8_t)(
+                            (fin[fc >> 2] >> ((fc & 3) * 2)) & 3);
+                        ++fc;
+                    }
+                }
             }
         }
     }

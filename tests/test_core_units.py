@@ -220,3 +220,21 @@ def test_native_all_uniform():
     a[8] = 1  # differs only in the sub-word tail
     assert native.all_uniform_u8(a) == -1
     assert native.all_uniform_u8(np.zeros(0, np.uint8)) == -1
+
+
+def test_split_tail_light():
+    from omm_tpu.bake import split_tail_light
+    seq = list(range(256))
+    got = split_tail_light(seq, [128, 96, 32])
+    assert [len(c) for c in got] == [128, 96, 32]
+    assert sum(got, []) == seq
+    assert [len(c) for c in split_tail_light(list(range(512)),
+                                             [128, 96, 32])] \
+        == [128, 128, 128, 96, 32]
+    # remainders smaller than the schedule still cover everything
+    for n in (1, 31, 130, 200, 255, 300):
+        chunks = split_tail_light(list(range(n)), [128, 96, 32])
+        assert sum(chunks, []) == list(range(n))
+    # plain fixed size
+    assert [len(c) for c in split_tail_light(list(range(300)), [128])] \
+        == [128, 128, 44]
