@@ -231,6 +231,49 @@ def _spot_wrapped(tex, uv_tris, cfg_base):
     return len(wtris) * M / min(times), parity
 
 
+def _spot_large_mesh(tex, uv_tris, cfg):
+    """Sustained-throughput spot: ONE pipelined call over a 1024-triangle
+    mesh (the reference's GPU baker batches tens of thousands of
+    primitives per dispatch chain, integration_guide.md:669-675).  The
+    8 sub-batches reuse the headline's warm T=128 jit signature; payload
+    fetches chunk at NB/2 so reconstruction streams behind compute and
+    the fixed link tail amortizes over 4x the work.  Returns
+    (rate, parity_ok): best-of-5 utri/s + an 8-tri oracle parity spot."""
+    import omm_tpu as omm
+    from omm_tpu import engine
+    from omm_tpu.kernels import twophase as tp
+
+    M = omm.get_num_micro_triangles(SUBDIV)
+    tris = [uv_tris[k % N_TRIS] for k in range(1024)]
+    prev = os.environ.get("OMM_TP_FETCH_CHUNKS")
+    os.environ["OMM_TP_FETCH_CHUNKS"] = "4"
+    try:
+        def run():
+            batches = [[(t, None) for t in tris[k:k + BATCH]]
+                       for k in range(0, len(tris), BATCH)]
+            return [st for b in tp.classify_work_items_batches(
+                tex, cfg, batches, SUBDIV) for st in b]
+
+        got = run()
+        got = run()
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            got = run()
+            times.append(time.perf_counter() - t0)
+    finally:
+        if prev is None:
+            os.environ.pop("OMM_TP_FETCH_CHUNKS", None)
+        else:
+            os.environ["OMM_TP_FETCH_CHUNKS"] = prev
+    UO = int(omm.OpacityState.UnknownOpaque)
+    parity = all(
+        (got[k] == engine.resample_fine_item(
+            tex, cfg, tris[k], SUBDIV, np.full(M, UO, np.uint8))).all()
+        for k in range(0, 1024, 128))
+    return len(tris) * M / min(times), parity
+
+
 def _arm_watchdog():
     """A tunnel can wedge AFTER the probe passed (mid-compile, mid-fetch);
     a blocking device call then hangs the whole bench past the driver's
@@ -377,6 +420,18 @@ def main():
         except Exception as e:
             print(f"bench: wrapped spot skipped: {e}", file=sys.stderr)
 
+    # Sustained throughput: a 1024-tri mesh in one pipelined call (warm
+    # signature, no new compiles) — the fixed link tail amortizes
+    large_rate = None
+    large_ok = None
+    if engine_name != "xla_gather_fallback" \
+            and time.monotonic() - _T0 < float(
+                os.environ.get("OMM_BENCH_LARGE_BUDGET", "1100")):
+        try:
+            large_rate, large_ok = _spot_large_mesh(tex, uv_tris, cfg)
+        except Exception as e:
+            print(f"bench: large-mesh spot skipped: {e}", file=sys.stderr)
+
     # Secondary metric: ONE full production bake of the same workload —
     # classification plus everything around it (pre-bake dedup, exact
     # dedup, special-index promotion, histograms, morton sort, 2-bit
@@ -427,6 +482,9 @@ def main():
         "wrapped_vs_clamp": (round(wrapped_rate / rate, 3)
                              if wrapped_rate else None),
         "wrapped_bit_exact": wrapped_ok,
+        "large_mesh_utri_per_s": (round(large_rate, 1)
+                                  if large_rate else None),
+        "large_mesh_bit_exact": large_ok,
         "engine": engine_name,
         "batch_tris": N_TRIS, "sub_batch": BATCH,
         "e2e_bake_s": round(e2e_s, 4) if e2e_s is not None else None,
