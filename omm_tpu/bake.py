@@ -46,12 +46,28 @@ class WorkItem:
     states: np.ndarray = None       # (4^N,) uint8; init UnknownOpaque
     special_index: int = NO_SPECIAL_INDEX
     desc_offset: int = 0xFFFFFFFF
+    #: cached (states3 digest, uniform value) from the classify engine's
+    #: fused post pass (native.row_post); auto-cleared whenever `states`
+    #: is reassigned (merges/downsampling build NEW arrays, so attribute
+    #: assignment is the invalidation point)
+    post: tuple | None = None
+
+    def __setattr__(self, name, value):
+        if name == "states":
+            object.__setattr__(self, "post", None)
+            object.__setattr__(self, "_fresh", False)
+        object.__setattr__(self, name, value)
 
     def __post_init__(self):
         if self.states is None:
             self.states = np.full(
                 get_num_micro_triangles(self.subdivision_level), UO,
                 dtype=np.uint8)
+            # provably all-UnknownOpaque and untouched: lets the bake
+            # pass `states=None` to the classify engine (its declared
+            # fresh-item form — no per-item min() scan); any later
+            # `states` assignment clears the flag via __setattr__
+            object.__setattr__(self, "_fresh", True)
 
     def has_special_index(self) -> bool:
         return self.special_index != NO_SPECIAL_INDEX
@@ -350,7 +366,8 @@ def promote_special_indices(desc: BakeInputDesc, opts: Options,
         if it.has_special_index():
             continue
         st = it.states
-        u = native.all_uniform_u8(st)
+        u = it.post[1] if it.post is not None \
+            else native.all_uniform_u8(st)
         all_equal = (u >= 0) if u is not None \
             else bool((st == st[0]).all())
         common = int(st[0])
@@ -374,16 +391,22 @@ def deduplicate_exact(opts: Options, items: list[WorkItem]):
     the UT->UO remap into the hash pass so no 4^N-byte copy is made."""
     if opts.disable_duplicate_detection:
         return
+    def _digest(it):
+        # the classify engine's fused post pass already hashed fresh
+        # rows cache-warm; only mutated/slow-path items re-hash here
+        return it.post[0] if it.post is not None \
+            else native.states3_digest(it.states)
+
     ncpu = os.cpu_count() or 1
-    if len(items) > 8 and ncpu > 1 and native.get_lib() is not None:
+    todo = sum(1 for it in items if it.post is None)
+    if todo > 8 and ncpu > 1 and native.get_lib() is not None:
         # the native digest releases the GIL: hash items in parallel
         # (single-core hosts skip the pool — it is pure overhead there)
         import concurrent.futures as cf
         with cf.ThreadPoolExecutor(max_workers=min(ncpu, 8)) as pool:
-            digests = list(pool.map(
-                lambda it: native.states3_digest(it.states), items))
+            digests = list(pool.map(_digest, items))
     else:
-        digests = [native.states3_digest(it.states) for it in items]
+        digests = [_digest(it) for it in items]
     digest_to_idx: dict = {}
     for i, it in enumerate(items):
         digest = digests[i]
@@ -893,8 +916,10 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
     for i, it in enumerate(items):
         if i in sharded_done:
             continue
-        it.states = engine.resample_coarse_item(tex, cfg, it.uv_tri,
-                                                it.subdivision_level, it.states)
+        st = engine.resample_coarse_item(tex, cfg, it.uv_tri,
+                                         it.subdivision_level, it.states)
+        if st is not it.states:  # identity (no SAT): keep _fresh valid
+            it.states = st
 
     def _device_eligible(it):
         return (classify is not None and not cfg.disable_fine
@@ -952,12 +977,17 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
             chunks = split_tail_light(
                 idxs, schedule or
                 [max(1, MAX_UTRI_PER_BATCH // per_item)])
-            batches = [[(items[i].uv_tri, items[i].states) for i in c]
+            batches = [[(items[i].uv_tri,
+                         None if getattr(items[i], "_fresh", False)
+                         else items[i].states) for i in c]
                        for c in chunks]
-            outs = classify_work_items_batches(tex, cfg, batches, level)
-            for c, res in zip(chunks, outs):
-                for i, st in zip(c, res):
+            posts: list = []
+            outs = classify_work_items_batches(tex, cfg, batches, level,
+                                               post_out=posts)
+            for c, res, pd in zip(chunks, outs, posts):
+                for bi, (i, st) in enumerate(zip(c, res)):
                     items[i].states = st
+                    items[i].post = pd.get(bi)
 
     sharded_items = {id(items[i]) for i in sharded_done}
 

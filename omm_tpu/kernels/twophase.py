@@ -800,6 +800,7 @@ class _BatchCtx:
         self.subdiv = subdiv
         self.fast = fast
         self.out = out
+        self.post = {}  # item idx -> (states3 digest, uniform value)
         self.M = get_num_micro_triangles(subdiv)
         # precomp: the caller's one vectorized pass over ITS WHOLE fast
         # set ({lg, levels, HW, HWl}); window maxima over a superset are
@@ -962,9 +963,16 @@ class _BatchCtx:
             int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le),
             None if self.all_active else self.active)
         if rec is not None:
+            # fused post pass while rec is cache-warm: per-row exact-dedup
+            # digest + uniform value for rows returned as-is (rows merged
+            # into prior states change bytes, so no cached post for them)
+            post = native.row_post(rec)
+            self.post = {}
             for t, i in enumerate(self.fast):
                 if self.all_active or self.items[i][1] is None:
                     self.out[i] = rec[t]
+                    if post is not None:
+                        self.post[i] = (int(post[0][t]), int(post[1][t]))
                 else:
                     st = self.items[i][1].copy()
                     act = self.active[t]
@@ -1261,10 +1269,17 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
 TRACE: list = []
 
 
-def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
+def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
+                                post_out: list | None = None):
     """Classify several batches, pipelined: all speculative device chains
     are enqueued up-front so each batch's result fetch overlaps the next
-    batches' device execution.  Returns a list of per-batch state lists."""
+    batches' device execution.  Returns a list of per-batch state lists.
+
+    post_out: optional list; receives one dict per batch mapping item
+    index -> (states3 digest, uniform value) for items whose post pass
+    ran fused with the C++ payload replay (native.row_post) — the bake
+    tail's exact-dedup and promotion reuse these instead of re-scanning
+    each 4^N-byte state array."""
     import os
     import time as _time
 
@@ -1566,6 +1581,11 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int):
                     classify_work_item_jax(texture, cfg, ctx.items[i][0],
                                            subdiv,
                                            _states_of(ctx.items[i][1])))
+            ctx.post = {}
+    if post_out is not None:
+        for k in range(len(batches)):
+            ctx = ctxs[k] if k < len(ctxs) else None
+            post_out.append(dict(ctx.post) if ctx is not None else {})
     _mark("done")
     return results
 

@@ -557,6 +557,20 @@ void omm_reconstruct_states(
     #undef SIDE
 }
 
+// Fused per-row post pass over a (rows, M) state block fresh out of
+// omm_reconstruct_states: the exact-dedup digest (3-state XXH64,
+// bake_cpu_impl.cpp:1031-1066) and the special-index uniform scan
+// (bake_cpu_impl.cpp:1432-1472) for every row while the block is still
+// cache-warm — the bake tail then skips both full passes per item.
+void omm_row_post(const uint8_t* block, int64_t rows, int64_t M,
+                  uint64_t* dig, int32_t* uni) {
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* p = block + r * M;
+        dig[r] = omm_states3_xxh64(p, (size_t)M, 0);
+        uni[r] = omm_all_uniform_u8(p, (size_t)M);
+    }
+}
+
 // Number of differing bytes between two state arrays (merge distance).
 size_t omm_hamming_u8(const uint8_t* a, const uint8_t* b, size_t n) {
     size_t d = 0;

@@ -222,6 +222,51 @@ def test_native_all_uniform():
     assert native.all_uniform_u8(np.zeros(0, np.uint8)) == -1
 
 
+def test_native_row_post_matches_per_row():
+    """row_post (the fused digest+uniform pass over a reconstructed
+    state block) must agree with per-row states3_digest/all_uniform_u8 —
+    the bake tail's dedup and promotion reuse its results."""
+    from omm_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(17)
+    for rows, M in ((1, 64), (5, 1024), (3, 4 ** 6)):
+        blk = rng.randint(0, 4, size=(rows, M)).astype(np.uint8)
+        blk[rows // 2, :] = 3  # a uniform row
+        dp = native.row_post(blk)
+        assert dp is not None
+        dig, uni = dp
+        for r in range(rows):
+            assert int(dig[r]) == native.states3_digest(blk[r]), (rows, r)
+            assert int(uni[r]) == native.all_uniform_u8(blk[r]), (rows, r)
+
+
+def test_workitem_post_cache_invalidation():
+    """WorkItem.post (the classify engine's fused digest/uniform) must
+    clear on ANY states reassignment — merges and downsampling build new
+    arrays, so attribute assignment is the invalidation point."""
+    from omm_tpu.bake import WorkItem, _merge_work_items
+    from omm_tpu.types import Format
+    tri = np.zeros((3, 2), np.float32)
+    a = WorkItem(subdivision_level=2, vm_format=Format.OC1_4_State,
+                 uv_tri=tri, primitive_indices=[0])
+    b = WorkItem(subdivision_level=2, vm_format=Format.OC1_4_State,
+                 uv_tri=tri, primitive_indices=[1])
+    assert a._fresh and a.post is None
+    a.post = (123, -1)
+    b.post = (456, -1)
+    a.states[0] = 1  # in-place writes happen only pre-classification
+    b.states[0] = 0
+    _merge_work_items(a, b)
+    assert a.post is None  # states reassigned by the merge
+    assert not a._fresh
+    # explicitly-passed states are never "fresh"
+    c = WorkItem(subdivision_level=2, vm_format=Format.OC1_4_State,
+                 uv_tri=tri, primitive_indices=[2],
+                 states=np.zeros(16, np.uint8))
+    assert not c._fresh
+
+
 def test_split_tail_light():
     from omm_tpu.bake import split_tail_light
     seq = list(range(256))

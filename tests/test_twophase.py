@@ -154,6 +154,39 @@ def test_bake_pallas_backend_matches_numpy(monkeypatch):
     assert omm.get_stats(a) == omm.get_stats(b)
 
 
+def test_classify_post_out_digests(monkeypatch):
+    """post_out must deliver (states3 digest, uniform value) pairs that
+    match a from-scratch recompute on the returned states — bake's
+    exact-dedup and promotion trust these without re-scanning."""
+    from omm_tpu import native
+    from omm_tpu.kernels import twophase as tp
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    _interp_pallas(monkeypatch)
+    tex = omm.Texture([standard_circle(128, 128)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 6
+    tris = _tris(6)
+    batches = [[(t, None) for t in tris[:3]],
+               [(t, None) for t in tris[3:]]]
+    # first call discovers capacities on the sync path (no post); the
+    # speculative single-sync chain — the steady state — fills post
+    tp.classify_work_items_batches(tex, cfg, batches, subdiv)
+    posts = []
+    outs = tp.classify_work_items_batches(tex, cfg, batches, subdiv,
+                                          post_out=posts)
+    assert len(posts) == 2
+    n_cached = 0
+    for batch_out, pd in zip(outs, posts):
+        for i, st in enumerate(batch_out):
+            if i in pd:
+                dig, uni = pd[i]
+                assert dig == native.states3_digest(st), i
+                assert uni == native.all_uniform_u8(st), i
+                n_cached += 1
+    assert n_cached > 0  # the fast path must have produced post entries
+
+
 @pytest.mark.slow
 def test_twophase_speculative_overflow_recovers(monkeypatch):
     """Seed the capacity cache with absurdly small buckets: the
