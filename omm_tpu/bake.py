@@ -294,13 +294,23 @@ def setup_work_items(desc: BakeInputDesc, opts: Options,
     tex_size = tex.size(0)
     num_disabled = 0
 
+    # batched validity scan (identical per-element decisions to the
+    # scalar geom calls; the per-tri python loop profiled at ~55 us/tri)
+    if tri_count:
+        inv_arr = np.asarray(geom.is_invalid(tris)).reshape(tri_count)
+        if opts.disable_level_line_intersection:
+            inv_arr = inv_arr | np.asarray(
+                geom.is_degenerate(tris)).reshape(tri_count)
+    # constant subdivision level unless per-tri levels / dynamic scale
+    const_subdiv = (desc.subdivision_levels is None
+                    and not desc.dynamic_subdivision_scale > 0)
+
     for i in range(tri_count):
         uv_tri = tris[i]
-        subdiv = get_subdivision_level(desc, opts, i, uv_tri, tex_size)
+        subdiv = desc.max_subdivision_level if const_subdiv \
+            else get_subdivision_level(desc, opts, i, uv_tri, tex_size)
         disabled = subdiv == DISABLED_PRIMITIVE
-        invalid = bool(geom.is_invalid(uv_tri)) or (
-            opts.disable_level_line_intersection
-            and bool(geom.is_degenerate(uv_tri)))
+        invalid = bool(inv_arr[i])
         if disabled or invalid:
             num_disabled += 1
             continue  # resolved to unresolvedTriState at serialize time
@@ -686,24 +696,35 @@ def create_usage_histograms(items: list[WorkItem]):
 
 def micromap_spatial_sort(items: list[WorkItem]) -> list[int]:
     """bake_cpu_impl.cpp:1707-1754: descending (key, index) order;
-    special-index items first, regular items by (subdiv, morton) desc."""
-    keys = []
-    for i, it in enumerate(items):
-        if it.special_index != NO_SPECIAL_INDEX:
-            key = (1 << 63) | i
-        else:
-            K = 13
-            q_size = np.array([1 << K, 1 << K], dtype=np.int32)
-            t = it.uv_tri.astype(np.float32)
-            centroid = (t[0] + t[1] + t[2]) / np.float32(3.0)
-            q_uv = (q_size.astype(np.float32) * centroid).astype(np.int32)
-            q_pos = get_tex_coord(TextureAddressMode.MirrorOnce, q_uv,
-                                  q_size, np.array([0, 0], np.int32), False)
-            mcode = int(xy_to_morton(np.uint32(q_pos[0]), np.uint32(q_pos[1])))
-            key = (it.subdivision_level << 60) | mcode
-        keys.append((key, i))
-    keys.sort(reverse=True)
-    return [i for _, i in keys]
+    special-index items first, regular items by (subdiv, morton) desc.
+    One batched centroid->morton pass (same fp32 op order per element
+    as the scalar form) instead of a per-item python loop."""
+    n = len(items)
+    if n == 0:
+        return []
+    keys = np.empty(n, np.uint64)
+    spec = np.fromiter((it.special_index != NO_SPECIAL_INDEX
+                        for it in items), bool, n)
+    sidx = np.flatnonzero(spec)
+    keys[sidx] = (np.uint64(1) << np.uint64(63)) | sidx.astype(np.uint64)
+    reg = np.flatnonzero(~spec)
+    if reg.size:
+        K = 13
+        q_size = np.array([1 << K, 1 << K], dtype=np.int32)
+        t = np.stack([items[i].uv_tri for i in reg]).astype(np.float32)
+        centroid = (t[:, 0] + t[:, 1] + t[:, 2]) / np.float32(3.0)
+        q_uv = (q_size.astype(np.float32) * centroid).astype(np.int32)
+        q_pos = get_tex_coord(TextureAddressMode.MirrorOnce, q_uv,
+                              q_size, np.array([0, 0], np.int32), False)
+        mcode = xy_to_morton(q_pos[:, 0].astype(np.uint32),
+                             q_pos[:, 1].astype(np.uint32))
+        lev = np.fromiter((items[i].subdivision_level for i in reg),
+                          np.uint64, reg.size)
+        keys[reg] = (lev << np.uint64(60)) | mcode.astype(np.uint64)
+    # ascending lexsort by (key, index), reversed == the reference's
+    # descending (key, index) tuple sort
+    order = np.lexsort((np.arange(n), keys))[::-1]
+    return [int(i) for i in order]
 
 
 def pack_states(states: np.ndarray, fmt: Format) -> np.ndarray:
@@ -796,9 +817,11 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
     tris = geom.triangles_from_indices(
         np.asarray(desc.index_buffer)[:desc.index_count], desc.tex_coords,
         desc.tex_coord_format, desc.tex_coord_stride_in_bytes)
+    areas = np.asarray(geom.uv_area(tris), np.float32).reshape(-1) \
+        if tri_count else np.zeros(0, np.float32)  # one batched pass
     for it in items:
         for prim in it.primitive_indices:
-            tri_area[prim] = geom.uv_area(tris[prim])
+            tri_area[prim] = areas[prim]
 
     return BakeResult(array_data=array_data, desc_array=desc_array,
                       desc_array_histogram=hist_list(arr_hist),
@@ -1030,10 +1053,13 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         with cf.ThreadPoolExecutor(
                 max_workers=min(_os.cpu_count() or 4, 16)) as pool:
             for it, st in zip(items, pool.map(_fine, items)):
-                it.states = st
+                if st is not it.states:  # identity keeps the post cache
+                    it.states = st
     else:
         for it in items:
-            it.states = _fine(it)
+            st = _fine(it)
+            if st is not it.states:  # identity keeps the post cache
+                it.states = st
 
     promote_special_indices(desc, opts, items)
     deduplicate_exact(opts, items)
