@@ -901,6 +901,12 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
     else:
         raise ValueError(f"unknown backend {backend}")
 
+    # one batched degeneracy scan (identical per-element fp32 decisions;
+    # the scalar call costs ~12 us x several sites per item)
+    degen_all = (np.asarray(geom.is_degenerate(
+        np.stack([it.uv_tri for it in items]))).reshape(len(items))
+        if items else np.zeros(0, bool))
+
     # Multi-chip: shard eligible FRESH work items over the mesh before the
     # coarse pass (the sharded pipeline's phase-1 descent IS the coarse
     # resolve, so skipping SAT coarse for these items changes nothing —
@@ -915,8 +921,9 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         UOv = int(OpacityState.UnknownOpaque)
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
-            if (not bool(geom.is_degenerate(it.uv_tri))
-                    and int(it.states.min()) == UOv):
+            if (not degen_all[i]
+                    and (getattr(it, "_fresh", False)
+                         or int(it.states.min()) == UOv)):
                 by_level.setdefault(it.subdivision_level, []).append(i)
         n_dev = int(mesh.devices.size)
         for level, idxs in by_level.items():
@@ -944,9 +951,9 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         if st is not it.states:  # identity (no SAT): keep _fresh valid
             it.states = st
 
-    def _device_eligible(it):
+    def _device_eligible(i, it):
         return (classify is not None and not cfg.disable_fine
-                and not bool(geom.is_degenerate(it.uv_tri))
+                and not degen_all[i]
                 and cfg.filter == TextureFilterMode.Linear
                 and not cfg.disable_level_line)
 
@@ -959,7 +966,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         from .kernels.twophase import resolve_nearest_phase1
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
-            if not bool(geom.is_degenerate(it.uv_tri)):
+            if not degen_all[i]:
                 by_level.setdefault(it.subdivision_level, []).append(i)
         for level, idxs in by_level.items():
             res = resolve_nearest_phase1(
@@ -976,7 +983,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         from .kernels.twophase import classify_work_items_batches
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
-            if _device_eligible(it) and i not in sharded_done:
+            if _device_eligible(i, it) and i not in sharded_done:
                 by_level.setdefault(it.subdivision_level, []).append(i)
         # Bound device memory per batch (the maxScratchMemorySize analog:
         # the reference splits the GPU bake into batches when micro-tri
@@ -1014,18 +1021,18 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
 
     sharded_items = {id(items[i]) for i in sharded_done}
 
-    def _fine(it):
+    def _fine(i, it):
         if id(it) in sharded_items:
             return it.states  # classified by the sharded pipeline
-        if backend == "pallas" and _device_eligible(it):
+        if backend == "pallas" and _device_eligible(i, it):
             return it.states  # already classified by the batched engine
-        if _device_eligible(it):
+        if _device_eligible(i, it):
             return classify(tex, cfg, it.uv_tri, it.subdivision_level,
                             it.states)
         if (backend in ("jax", "pallas") and not cfg.disable_fine
                 and cfg.filter == TextureFilterMode.Linear
                 and not cfg.disable_level_line
-                and bool(geom.is_degenerate(it.uv_tri))):
+                and bool(degen_all[i])):
             # degenerate (line) triangles: host DDA schedule, exact
             # level-line kernel on device (bake_cpu_impl.cpp:896-904)
             from .kernels.jax_classify import classify_degenerate_device
@@ -1033,7 +1040,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
                 tex, cfg, it.uv_tri, it.subdivision_level, it.states)
         if (backend in ("jax", "pallas") and not cfg.disable_fine
                 and cfg.filter == TextureFilterMode.Nearest
-                and not bool(geom.is_degenerate(it.uv_tri))):
+                and not bool(degen_all[i])):
             # nearest-filter survivors (the contour left by the phase-1
             # window resolve) classify on device too
             from .kernels.jax_classify import classify_nearest_survivors
@@ -1052,12 +1059,13 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         import os as _os
         with cf.ThreadPoolExecutor(
                 max_workers=min(_os.cpu_count() or 4, 16)) as pool:
-            for it, st in zip(items, pool.map(_fine, items)):
+            for it, st in zip(items, pool.map(_fine, range(len(items)),
+                                              items)):
                 if st is not it.states:  # identity keeps the post cache
                     it.states = st
     else:
-        for it in items:
-            st = _fine(it)
+        for i, it in enumerate(items):
+            st = _fine(i, it)
             if st is not it.states:  # identity keeps the post cache
                 it.states = st
 
