@@ -758,6 +758,7 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
     desc_array: list[MicromapDesc] = []
     if desc_count != 0:
         offset = 0
+        pack_plan: list = []
         for vm_index in order:
             it = items[vm_index]
             if it.special_index != NO_SPECIAL_INDEX:
@@ -771,13 +772,19 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
             M = get_num_micro_triangles(it.subdivision_level)
             stride = max((M * bit_count) >> 3, 1)
             bits = 1 if it.vm_format == Format.OC1_2_State else 2
-            # pack straight into the (zeroed) output buffer; packed
-            # length always equals the stride (M is a power of 4)
-            if not native.pack_states_into(
-                    it.states, bits, array_data[offset:offset + stride]):
-                packed = pack_states(it.states, it.vm_format)
-                array_data[offset:offset + len(packed)] |= packed
+            # collect, then pack the whole blob in ONE native call;
+            # packed length always equals the stride (M is a power of 4)
+            st = np.ascontiguousarray(it.states, dtype=np.uint8)
+            pack_plan.append((st, bits, offset, stride))
             offset += stride
+        if not native.pack_states_batch(
+                [p[0] for p in pack_plan], [p[1] for p in pack_plan],
+                [p[2] for p in pack_plan], array_data):
+            for st, bits, off, stride in pack_plan:
+                if not native.pack_states_into(
+                        st, bits, array_data[off:off + stride]):
+                    packed = native.pack_states(st, bits)
+                    array_data[off:off + len(packed)] |= packed
 
     def hist_list(h):
         out = []

@@ -84,6 +84,9 @@ def get_lib():
         lib.omm_row_post.restype = None
         lib.omm_row_post.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                      u64p, i32p]
+        lib.omm_pack_states_batch.restype = None
+        lib.omm_pack_states_batch.argtypes = [u64p, i64p, i32p, i64p,
+                                              ctypes.c_int64, u8p]
         lib.omm_reconstruct_states.restype = None
         lib.omm_reconstruct_states.argtypes = [
             u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int32,
@@ -143,6 +146,30 @@ def pack_states_into(states, bits: int, out) -> bool:
         return False
     s = np.ascontiguousarray(states, dtype=np.uint8)
     lib.omm_pack_states(_u8ptr(s), len(s), bits, _u8ptr(out))
+    return True
+
+
+def pack_states_batch(state_arrs, bits_list, offs, out) -> bool:
+    """Pack every item's states into `out` at the given byte offsets in
+    ONE native call (the per-item form pays a python->C transition per
+    work item).  state_arrs must be C-contiguous uint8 arrays.  Returns
+    False when the native library is unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "omm_pack_states_batch") \
+            or not out.flags["C_CONTIGUOUS"]:
+        return False
+    n = len(state_arrs)
+    ptrs = np.fromiter((a.ctypes.data for a in state_arrs), np.uint64, n)
+    ms = np.fromiter((a.shape[0] for a in state_arrs), np.int64, n)
+    bt = np.asarray(bits_list, np.int32)
+    of = np.asarray(offs, np.int64)
+    lib.omm_pack_states_batch(
+        ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ms.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, _u8ptr(out))
     return True
 
 

@@ -571,6 +571,17 @@ void omm_row_post(const uint8_t* block, int64_t rows, int64_t M,
     }
 }
 
+// Batched OC1 pack: all work items' state arrays into the result blob
+// in one call (one python->C transition instead of one per item; the
+// serialize stage is bake_cpu_impl.cpp:1802-1819 per item).
+void omm_pack_states_batch(const uint64_t* state_ptrs, const int64_t* ms,
+                           const int32_t* bits, const int64_t* offs,
+                           int64_t n, uint8_t* out) {
+    for (int64_t k = 0; k < n; ++k)
+        omm_pack_states((const uint8_t*)(uintptr_t)state_ptrs[k],
+                        (size_t)ms[k], bits[k], out + offs[k]);
+}
+
 // Number of differing bytes between two state arrays (merge distance).
 size_t omm_hamming_u8(const uint8_t* a, const uint8_t* b, size_t n) {
     size_t d = 0;

@@ -222,6 +222,29 @@ def test_native_all_uniform():
     assert native.all_uniform_u8(np.zeros(0, np.uint8)) == -1
 
 
+def test_native_pack_states_batch_matches_per_item():
+    """The one-call batched blob pack must byte-match per-item
+    pack_states at every offset, across mixed bit widths and levels."""
+    from omm_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(23)
+    arrs = [rng.randint(0, 4, 4 ** k).astype(np.uint8)
+            for k in (1, 3, 4, 5, 5, 2)]
+    bits = [2, 1, 2, 1, 2, 2]
+    offs, o = [], 0
+    for a, b in zip(arrs, bits):
+        offs.append(o)
+        o += max(len(a) * b >> 3, 1)
+    out = np.zeros(o, np.uint8)
+    assert native.pack_states_batch(arrs, bits, offs, out)
+    want = np.zeros(o, np.uint8)
+    for a, b, off in zip(arrs, bits, offs):
+        p = native.pack_states(a, b)
+        want[off:off + len(p)] = p
+    assert (out == want).all()
+
+
 def test_native_row_post_matches_per_row():
     """row_post (the fused digest+uniform pass over a reconstructed
     state block) must agree with per-row states3_digest/all_uniform_u8 —
