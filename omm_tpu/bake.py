@@ -56,6 +56,13 @@ class WorkItem:
         if name == "states":
             object.__setattr__(self, "post", None)
             object.__setattr__(self, "_fresh", False)
+        elif name == "post" and value is not None:
+            # The cache is only valid while `states` stays byte-identical;
+            # reassignment invalidates it above, and in-place writes must
+            # fail loudly rather than leave a stale digest live.
+            s = self.__dict__.get("states")
+            if s is not None:
+                s.flags.writeable = False
         object.__setattr__(self, name, value)
 
     def __post_init__(self):
@@ -66,7 +73,10 @@ class WorkItem:
             # provably all-UnknownOpaque and untouched: lets the bake
             # pass `states=None` to the classify engine (its declared
             # fresh-item form — no per-item min() scan); any later
-            # `states` assignment clears the flag via __setattr__
+            # `states` assignment clears the flag via __setattr__.
+            # Freeze the array so an in-place write can't silently break
+            # the invariant (reassignment installs a fresh writable one).
+            self.states.flags.writeable = False
             object.__setattr__(self, "_fresh", True)
 
     def has_special_index(self) -> bool:

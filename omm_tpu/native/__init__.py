@@ -34,7 +34,9 @@ def _build() -> bool:
                 os.replace(_SO + ".tmp", _SO)
                 return True
         except (OSError, subprocess.SubprocessError):
-            return False
+            # A timeout/OSError on the -O3 -march=native attempt must not
+            # skip the plain -O2 fallback.
+            continue
     return False
 
 
@@ -160,6 +162,11 @@ def pack_states_batch(state_arrs, bits_list, offs, out) -> bool:
             or not out.flags["C_CONTIGUOUS"]:
         return False
     n = len(state_arrs)
+    # The native call reads raw pointers: anything non-contiguous or not
+    # uint8 would pack garbage, so normalize (no-op for conforming inputs).
+    state_arrs = [a if a.dtype == np.uint8 and a.flags["C_CONTIGUOUS"]
+                  else np.ascontiguousarray(a, np.uint8)
+                  for a in state_arrs]
     ptrs = np.fromiter((a.ctypes.data for a in state_arrs), np.uint64, n)
     ms = np.fromiter((a.shape[0] for a in state_arrs), np.int64, n)
     bt = np.asarray(bits_list, np.int32)

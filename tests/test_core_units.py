@@ -276,10 +276,22 @@ def test_workitem_post_cache_invalidation():
     b = WorkItem(subdivision_level=2, vm_format=Format.OC1_4_State,
                  uv_tri=tri, primitive_indices=[1])
     assert a._fresh and a.post is None
+    # fresh items are frozen: an in-place write would invalidate _fresh
+    # silently, so it must raise instead
+    with pytest.raises(ValueError):
+        a.states[0] = 1
     a.post = (123, -1)
     b.post = (456, -1)
-    a.states[0] = 1  # in-place writes happen only pre-classification
-    b.states[0] = 0
+    # while the post cache is live, states stays frozen too
+    with pytest.raises(ValueError):
+        a.states[0] = 1
+    st = a.states.copy()
+    st[0] = 1
+    a.states = st  # reassignment is the sanctioned mutation path
+    assert a.post is None and not a._fresh
+    a.states[0] = 2  # and the new array is writable until a cache lands
+    a.post = (123, -1)
+    b.states = np.zeros(16, np.uint8)
     _merge_work_items(a, b)
     assert a.post is None  # states reassigned by the merge
     assert not a._fresh
