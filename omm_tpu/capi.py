@@ -11,6 +11,8 @@ exception).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from . import serialize as _ser
 from .baker import Baker
 from .debug import save_as_images as _save_images
@@ -19,8 +21,10 @@ from .texture import Texture
 from .types import BakeInputDesc, BakeResult, TextureFormat, TextureFlags
 
 __all__ = [
+    "omm_get_library_desc",
     "omm_create_baker", "omm_destroy_baker",
-    "omm_cpu_create_texture", "omm_cpu_destroy_texture",
+    "omm_cpu_create_texture", "omm_cpu_get_texture_desc",
+    "omm_cpu_destroy_texture",
     "omm_cpu_bake", "omm_cpu_destroy_bake_result",
     "omm_cpu_get_bake_result_desc",
     "omm_cpu_serialize", "omm_cpu_deserialize",
@@ -30,6 +34,20 @@ __all__ = [
     "omm_debug_get_stats", "omm_debug_get_stats2",
     "omm_debug_save_as_images", "omm_debug_save_binary_to_disk",
 ]
+
+
+# -- library info (ommGetLibraryDesc, omm.h:191-196,276) ---------------------
+
+class LibraryDesc(NamedTuple):
+    """ommLibraryDesc analog (omm.h:191-196)."""
+    version_major: int
+    version_minor: int
+    version_build: int
+
+
+def omm_get_library_desc() -> LibraryDesc:
+    from . import LIBRARY_VERSION
+    return LibraryDesc(*LIBRARY_VERSION)
 
 
 # -- baker lifecycle (ommCreateBaker / ommDestroyBaker) ----------------------
@@ -48,6 +66,25 @@ def omm_cpu_create_texture(baker: Baker, mips, fmt: TextureFormat,
                            flags: TextureFlags = TextureFlags.NONE,
                            alpha_cutoff: float = -1.0) -> Texture:
     return baker.create_texture(mips, fmt, flags, alpha_cutoff)
+
+
+class TextureDesc(NamedTuple):
+    """ommCpuTextureDesc read-back analog (omm.h:358-367).  `mips` holds
+    (width, height, row_pitch) per level, the shape triple the reference
+    fills when the caller passes a mip array (texture_impl.cpp:280-300);
+    texel data is read back per level via `texture.load_plane(mip)`."""
+    format: TextureFormat
+    flags: TextureFlags
+    mip_count: int
+    alpha_cutoff: float
+    mips: tuple
+
+
+def omm_cpu_get_texture_desc(texture: Texture) -> TextureDesc:
+    mips = tuple((texture.size(m)[0], texture.size(m)[1],
+                  texture.size(m)[0]) for m in range(texture.mip_count))
+    return TextureDesc(texture.format, texture.flags, texture.mip_count,
+                       texture.alpha_cutoff, mips)
 
 
 def omm_cpu_destroy_texture(baker: Baker, texture: Texture) -> None:

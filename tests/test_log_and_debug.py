@@ -268,9 +268,15 @@ def test_capi_flat_surface_roundtrip():
     from omm_tpu import capi, TextureFormat, BakeInputDesc
     from fixtures import standard_circle
 
+    ld = capi.omm_get_library_desc()
+    assert (ld.version_major, ld.version_minor, ld.version_build) \
+        == (1, 9, 0)
     bk = capi.omm_create_baker()
     tex = capi.omm_cpu_create_texture(bk, [standard_circle(32, 32)],
                                       TextureFormat.FP32)
+    td = capi.omm_cpu_get_texture_desc(tex)
+    assert td.format == TextureFormat.FP32 and td.mip_count == 1
+    assert td.mips == ((32, 32, 32),) and td.alpha_cutoff == -1.0
     desc = BakeInputDesc(
         texture=tex,
         tex_coords=np.array([[0, 0], [0, 1], [1, 0]], np.float32),
