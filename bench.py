@@ -543,7 +543,11 @@ def main():
                   file=sys.stderr)
             return None, None
         try:
-            return fn()
+            rate_v, ok_v = fn()
+            # native types: np.bool_/np.float64 leak from (a == b).all()
+            # etc. and are not JSON serializable
+            return (None if rate_v is None else float(rate_v),
+                    None if ok_v is None else bool(ok_v))
         except Exception as e:
             print(f"bench: {name} spot skipped: {e}", file=sys.stderr)
             return None, None
@@ -564,8 +568,8 @@ def main():
         "mixed-levels", "OMM_BENCH_MIXED_BUDGET", "1050",
         lambda: _spot_mixed_levels(tex, uv_tris))
 
-    spot_multimip = _spot_multimip()
-    spot_nearest = _spot_nearest()
+    spot_multimip = bool(_spot_multimip())
+    spot_nearest = bool(_spot_nearest())
 
     # Parity gate: ALL N_TRIS triangles of the final timed run vs the
     # numpy oracle — one full oracle pass, outside the timed loop.

@@ -637,7 +637,10 @@ def _item_info(desc: BakeInputDesc, it: WorkItem) -> dict:
     mem_ds = max(1, (get_num_micro_triangles(it.subdivision_level - 1) * 2) // 8)
     delta = mem - mem_ds
     cov_delta = np.float32(known - known_ds)
-    cpb = float(np.float32(total_area * cov_delta) / np.float32(delta))
+    # delta==0 at level 1 (both byte sizes clamp to 1); the reference's C++
+    # float division yields inf/nan silently — keep IEEE semantics, no warn.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cpb = float(np.float32(total_area * cov_delta) / np.float32(delta))
     return {"mem": mem, "mem_ds": mem_ds, "cpb": cpb}
 
 
@@ -872,10 +875,27 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         log.invalid_arg("[Invalid Argument] - ommCpuBakeInputDesc has no "
                         "texture set")
     validate_desc(desc, opts, log)
-    tex: Texture = desc.texture
 
     items = setup_work_items(desc, opts, log)
     validate_workload_size(desc, opts, items, log)
+
+    classify_items(desc, opts, items, backend=backend, mesh=mesh)
+    return finalize_items(desc, opts, items, allocator=allocator)
+
+
+def classify_items(desc: BakeInputDesc, opts: Options,
+                   items: list[WorkItem], backend: str = "numpy",
+                   mesh=None, sel=None) -> None:
+    """The classification half of bake() (coarse + fine/device passes),
+    mutating `items` in place.  `sel` optionally restricts classification
+    to a subset of items (bool mask over `items`) — the exact bake farm
+    classifies only the work items its process owns and gathers states
+    over DCN (parallel/multihost.py); per-item results are independent of
+    batch composition (the bit-exactness contract), so a subset classify
+    is byte-identical to the same items' states in a whole-list run."""
+    tex: Texture = desc.texture
+    if sel is None:
+        sel = np.ones(len(items), bool)
 
     cfg = engine.ResampleConfig(
         addr_mode=desc.runtime_sampler.addressing_mode,
@@ -901,7 +921,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         # docs/integration_guide.md:110); small deduplicated bakes are
         # faster on the host oracle.
         total_utri = sum(get_num_micro_triangles(it.subdivision_level)
-                         for it in items)
+                         for i, it in enumerate(items) if sel[i])
         backend = "pallas" if total_utri >= (1 << 22) else "numpy"
 
     if backend == "numpy":
@@ -938,7 +958,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         UOv = int(OpacityState.UnknownOpaque)
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
-            if (not degen_all[i]
+            if (sel[i] and not degen_all[i]
                     and (getattr(it, "_fresh", False)
                          or int(it.states.min()) == UOv)):
                 by_level.setdefault(it.subdivision_level, []).append(i)
@@ -961,7 +981,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
                 sharded_done.add(i)
 
     for i, it in enumerate(items):
-        if i in sharded_done:
+        if i in sharded_done or not sel[i]:
             continue
         st = engine.resample_coarse_item(tex, cfg, it.uv_tri,
                                          it.subdivision_level, it.states)
@@ -983,7 +1003,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         from .kernels.twophase import resolve_nearest_phase1
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
-            if not degen_all[i]:
+            if sel[i] and not degen_all[i]:
                 by_level.setdefault(it.subdivision_level, []).append(i)
         for level, idxs in by_level.items():
             res = resolve_nearest_phase1(
@@ -1000,7 +1020,7 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
         from .kernels.twophase import classify_work_items_batches
         by_level: dict[int, list[int]] = {}
         for i, it in enumerate(items):
-            if _device_eligible(i, it) and i not in sharded_done:
+            if sel[i] and _device_eligible(i, it) and i not in sharded_done:
                 by_level.setdefault(it.subdivision_level, []).append(i)
         # Bound device memory per batch (the maxScratchMemorySize analog:
         # the reference splits the GPU bake into batches when micro-tri
@@ -1070,22 +1090,31 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
     # EnableInternalThreads analog (the reference's OpenMP work-item loop,
     # bake_cpu_impl.cpp:735,833): thread over work items on the host
     # backend — the vectorized numpy stages release the GIL.
+    mine = [i for i in range(len(items)) if sel[i]]
     if (opts.enable_internal_threads and backend == "numpy"
-            and len(items) > 1):
+            and len(mine) > 1):
         import concurrent.futures as cf
         import os as _os
         with cf.ThreadPoolExecutor(
                 max_workers=min(_os.cpu_count() or 4, 16)) as pool:
-            for it, st in zip(items, pool.map(_fine, range(len(items)),
-                                              items)):
-                if st is not it.states:  # identity keeps the post cache
-                    it.states = st
+            for i, st in zip(mine, pool.map(_fine, mine,
+                                            [items[i] for i in mine])):
+                if st is not items[i].states:  # identity keeps post cache
+                    items[i].states = st
     else:
-        for i, it in enumerate(items):
-            st = _fine(i, it)
-            if st is not it.states:  # identity keeps the post cache
-                it.states = st
+        for i in mine:
+            st = _fine(i, items[i])
+            if st is not items[i].states:  # identity keeps the post cache
+                items[i].states = st
 
+
+def finalize_items(desc: BakeInputDesc, opts: Options,
+                   items: list[WorkItem], allocator=None) -> BakeResult:
+    """The global tail of bake() — promotion, dedup (exact + near-dup),
+    compression, histograms, spatial sort, serialization.  These stages
+    couple across ALL work items (dedup maps, the compress budget sort),
+    so the exact bake farm replays this tail once over the gathered
+    global item list (parallel/multihost.merge_exact)."""
     promote_special_indices(desc, opts, items)
     deduplicate_exact(opts, items)
     changed = deduplicate_similar_lsh(desc, opts, items, iterations=3)

@@ -108,6 +108,132 @@ def bake_partition(desc, partition: Partition, backend: str = "auto",
     return ser.serialize(d)
 
 
+def item_costs(desc) -> np.ndarray:
+    """Per-WORK-ITEM classification costs (4^subdiv) of the global desc —
+    the partitioning key for the exact farm.  Every process derives the
+    identical item list (setup_work_items is deterministic), so costs —
+    and therefore partitions — agree farm-wide without communication."""
+    from ..bake import Options, setup_work_items
+    from ..log import Logger
+    from ..types import get_num_micro_triangles
+
+    opts = Options.from_flags(desc.bake_flags)
+    items = setup_work_items(desc, opts, Logger())
+    return np.array([get_num_micro_triangles(it.subdivision_level)
+                     for it in items], np.int64)
+
+
+_FARM_MAGIC = b"OMMFARM1"
+
+
+def _pack2(states: np.ndarray) -> np.ndarray:
+    """Pack 2-bit opacity states (values 0..3) four-per-byte — the DCN
+    wire form of one work item's classification."""
+    s = np.asarray(states, np.uint8)
+    pad = (-len(s)) % 4
+    if pad:
+        s = np.concatenate([s, np.zeros(pad, np.uint8)])
+    q = s.reshape(-1, 4)
+    return (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+            | (q[:, 3] << 6)).astype(np.uint8)
+
+
+def _unpack2(packed: np.ndarray, n: int) -> np.ndarray:
+    q = np.asarray(packed, np.uint8)
+    out = np.empty((len(q), 4), np.uint8)
+    out[:, 0] = q & 3
+    out[:, 1] = (q >> 2) & 3
+    out[:, 2] = (q >> 4) & 3
+    out[:, 3] = q >> 6
+    return out.reshape(-1)[:n]
+
+
+def classify_partition(desc, partition: Partition, backend: str = "auto",
+                       logger=None, mesh=None) -> bytes:
+    """Exact-farm worker step: classify ONLY this process's work items of
+    the GLOBAL desc and return the packed states blob that travels over
+    DCN (allgather / object store / files).
+
+    Unlike `bake_partition` (whole sub-mesh bakes, per-partition dedup,
+    documented cross-partition dedup loss), the exact farm keeps the
+    single-process semantics: every process derives the identical global
+    work-item list, classifies its slice (optionally sharding over its
+    local ICI `mesh`), and `merge_exact` replays the global tail — the
+    merged output is byte-identical to `omm.bake(desc)`, matching the
+    reference's global dedup (bake_cpu_impl.cpp:1031-1066)."""
+    import struct
+
+    from ..bake import (Options, classify_items, setup_work_items,
+                        validate_desc, validate_workload_size)
+    from ..log import Logger
+
+    log = logger or Logger()
+    opts = Options.from_flags(desc.bake_flags)
+    validate_desc(desc, opts, log)
+    items = setup_work_items(desc, opts, log)
+    validate_workload_size(desc, opts, items, log)
+
+    own = np.asarray(partition.item_indices, np.int64)
+    sel = np.zeros(len(items), bool)
+    sel[own] = True
+    classify_items(desc, opts, items, backend=backend, mesh=mesh, sel=sel)
+
+    parts = [_FARM_MAGIC, struct.pack("<II", len(items), len(own))]
+    for i in own:
+        st = np.asarray(items[int(i)].states, np.uint8)
+        parts.append(struct.pack("<II", int(i), len(st)))
+        parts.append(_pack2(st).tobytes())
+    return b"".join(parts)
+
+
+def merge_exact(desc, blobs: Sequence[bytes], allocator=None):
+    """Exact-farm merge: gather every partition's packed states into the
+    global work-item list and run the single-process global tail (dedup,
+    near-dup LSH/brute-force, compression, histograms, spatial sort,
+    serialization) — the result is byte-identical to `omm.bake(desc)`.
+    Deterministic, so every process may run it redundantly (the usual
+    pod pattern) or one coordinator may run it and broadcast the blob."""
+    import struct
+
+    from ..bake import (Options, finalize_items, setup_work_items,
+                        validate_desc, validate_workload_size)
+    from ..log import Logger
+
+    log = Logger()
+    opts = Options.from_flags(desc.bake_flags)
+    validate_desc(desc, opts, log)
+    items = setup_work_items(desc, opts, log)
+    validate_workload_size(desc, opts, items, log)
+
+    covered = np.zeros(len(items), bool)
+    for blob in blobs:
+        if blob[:8] != _FARM_MAGIC:
+            raise ValueError("not an exact-farm states blob")
+        total, count = struct.unpack_from("<II", blob, 8)
+        if total != len(items):
+            raise ValueError(
+                f"farm blob disagrees on work-item count: {total} != "
+                f"{len(items)} (desc mismatch across processes?)")
+        off = 16
+        for _ in range(count):
+            i, n = struct.unpack_from("<II", blob, off)
+            off += 8
+            nbytes = (n + 3) // 4
+            st = _unpack2(np.frombuffer(blob, np.uint8, nbytes, off), n)
+            off += nbytes
+            if len(items[i].states) != n:
+                raise ValueError(f"farm blob item {i}: {n} states, "
+                                 f"expected {len(items[i].states)}")
+            items[i].states = st.copy()
+            covered[i] = True
+    if not covered.all():
+        missing = np.flatnonzero(~covered)
+        raise ValueError(f"exact-farm merge is missing states for "
+                         f"{len(missing)} work items (first: "
+                         f"{missing[:8].tolist()})")
+    return finalize_items(desc, opts, items, allocator=allocator)
+
+
 def gather_results(blobs: Sequence[bytes]):
     """Merge each host's serialized result back into per-partition
     results (transport layer: bytes over DCN / object store / files)."""

@@ -120,6 +120,17 @@ blob_mesh = mh.bake_partition(desc, parts[pid], backend="pallas",
                               mesh=mesh_local)
 with open(os.path.join(outdir, f"blobmesh{{pid}}.bin"), "wb") as f:
     f.write(blob_mesh)
+
+# EXACT farm: classify only this process's work items of the GLOBAL desc
+# (sharded over the local 2-device mesh) and ship the packed states; the
+# parent's merge_exact replays the global tail — byte-identical to a
+# single-process bake (the reference's global dedup semantics).
+costs_it = mh.item_costs(desc)
+parts_x = mh.partition_items(costs_it.tolist(), 4)
+xblob = mh.classify_partition(desc, parts_x[pid], backend="pallas",
+                              mesh=mesh_local)
+with open(os.path.join(outdir, f"xblob{{pid}}.bin"), "wb") as f:
+    f.write(xblob)
 """
 
 
@@ -142,6 +153,54 @@ def farm_mesh_desc(omm, standard_circle):
         texture=tex, tex_coords=np.asarray(uvs, np.float32),
         index_buffer=np.asarray(idxb, np.uint32), index_count=len(idxb),
         max_subdivision_level=3)
+
+
+def _assert_results_byte_equal(got, want):
+    """Full BakeResult byte equality: the exact-farm contract."""
+    from omm_tpu.baker import Baker
+
+    assert got.index_format == want.index_format
+    assert np.array_equal(got.array_data, want.array_data)
+    assert got.desc_array == want.desc_array
+    assert got.desc_array_histogram == want.desc_array_histogram
+    assert got.index_histogram == want.index_histogram
+    assert np.array_equal(np.asarray(got.index_buffer),
+                          np.asarray(want.index_buffer))
+    bk = Baker()
+    assert bk.serialize(result_descs=[got]) == bk.serialize(
+        result_descs=[want])
+
+
+def test_exact_farm_merge_inprocess():
+    """classify_partition + merge_exact (no subprocesses): 3 partitions
+    over the work-item costs, merged output byte-identical to the
+    single-process bake — including a near-duplicate-detection desc whose
+    LSH merge order only a GLOBAL tail can reproduce."""
+    import omm_tpu as omm
+    from omm_tpu.parallel import multihost as mh
+    from omm_tpu.types import BakeFlags
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixtures import standard_circle
+
+    desc = farm_mesh_desc(omm, standard_circle)
+    desc.bake_flags |= BakeFlags.EnableNearDuplicateDetection
+    costs = mh.item_costs(desc)
+    assert costs.ndim == 1 and (costs > 0).all()
+    parts = mh.partition_items(costs.tolist(), 3)
+    blobs = [mh.classify_partition(desc, p, backend="numpy")
+             for p in parts]
+    merged = mh.merge_exact(desc, blobs)
+    _assert_results_byte_equal(merged, omm.bake(desc, backend="numpy"))
+
+    # jax-classified partitions merge to the same bytes (engine-blind)
+    blob0_jax = mh.classify_partition(desc, parts[0], backend="jax")
+    merged2 = mh.merge_exact(desc, [blob0_jax] + blobs[1:])
+    _assert_results_byte_equal(merged2, merged)
+
+    # a missing partition must fail loudly, not bake garbage
+    import pytest
+    with pytest.raises(ValueError, match="missing states"):
+        mh.merge_exact(desc, blobs[:-1])
 
 
 def test_four_process_two_device_bake_farm(tmp_path):
@@ -215,6 +274,16 @@ def test_four_process_two_device_bake_farm(tmp_path):
     assert report.global_distinct == len(global_result.desc_array)
     assert 0 < report.loss <= report.bound
     assert report.loss == sum(per) - len(global_result.desc_array)
+
+    # EXACT farm: the merged result of the 4 processes' classify-only
+    # partitions (each sharded over its local 2-device mesh) must be
+    # byte-identical to the single-process bake — global dedup semantics
+    # preserved across DCN, and the dedup-loss canary reads 0
+    xblobs = [(tmp_path / f"xblob{p}.bin").read_bytes() for p in range(4)]
+    merged = mh.merge_exact(desc, xblobs)
+    _assert_results_byte_equal(merged, global_result)
+    xreport = mh.dedup_loss([merged])
+    assert xreport.loss == 0
 
 
 def test_two_process_bake_farm(tmp_path):
