@@ -972,10 +972,10 @@ def classify_items(desc: BakeInputDesc, opts: Options,
                   and bool(geom.winding_stable(items[i].uv_tri, level))]
             if not ok:
                 continue
-            sel = ok + ok[:1] * ((-len(ok)) % n_dev)  # pad to mesh multiple
+            padded = ok + ok[:1] * ((-len(ok)) % n_dev)  # pad to mesh multiple
             outs, _ = sharded_classify_batch(
                 mesh, tex, cfg,
-                [(items[i].uv_tri, items[i].states) for i in sel], level)
+                [(items[i].uv_tri, items[i].states) for i in padded], level)
             for i, st in zip(ok, outs[:len(ok)]):
                 items[i].states = st
                 sharded_done.add(i)

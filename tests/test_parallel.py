@@ -292,3 +292,42 @@ def test_bake_with_mesh_wrapped_uvs():
     assert np.array_equal(np.asarray(got.index_buffer),
                           np.asarray(want.index_buffer))
     assert omm.get_stats(got) == omm.get_stats(want)
+
+
+def test_bake_with_mesh_more_items_than_sharded():
+    """Regression: the sharded classify path must not clobber the item
+    selection mask.  Two mesh-eligible triangles pad to one 8-device
+    shard batch (8 entries) while the item list is longer (2 eligible +
+    9 degenerate) — a clobbered mask either indexes out of bounds or
+    silently skips items in every downstream classify loop."""
+    import jax
+    import omm_tpu as omm
+    from fixtures import standard_circle
+
+    tex = omm.Texture([standard_circle(128, 128)], omm.TextureFormat.FP32)
+    uvs, idxb = [], []
+    for b in ([0.1, 0.1], [0.5, 0.45]):
+        base = len(uvs)
+        uvs += [np.array(b, np.float32),
+                np.array(b, np.float32) + [0.05, 0.4],
+                np.array(b, np.float32) + [0.4, 0.35]]
+        idxb += [base, base + 1, base + 2]
+    for k in range(9):  # degenerate (line) triangles: single-device path
+        base = len(uvs)
+        t = 0.05 + 0.08 * k
+        uvs += [np.array([t, t], np.float32),
+                np.array([t + 0.2, t + 0.2], np.float32),
+                np.array([t + 0.4, t + 0.4], np.float32)]
+        idxb += [base, base + 1, base + 2]
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=np.asarray(uvs, np.float32),
+        index_buffer=np.asarray(idxb, np.uint32), index_count=len(idxb),
+        max_subdivision_level=5, dynamic_subdivision_scale=0.0)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("omm",))
+    got = omm.bake(desc, backend="pallas", mesh=mesh)
+    want = omm.bake(desc, backend="numpy")
+    assert np.array_equal(got.array_data, want.array_data)
+    assert np.array_equal(np.asarray(got.index_buffer),
+                          np.asarray(want.index_buffer))
+    assert omm.get_stats(got) == omm.get_stats(want)
