@@ -34,6 +34,19 @@ UT = int(OpacityState.UnknownTransparent)
 
 NO_SPECIAL_INDEX = 0  # OmmWorkItem::kNoSpecialIndex (bake_cpu_impl.cpp:456)
 
+#: shared frozen all-UnknownOpaque state arrays, one per subdivision level
+#: (see WorkItem.__post_init__)
+_FRESH_TEMPLATES: dict[int, np.ndarray] = {}
+
+
+def _fresh_template(level: int) -> np.ndarray:
+    t = _FRESH_TEMPLATES.get(level)
+    if t is None:
+        t = np.full(get_num_micro_triangles(level), UO, dtype=np.uint8)
+        t.flags.writeable = False
+        _FRESH_TEMPLATES[level] = t
+    return t
+
 
 @dataclass
 class WorkItem:
@@ -67,16 +80,17 @@ class WorkItem:
 
     def __post_init__(self):
         if self.states is None:
-            self.states = np.full(
-                get_num_micro_triangles(self.subdivision_level), UO,
-                dtype=np.uint8)
             # provably all-UnknownOpaque and untouched: lets the bake
             # pass `states=None` to the classify engine (its declared
             # fresh-item form — no per-item min() scan); any later
             # `states` assignment clears the flag via __setattr__.
-            # Freeze the array so an in-place write can't silently break
-            # the invariant (reassignment installs a fresh writable one).
-            self.states.flags.writeable = False
+            # The template is frozen (writeable=False) so an in-place
+            # write can't silently break the invariant, which also makes
+            # it safe to SHARE one array across all fresh items of a
+            # level — setup_work_items was spending ~35 ms/bake on
+            # per-item np.full memsets the classify engine immediately
+            # replaces (reassignment installs a fresh writable array).
+            self.states = _fresh_template(self.subdivision_level)
             object.__setattr__(self, "_fresh", True)
 
     def has_special_index(self) -> bool:

@@ -45,6 +45,7 @@ preserving the reference's count arithmetic and early-unknown-exit.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -344,6 +345,30 @@ def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
     return ok
 
 
+#: Scan-order compaction via ONE stable sort instead of cumsum+scatter:
+#: on v5e a (s32, s32) lax.sort at 393k lanes is ~0.4 ms while the
+#: equivalent K_cap scatter is ~1.8 ms (chip trace, round 4).  Process-
+#: level kill switch for A/B runs; both paths are bit-identical (stable
+#: sort preserves scan order; lanes beyond the valid count hold arbitrary
+#: in-range node ids that every consumer masks by Ci/K).
+_SORT_COMPACT = os.environ.get("OMM_TP_SORT_COMPACT", "1") != "0"
+
+
+def _compact_sort(mask, payload, cap):
+    """Compact payload[mask] to `cap` lanes in scan order with one stable
+    sort (key: ~mask).  Returns (compacted, count).  Lanes >= count are
+    arbitrary in-range payload values — consumers must mask."""
+    n = payload.shape[0]
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    key = jnp.where(mask, jnp.int32(0), jnp.int32(1))
+    _, srt = jax.lax.sort((key, payload), num_keys=1, is_stable=True)
+    if cap <= n:
+        out = jax.lax.slice(srt, (0,), (cap,))
+    else:
+        out = jnp.concatenate([srt, jnp.zeros((cap - n,), payload.dtype)])
+    return out, cnt
+
+
 @partial(jax.jit, static_argnames=("subdiv", "levels", "caps", "K_cap",
                                    "mips", "pads", "ntxs", "all_active",
                                    "periods"))
@@ -396,10 +421,14 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
         cap = caps[i - 1]
         # compact unresolved parents (scan order — the host reconstruction
         # replays the identical compaction from the fetched sides)
-        pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
-        Ci = (pos[-1] + 1).astype(jnp.int32)
-        tgt = jnp.where(unres & (pos < cap), pos, cap)
-        par = jnp.zeros((cap,), jnp.int32).at[tgt].set(node, mode="drop")
+        if _SORT_COMPACT:
+            par, Ci = _compact_sort(unres, node, cap)
+        else:
+            pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
+            Ci = (pos[-1] + 1).astype(jnp.int32)
+            tgt = jnp.where(unres & (pos < cap), pos, cap)
+            par = jnp.zeros((cap,), jnp.int32).at[tgt].set(node,
+                                                           mode="drop")
         pvalid = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(Ci, cap)
         flag = jnp.maximum(flag, jnp.where(Ci > cap, jnp.int32(1),
                                            jnp.int32(0)))
@@ -428,10 +457,14 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
                         & (side_i == 0))
 
     # compact survivors to K_cap (the final-level flat id IS t*M + m)
-    poss = jnp.cumsum(surv.astype(jnp.int32)) - 1
-    K = (poss[-1] + 1).astype(jnp.int32)
-    tgt_s = jnp.where(surv & (poss < K_cap), poss, K_cap)
-    ids = jnp.zeros((K_cap,), jnp.int32).at[tgt_s].set(node, mode="drop")
+    if _SORT_COMPACT:
+        ids, K = _compact_sort(surv, node, K_cap)
+    else:
+        poss = jnp.cumsum(surv.astype(jnp.int32)) - 1
+        K = (poss[-1] + 1).astype(jnp.int32)
+        tgt_s = jnp.where(surv & (poss < K_cap), poss, K_cap)
+        ids = jnp.zeros((K_cap,), jnp.int32).at[tgt_s].set(node,
+                                                           mode="drop")
     kvalid = jnp.arange(K_cap, dtype=jnp.int32) < jnp.minimum(K, K_cap)
     flag = jnp.maximum(flag, jnp.where(K > K_cap, jnp.int32(1),
                                        jnp.int32(0)))
@@ -470,7 +503,13 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
         offsets_elem = jnp.cumsum(inc).astype(jnp.int32)
         valid_el = st != _INVALID_TILE
         slot_sorted = jnp.where(valid_el, offsets_elem + rank, _SENTINEL)
-        slot = jnp.zeros((K_cap,), jnp.int32).at[order].set(slot_sorted)
+        if _SORT_COMPACT:
+            # invert the tile permutation with a second sort (order is a
+            # permutation of 0..K_cap-1, so sorting by it un-permutes)
+            _, slot = jax.lax.sort((order, slot_sorted), num_keys=1)
+        else:
+            slot = (jnp.zeros((K_cap,), jnp.int32)
+                    .at[order].set(slot_sorted))
         # total padded slot count: each valid element bounds it by its
         # group's offset plus its own B-rounded rank; the max is exact at
         # the last valid element
