@@ -412,10 +412,20 @@ def _spot_mixed_levels(tex, uv_tris):
     return utri / min(times), parity
 
 
+#: progressively-filled result record: the headline lands right after the
+#: timed loop, each spot/parity/e2e field lands the moment it is measured.
+#: The watchdog prints THIS (plus a "truncated" note) instead of a
+#: zero-value error, so a wedge or deadline mid-spot can no longer lose
+#: metrics that were already captured (round-4 hardening: the first run
+#: after a code change recompiles every signature cold and can overrun).
+RESULT: dict = {}
+
+
 def _arm_watchdog():
     """A tunnel can wedge AFTER the probe passed (mid-compile, mid-fetch);
     a blocking device call then hangs the whole bench past the driver's
-    capture window.  A daemon timer emits the structured error JSON and
+    capture window.  A daemon timer emits the best-known partial RESULT
+    (or the structured error JSON when not even the headline landed) and
     hard-exits at the deadline so the driver always records a parseable
     line.  OMM_BENCH_DEADLINE seconds, 0 disables.  Default 1500s: the
     driver's capture window is ~1800s (BENCH_r02 was timeout-killed after
@@ -430,11 +440,16 @@ def _arm_watchdog():
     def fire():
         if done.wait(budget):
             return
-        print(json.dumps({
-            "metric": "utri_classified_per_sec_per_chip_subdiv9",
-            "value": 0.0, "unit": "utri/s", "vs_baseline": 0.0,
-            "error": f"bench exceeded OMM_BENCH_DEADLINE={budget:.0f}s "
-                     "(device call wedged mid-run)"}), flush=True)
+        note = (f"bench exceeded OMM_BENCH_DEADLINE={budget:.0f}s "
+                "(device call wedged mid-run)")
+        if RESULT.get("value"):
+            rec = dict(RESULT)
+            rec["truncated"] = note
+        else:
+            rec = {"metric": "utri_classified_per_sec_per_chip_subdiv9",
+                   "value": 0.0, "unit": "utri/s", "vs_baseline": 0.0,
+                   "error": note}
+        print(json.dumps(rec), flush=True)
         os._exit(1)
 
     threading.Thread(target=fire, daemon=True).start()
@@ -530,6 +545,22 @@ def main():
     rate_trim = N_TRIS * M / (sum(trimmed) / len(trimmed))
     rate_median = N_TRIS * M / sorted(times)[len(times) // 2]
 
+    # headline lands in the progressive record immediately: a wedge in a
+    # later spot can truncate the run but not erase this measurement
+    RESULT.update({
+        "metric": "utri_classified_per_sec_per_chip_subdiv9",
+        "value": round(rate, 1), "unit": "utri/s",
+        "vs_baseline": round(rate / TARGET, 3),
+        "mean_utri_per_s": round(rate_mean, 1),
+        "trimmed_mean_utri_per_s": round(rate_trim, 1),
+        "median_utri_per_s": round(rate_median, 1),
+        "rep_times_s": [round(t, 4) for t in times],
+        "bit_exact_vs_oracle": None,  # set by the parity gate below
+        "engine": engine_name,
+        "batch_tris": N_TRIS, "sub_batch": BATCH,
+        "device": str(jax.devices()[0]),
+    })
+
     # Device-dependent spots run IMMEDIATELY after the headline reps —
     # before the (long, host-only) full parity pass — and their budgets
     # count from the first successful device op, so neither probe retries
@@ -555,21 +586,44 @@ def main():
     wrapped_rate, wrapped_ok = spot(
         "wrapped", "OMM_BENCH_WRAP_BUDGET", "600",
         lambda: _spot_wrapped(tex, uv_tris, cfg))
+    RESULT.update({
+        "wrapped_utri_per_s": (round(wrapped_rate, 1)
+                               if wrapped_rate else None),
+        "wrapped_vs_clamp": (round(wrapped_rate / rate, 3)
+                             if wrapped_rate else None),
+        "wrapped_bit_exact": wrapped_ok})
     large_rate, large_ok = spot(
         "large-mesh", "OMM_BENCH_LARGE_BUDGET", "750",
         lambda: _spot_large_mesh(tex, uv_tris, cfg))
+    RESULT.update({
+        "large_mesh_utri_per_s": (round(large_rate, 1)
+                                  if large_rate else None),
+        "large_mesh_bit_exact": large_ok})
     high_rate, high_ok = spot(
         "subdiv11", "OMM_BENCH_HIGHSUBDIV_BUDGET", "850",
         lambda: _spot_highsubdiv(tex, cfg))
+    RESULT.update({
+        "subdiv11_utri_per_s": round(high_rate, 1) if high_rate else None,
+        "subdiv11_bit_exact": high_ok})
     unorm8_rate, unorm8_ok = spot(
         "unorm8", "OMM_BENCH_UNORM8_BUDGET", "950",
         lambda: _spot_unorm8(uv_tris, cfg))
+    RESULT.update({
+        "unorm8_utri_per_s": (round(unorm8_rate, 1)
+                              if unorm8_rate else None),
+        "unorm8_bit_exact": unorm8_ok})
     mixed_rate, mixed_ok = spot(
         "mixed-levels", "OMM_BENCH_MIXED_BUDGET", "1050",
         lambda: _spot_mixed_levels(tex, uv_tris))
+    RESULT.update({
+        "mixed_levels_utri_per_s": (round(mixed_rate, 1)
+                                    if mixed_rate else None),
+        "mixed_levels_bit_exact": mixed_ok})
 
     spot_multimip = bool(_spot_multimip())
     spot_nearest = bool(_spot_nearest())
+    RESULT.update({"spot_multimip_bit_exact": spot_multimip,
+                   "spot_nearest_bit_exact": spot_nearest})
 
     # Parity gate: ALL N_TRIS triangles of the final timed run vs the
     # numpy oracle — one full oracle pass, outside the timed loop.
@@ -583,6 +637,10 @@ def main():
                   f"{int((got[k] != oracle).sum())}/{M} differ",
                   file=sys.stderr)
     parity = parity_fail == 0
+    RESULT.update({
+        "bit_exact_vs_oracle": bool(parity and spot_multimip
+                                    and spot_nearest),
+        "parity_tris": f"{N_TRIS - parity_fail}/{N_TRIS}"})
 
     # Secondary metric: ONE full production bake of the same workload —
     # classification plus everything around it (pre-bake dedup, exact
@@ -614,44 +672,13 @@ def main():
     except Exception as e:
         print(f"bench: e2e bake metric skipped: {e}", file=sys.stderr)
 
-    watchdog_done.set()
-    print(json.dumps({
-        "metric": "utri_classified_per_sec_per_chip_subdiv9",
-        "value": round(rate, 1),
-        "unit": "utri/s",
-        "vs_baseline": round(rate / TARGET, 3),
-        "mean_utri_per_s": round(rate_mean, 1),
-        "trimmed_mean_utri_per_s": round(rate_trim, 1),
-        "median_utri_per_s": round(rate_median, 1),
-        "rep_times_s": [round(t, 4) for t in times],
-        "bit_exact_vs_oracle": bool(parity and spot_multimip
-                                    and spot_nearest),
-        "parity_tris": f"{N_TRIS - parity_fail}/{N_TRIS}",
-        "spot_multimip_bit_exact": spot_multimip,
-        "spot_nearest_bit_exact": spot_nearest,
-        "wrapped_utri_per_s": (round(wrapped_rate, 1)
-                               if wrapped_rate else None),
-        "wrapped_vs_clamp": (round(wrapped_rate / rate, 3)
-                             if wrapped_rate else None),
-        "wrapped_bit_exact": wrapped_ok,
-        "large_mesh_utri_per_s": (round(large_rate, 1)
-                                  if large_rate else None),
-        "large_mesh_bit_exact": large_ok,
-        "subdiv11_utri_per_s": round(high_rate, 1) if high_rate else None,
-        "subdiv11_bit_exact": high_ok,
-        "unorm8_utri_per_s": (round(unorm8_rate, 1)
-                              if unorm8_rate else None),
-        "unorm8_bit_exact": unorm8_ok,
-        "mixed_levels_utri_per_s": (round(mixed_rate, 1)
-                                    if mixed_rate else None),
-        "mixed_levels_bit_exact": mixed_ok,
-        "engine": engine_name,
-        "batch_tris": N_TRIS, "sub_batch": BATCH,
+    RESULT.update({
         "e2e_bake_s": round(e2e_s, 4) if e2e_s is not None else None,
         "e2e_bake_utri_per_s": (round(N_TRIS * M / e2e_s, 1)
-                                if e2e_s else None),
-        "device": str(jax.devices()[0]),
-    }))
+                                if e2e_s else None)})
+
+    watchdog_done.set()
+    print(json.dumps(RESULT))
     # a skipped spot (None) is not a failure; a spot that RAN and
     # diverged is
     spots_ok = all(ok is not False for ok in (

@@ -27,7 +27,7 @@ def _build() -> bool:
     for flags in (["-O3", "-march=native", "-funroll-loops"], ["-O2"]):
         try:
             r = subprocess.run(
-                ["g++", *flags, "-shared", "-fPIC", _SRC,
+                ["g++", *flags, "-pthread", "-shared", "-fPIC", _SRC,
                  "-o", _SO + ".tmp"],
                 capture_output=True, timeout=120)
             if r.returncode == 0:
