@@ -32,6 +32,24 @@ from .types import (BakeError, BakeFlags, BakeInputDesc, BakeResult, Format,
 UO = int(OpacityState.UnknownOpaque)
 UT = int(OpacityState.UnknownTransparent)
 
+
+def _bake_trace():
+    """OMM_BAKE_TRACE=1: stderr wall-clock marks for bake()'s top-level
+    stages (the e2e-vs-engine gap attribution tool; device-time breakdown
+    lives in OMM_TP_TRACE / tools/profile_chain.py)."""
+    if not os.environ.get("OMM_BAKE_TRACE"):
+        return lambda label: None
+    import sys
+    import time as _t
+    last = [_t.perf_counter()]
+
+    def mark(label):
+        now = _t.perf_counter()
+        print(f"bake_trace {label:16s} {1e3 * (now - last[0]):8.2f} ms",
+              file=sys.stderr, flush=True)
+        last[0] = now
+    return mark
+
 NO_SPECIAL_INDEX = 0  # OmmWorkItem::kNoSpecialIndex (bake_cpu_impl.cpp:456)
 
 #: shared frozen all-UnknownOpaque state arrays, one per subdivision level
@@ -884,17 +902,23 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
     """
     from .log import Logger
     log = logger or Logger()
+    mark = _bake_trace()
     opts = Options.from_flags(desc.bake_flags)
     if desc.texture is None:
         log.invalid_arg("[Invalid Argument] - ommCpuBakeInputDesc has no "
                         "texture set")
     validate_desc(desc, opts, log)
+    mark("validate")
 
     items = setup_work_items(desc, opts, log)
     validate_workload_size(desc, opts, items, log)
+    mark("setup")
 
     classify_items(desc, opts, items, backend=backend, mesh=mesh)
-    return finalize_items(desc, opts, items, allocator=allocator)
+    mark("classify")
+    res = finalize_items(desc, opts, items, allocator=allocator)
+    mark("finalize")
+    return res
 
 
 def classify_items(desc: BakeInputDesc, opts: Options,
@@ -907,6 +931,7 @@ def classify_items(desc: BakeInputDesc, opts: Options,
     over DCN (parallel/multihost.py); per-item results are independent of
     batch composition (the bit-exactness contract), so a subset classify
     is byte-identical to the same items' states in a whole-list run."""
+    mark = _bake_trace()
     tex: Texture = desc.texture
     if sel is None:
         sel = np.ones(len(items), bool)
@@ -994,6 +1019,7 @@ def classify_items(desc: BakeInputDesc, opts: Options,
                 items[i].states = st
                 sharded_done.add(i)
 
+    mark("  cls:prep")
     for i, it in enumerate(items):
         if i in sharded_done or not sel[i]:
             continue
@@ -1001,6 +1027,7 @@ def classify_items(desc: BakeInputDesc, opts: Options,
                                          it.subdivision_level, it.states)
         if st is not it.states:  # identity (no SAT): keep _fresh valid
             it.states = st
+    mark("  cls:coarse")
 
     def _device_eligible(i, it):
         return (classify is not None and not cfg.disable_fine
@@ -1069,6 +1096,7 @@ def classify_items(desc: BakeInputDesc, opts: Options,
                 for bi, (i, st) in enumerate(zip(c, res)):
                     items[i].states = st
                     items[i].post = pd.get(bi)
+        mark("  cls:pipeline")
 
     sharded_items = {id(items[i]) for i in sharded_done}
 
@@ -1120,6 +1148,7 @@ def classify_items(desc: BakeInputDesc, opts: Options,
             st = _fine(i, items[i])
             if st is not items[i].states:  # identity keeps the post cache
                 items[i].states = st
+    mark("  cls:fine")
 
 
 def finalize_items(desc: BakeInputDesc, opts: Options,
@@ -1129,8 +1158,10 @@ def finalize_items(desc: BakeInputDesc, opts: Options,
     couple across ALL work items (dedup maps, the compress budget sort),
     so the exact bake farm replays this tail once over the gathered
     global item list (parallel/multihost.merge_exact)."""
+    mark = _bake_trace()
     promote_special_indices(desc, opts, items)
     deduplicate_exact(opts, items)
+    mark("  promote+dedup")
     changed = deduplicate_similar_lsh(desc, opts, items, iterations=3)
     changed |= deduplicate_similar_brute_force(opts, items)
     promote_special_indices(desc, opts, items)
@@ -1142,8 +1173,12 @@ def finalize_items(desc: BakeInputDesc, opts: Options,
         # unconditionally, but they observably do nothing then)
         deduplicate_exact(opts, items)
         promote_special_indices(desc, opts, items)
+    mark("  lsh+compress")
 
     arr_hist, idx_hist = create_usage_histograms(items)
     order = micromap_spatial_sort(items)
-    return serialize_result(desc, items, arr_hist, idx_hist, order,
-                            allocator=allocator)
+    mark("  hist+morton")
+    res = serialize_result(desc, items, arr_hist, idx_hist, order,
+                           allocator=allocator)
+    mark("  serialize")
+    return res
