@@ -297,20 +297,28 @@ def _spot_large_mesh(tex, uv_tris, cfg):
 
 
 def _spot_highsubdiv(tex, cfg):
-    """Subdiv-11 spot: ONE triangle at 4.2M µtri — the compute-shader
-    path's scale class (reference allows 12, omm.h:436-440 +
-    bake_gpu_impl.cpp:253-267; the HW-raster path stops at 9).  Full
-    bit-exact parity vs the numpy oracle.  Returns (rate, parity_ok)."""
+    """Subdiv-11 spot: 4 triangles at 4.2M µtri each (16.7M total) — the
+    compute-shader path's scale class (reference allows 12, omm.h:436-440
+    + bake_gpu_impl.cpp:253-267; the HW-raster path stops at 9).  Two
+    pipelined 2-item sub-batches so the fixed link round-trip overlaps
+    device work like every production shape (a single 1-item batch is
+    two bare syncs — it measures the tunnel, not the engine).  Full
+    bit-exact parity vs the numpy oracle on one triangle.  Returns
+    (rate, parity_ok)."""
     import omm_tpu as omm
     from omm_tpu import engine
     from omm_tpu.kernels import twophase as tp
 
     sub = 11
     M = omm.get_num_micro_triangles(sub)
-    tri = np.array([[0.05, 0.1], [0.1, 0.8], [0.75, 0.7]], np.float32)
+    base = np.array([[0.05, 0.1], [0.1, 0.8], [0.75, 0.7]], np.float32)
+    tris = [base + np.float32(0.02) * k for k in range(4)]
 
     def run():
-        return tp.classify_work_items_batch(tex, cfg, [(tri, None)], sub)[0]
+        outs = tp.classify_work_items_batches(
+            tex, cfg, [[(t, None) for t in tris[:2]],
+                       [(t, None) for t in tris[2:]]], sub)
+        return [st for b in outs for st in b]
 
     got = run()  # compile + caps
     got = run()
@@ -319,9 +327,9 @@ def _spot_highsubdiv(tex, cfg):
         t0 = time.perf_counter()
         got = run()
         times.append(time.perf_counter() - t0)
-    want = engine.resample_fine_item(tex, cfg, tri, sub,
+    want = engine.resample_fine_item(tex, cfg, tris[0], sub,
                                      np.full(M, 3, np.uint8))
-    return M / min(times), bool((got == want).all())
+    return 4 * M / min(times), bool((got[0] == want).all())
 
 
 def _spot_unorm8(uv_tris, cfg_base):

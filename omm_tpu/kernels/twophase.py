@@ -832,7 +832,7 @@ class _BatchCtx:
         return a
 
     def __init__(self, texture, cfg, items, subdiv, fast, out,
-                 all_active=None, precomp=None):
+                 all_active=None, precomp=None, want_post=True):
         self.texture = texture
         self.cfg = cfg
         self.items = items
@@ -840,6 +840,10 @@ class _BatchCtx:
         self.fast = fast
         self.out = out
         self.post = {}  # item idx -> (states3 digest, uniform value)
+        # the fused digest/uniform pass re-reads every reconstructed byte
+        # (~11 ms per 128-item subdiv-9 batch on a 1-core host); callers
+        # that never consume posts (pure classification) skip it
+        self.want_post = want_post
         self.M = get_num_micro_triangles(subdiv)
         # precomp: the caller's one vectorized pass over ITS WHOLE fast
         # set ({lg, levels, HW, HWl}); window maxima over a superset are
@@ -1005,7 +1009,7 @@ class _BatchCtx:
             # fused post pass while rec is cache-warm: per-row exact-dedup
             # digest + uniform value for rows returned as-is (rows merged
             # into prior states change bytes, so no cached post for them)
-            post = native.row_post(rec)
+            post = native.row_post(rec) if self.want_post else None
             self.post = {}
             for t, i in enumerate(self.fast):
                 if self.all_active or self.items[i][1] is None:
@@ -1481,7 +1485,8 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
     for (items, out, todo, mins), fast in zip(routed, fast_lists):
         ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out,
                         all_active=all(mins[i] == UO for i in fast),
-                        precomp=precomp) \
+                        precomp=precomp,
+                        want_post=post_out is not None) \
             if fast else None
         _mark(f"ctx{len(ctxs)}")
         ctxs.append(ctx)
