@@ -267,6 +267,7 @@ def _spot_large_mesh(tex, uv_tris, cfg):
 
     M = omm.get_num_micro_triangles(SUBDIV)
     tris = [uv_tris[k % N_TRIS] for k in range(1024)]
+    packed = os.environ.get("OMM_BENCH_PACKED", "1") != "0"
     prev = os.environ.get("OMM_TP_FETCH_CHUNKS")
     os.environ["OMM_TP_FETCH_CHUNKS"] = "4"
     try:
@@ -274,7 +275,7 @@ def _spot_large_mesh(tex, uv_tris, cfg):
             batches = [[(t, None) for t in tris[k:k + BATCH]]
                        for k in range(0, len(tris), BATCH)]
             return [st for b in tp.classify_work_items_batches(
-                tex, cfg, batches, SUBDIV) for st in b]
+                tex, cfg, batches, SUBDIV, packed_out=packed) for st in b]
 
         got = run()
         got = run()
@@ -290,7 +291,8 @@ def _spot_large_mesh(tex, uv_tris, cfg):
             os.environ["OMM_TP_FETCH_CHUNKS"] = prev
     UO = int(omm.OpacityState.UnknownOpaque)
     parity = all(
-        (got[k] == engine.resample_fine_item(
+        ((got[k].unpack() if isinstance(got[k], tp.PackedStates)
+          else got[k]) == engine.resample_fine_item(
             tex, cfg, tris[k], SUBDIV, np.full(M, UO, np.uint8))).all()
         for k in range(0, 1024, 128))
     return len(tris) * M / min(times), parity
@@ -510,11 +512,23 @@ def main():
         return [[(t, None) for t in uv_tris[k:k + BATCH]]
                 for k in range(0, N_TRIS, BATCH)]
 
-    engine_name = "twophase_hier_pallas_pipelined"
+    # Packed output (default): the engine returns serialize-ready OC1
+    # 2-bit rows — the same artifact the reference GPU baker's dispatch
+    # writes to its output buffer (omm-gpu.h arrayData) — instead of
+    # materializing unpacked 4^N-byte arrays host-side.  The parity gate
+    # unpacks OUTSIDE the timed loop.  OMM_BENCH_PACKED=0 restores the
+    # unpacked-return measurement.
+    packed = os.environ.get("OMM_BENCH_PACKED", "1") != "0"
+    engine_name = ("twophase_hier_pallas_pipelined_packed" if packed
+                   else "twophase_hier_pallas_pipelined")
+
+    def _unpack_all(lst):
+        return [st.unpack() if isinstance(st, tp.PackedStates) else st
+                for st in lst]
 
     def run_batch():
         outs = tp.classify_work_items_batches(tex, cfg, fresh_batches(),
-                                              SUBDIV)
+                                              SUBDIV, packed_out=packed)
         return [st for batch in outs for st in batch]
 
     try:
@@ -635,6 +649,7 @@ def main():
 
     # Parity gate: ALL N_TRIS triangles of the final timed run vs the
     # numpy oracle — one full oracle pass, outside the timed loop.
+    got = _unpack_all(got)
     parity_fail = 0
     for k in range(N_TRIS):
         oracle = engine.resample_fine_item(tex, cfg, uv_tris[k], SUBDIV,

@@ -68,7 +68,14 @@ def _fresh_template(level: int) -> np.ndarray:
 
 @dataclass
 class WorkItem:
-    """OmmWorkItem (bake_cpu_impl.cpp:436-462)."""
+    """OmmWorkItem (bake_cpu_impl.cpp:436-462).
+
+    `states` is a property (attached below the class): the device engine
+    can hand back a serialize-ready PackedStates (sequential 2-bit rows,
+    kernels/twophase.PackedStates) via set_packed_states(); the (4^N,)
+    uint8 array then materializes lazily on first read, so the packed
+    fast path (dedup by post digest, promotion by post uniform, blob
+    memcpy in serialize_result) never touches the unpacked bytes."""
 
     subdivision_level: int
     vm_format: Format
@@ -91,13 +98,14 @@ class WorkItem:
             # The cache is only valid while `states` stays byte-identical;
             # reassignment invalidates it above, and in-place writes must
             # fail loudly rather than leave a stale digest live.
-            s = self.__dict__.get("states")
+            s = self.__dict__.get("_states")
             if s is not None:
                 s.flags.writeable = False
         object.__setattr__(self, name, value)
 
     def __post_init__(self):
-        if self.states is None:
+        if self.__dict__.get("_states") is None \
+                and self.__dict__.get("_packed2") is None:
             # provably all-UnknownOpaque and untouched: lets the bake
             # pass `states=None` to the classify engine (its declared
             # fresh-item form — no per-item min() scan); any later
@@ -111,12 +119,51 @@ class WorkItem:
             self.states = _fresh_template(self.subdivision_level)
             object.__setattr__(self, "_fresh", True)
 
+    def set_packed_states(self, packed, post: tuple | None = None):
+        """Install a PackedStates result (+ its fused post cache): the
+        canonical bytes are the packed rows until someone reads .states,
+        which materializes (and freezes) the unpacked array."""
+        self.states = None            # clears post/_fresh via the hook
+        self.__dict__["_packed2"] = packed
+        if post is not None:
+            self.post = post
+
+    def packed2(self):
+        """The serialize-ready sequential 2-bit rows, or None.  Valid
+        whenever present: any states reassignment clears it, and the
+        lazily-materialized array is frozen, so the packed bytes always
+        mirror the logical states."""
+        return self.__dict__.get("_packed2")
+
     def has_special_index(self) -> bool:
         return self.special_index != NO_SPECIAL_INDEX
 
     def states3(self) -> np.ndarray:
         """3-state view: UT==UO (OmmArrayDataView, bake_cpu_impl.cpp:374-377)."""
         return np.where(self.states == UT, np.uint8(UO), self.states)
+
+
+def _workitem_states_get(self):
+    d = self.__dict__
+    s = d.get("_states")
+    if s is None:
+        pk = d.get("_packed2")
+        if pk is not None:
+            s = pk.unpack()
+            # frozen like the post-cache contract: consumers copy before
+            # mutating, and the packed rows stay authoritative
+            s.flags.writeable = False
+            d["_states"] = s
+    return s
+
+
+def _workitem_states_set(self, value):
+    d = self.__dict__
+    d["_states"] = value
+    d["_packed2"] = None
+
+
+WorkItem.states = property(_workitem_states_get, _workitem_states_set)
 
 
 def split_tail_light(seq, schedule):
@@ -417,13 +464,19 @@ def promote_special_indices(desc: BakeInputDesc, opts: Options,
     for it in items:
         if it.has_special_index():
             continue
-        st = it.states
+        # decide from the fused post cache when present so packed device
+        # results never materialize their (4^N,) arrays on this pass
         u = it.post[1] if it.post is not None \
-            else native.all_uniform_u8(st)
-        all_equal = (u >= 0) if u is not None \
-            else bool((st == st[0]).all())
-        common = int(st[0])
+            else native.all_uniform_u8(it.states)
+        if u is not None:
+            all_equal = u >= 0
+            common = int(u) if all_equal else UO
+        else:
+            st = it.states
+            all_equal = bool((st == st[0]).all())
+            common = int(st[0])
         if not all_equal and desc.rejection_threshold > 0.0:
+            st = it.states
             known = int(np.count_nonzero((st == 0) | (st == 1)))
             if known / float(len(st)) < desc.rejection_threshold:
                 all_equal = True
@@ -817,6 +870,13 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
             M = get_num_micro_triangles(it.subdivision_level)
             stride = max((M * bit_count) >> 3, 1)
             bits = 1 if it.vm_format == Format.OC1_2_State else 2
+            pk = it.packed2()
+            if pk is not None and bits == 2 and len(pk.packed) == stride:
+                # device engine already produced the blob bytes
+                # (PackedStates rows ARE the OC1_4_State layout)
+                array_data[offset:offset + stride] = pk.packed
+                offset += stride
+                continue
             # collect, then pack the whole blob in ONE native call;
             # packed length always equals the stride (M is a power of 4)
             st = np.ascontiguousarray(it.states, dtype=np.uint8)
@@ -1054,6 +1114,7 @@ def classify_items(desc: BakeInputDesc, opts: Options,
                 for i, st in zip(idxs, res):
                     items[i].states = st
 
+    device_done: set[int] = set()
     if backend == "pallas":
         # Batch all device-eligible work items per subdivision level
         # through the hierarchical two-phase engine (one device pipeline,
@@ -1080,6 +1141,7 @@ def classify_items(desc: BakeInputDesc, opts: Options,
         # non-overlapped tail, so a small last batch trims it
         sub_env = os.environ.get("OMM_BAKE_SUBBATCH", "0")
         schedule = [int(s) for s in sub_env.split(",") if int(s or 0) > 0]
+        from .kernels.twophase import PackedStates
         for level, idxs in by_level.items():
             per_item = get_num_micro_triangles(level)
             chunks = split_tail_light(
@@ -1091,11 +1153,18 @@ def classify_items(desc: BakeInputDesc, opts: Options,
                        for c in chunks]
             posts: list = []
             outs = classify_work_items_batches(tex, cfg, batches, level,
-                                               post_out=posts)
+                                               post_out=posts,
+                                               packed_out=True)
             for c, res, pd in zip(chunks, outs, posts):
                 for bi, (i, st) in enumerate(zip(c, res)):
-                    items[i].states = st
-                    items[i].post = pd.get(bi)
+                    if isinstance(st, PackedStates):
+                        # serialize-ready rows; the (M,) array stays
+                        # unmaterialized unless someone reads .states
+                        items[i].set_packed_states(st, pd.get(bi))
+                    else:
+                        items[i].states = st
+                        items[i].post = pd.get(bi)
+                    device_done.add(i)
         mark("  cls:pipeline")
 
     sharded_items = {id(items[i]) for i in sharded_done}
@@ -1103,8 +1172,6 @@ def classify_items(desc: BakeInputDesc, opts: Options,
     def _fine(i, it):
         if id(it) in sharded_items:
             return it.states  # classified by the sharded pipeline
-        if backend == "pallas" and _device_eligible(i, it):
-            return it.states  # already classified by the batched engine
         if _device_eligible(i, it):
             return classify(tex, cfg, it.uv_tri, it.subdivision_level,
                             it.states)
@@ -1132,7 +1199,9 @@ def classify_items(desc: BakeInputDesc, opts: Options,
     # EnableInternalThreads analog (the reference's OpenMP work-item loop,
     # bake_cpu_impl.cpp:735,833): thread over work items on the host
     # backend — the vectorized numpy stages release the GIL.
-    mine = [i for i in range(len(items)) if sel[i]]
+    # Items already classified by the batched device engine are skipped
+    # WITHOUT reading .states (a read would materialize packed results).
+    mine = [i for i in range(len(items)) if sel[i] and i not in device_done]
     if (opts.enable_internal_threads and backend == "numpy"
             and len(mine) > 1):
         import concurrent.futures as cf

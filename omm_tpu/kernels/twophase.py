@@ -819,6 +819,25 @@ def _fast_path_ok(texture: Texture, cfg, uv_tri: np.ndarray,
     return True
 
 
+class PackedStates:
+    """A classified item's states in serialize's sequential 2-bit
+    OC1_4_State layout (state j in byte j>>2 at shift (j&3)*2) — the
+    packed-direct replay's output form.  The bake memcpys `packed`
+    straight into the result blob; WorkItem.states materializes the
+    (M,) uint8 array lazily for consumers that need bytes (LSH, merge,
+    stats, debug)."""
+
+    __slots__ = ("packed", "M")
+
+    def __init__(self, packed: np.ndarray, M: int):
+        self.packed = packed
+        self.M = M
+
+    def unpack(self) -> np.ndarray:
+        from .. import native
+        return native.unpack_2bit_seq(self.packed, self.M)
+
+
 class _BatchCtx:
     """Host-side preparation of one fast-path batch (no device work)."""
 
@@ -832,7 +851,8 @@ class _BatchCtx:
         return a
 
     def __init__(self, texture, cfg, items, subdiv, fast, out,
-                 all_active=None, precomp=None, want_post=True):
+                 all_active=None, precomp=None, want_post=True,
+                 want_packed=False):
         self.texture = texture
         self.cfg = cfg
         self.items = items
@@ -844,6 +864,10 @@ class _BatchCtx:
         # (~11 ms per 128-item subdiv-9 batch on a 1-core host); callers
         # that never consume posts (pure classification) skip it
         self.want_post = want_post
+        # packed-direct replay: out[i] becomes a PackedStates (the
+        # serialize-ready 2-bit rows; ~8x less replay time than the
+        # unpacked (T, M) materialization).  All-active batches only.
+        self.want_packed = want_packed
         self.M = get_num_micro_triangles(subdiv)
         # precomp: the caller's one vectorized pass over ITS WHOLE fast
         # set ({lg, levels, HW, HWl}); window maxima over a superset are
@@ -1001,6 +1025,19 @@ class _BatchCtx:
         hdr = 4 * (m + 2 + len(self.mips))
 
         from .. import native
+        if self.want_packed and self.all_active:
+            pk = native.reconstruct_packed(
+                buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K, K_cap,
+                int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le))
+            if pk is not None:
+                post = (native.row_post_packed(pk, M)
+                        if self.want_post else None)
+                self.post = {}
+                for t, i in enumerate(self.fast):
+                    self.out[i] = PackedStates(pk[t], M)
+                    if post is not None:
+                        self.post[i] = (int(post[0][t]), int(post[1][t]))
+                return
         rec = native.reconstruct_states(
             buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K, K_cap,
             int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le),
@@ -1313,7 +1350,8 @@ TRACE: list = []
 
 
 def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
-                                post_out: list | None = None):
+                                post_out: list | None = None,
+                                packed_out: bool = False):
     """Classify several batches, pipelined: all speculative device chains
     are enqueued up-front so each batch's result fetch overlaps the next
     batches' device execution.  Returns a list of per-batch state lists.
@@ -1322,7 +1360,13 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
     index -> (states3 digest, uniform value) for items whose post pass
     ran fused with the C++ payload replay (native.row_post) — the bake
     tail's exact-dedup and promotion reuse these instead of re-scanning
-    each 4^N-byte state array."""
+    each 4^N-byte state array.
+
+    packed_out: opt-in; ALL-ACTIVE fast-path items come back as
+    PackedStates (serialize-ready sequential 2-bit rows — the replay
+    writes 4x less memory and the bake never materializes the unpacked
+    arrays).  Items on slow/fallback paths still return (M,) uint8
+    arrays — callers must handle both forms."""
     import os
     import time as _time
 
@@ -1486,7 +1530,8 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
         ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out,
                         all_active=all(mins[i] == UO for i in fast),
                         precomp=precomp,
-                        want_post=post_out is not None) \
+                        want_post=post_out is not None,
+                        want_packed=packed_out) \
             if fast else None
         _mark(f"ctx{len(ctxs)}")
         ctxs.append(ctx)

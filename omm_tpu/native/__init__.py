@@ -95,6 +95,16 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
             ctypes.c_uint8, ctypes.c_uint8, u8p, i32p, ctypes.c_int64,
             u8p]
+        lib.omm_reconstruct_packed.restype = None
+        lib.omm_reconstruct_packed.argtypes = [
+            u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
+            ctypes.c_uint8, ctypes.c_uint8, i32p, ctypes.c_int64, u8p]
+        lib.omm_row_post_packed.restype = None
+        lib.omm_row_post_packed.argtypes = [u8p, ctypes.c_int64,
+                                            ctypes.c_int64, u64p, i32p]
+        lib.omm_unpack_2bit_seq.restype = None
+        lib.omm_unpack_2bit_seq.argtypes = [u8p, ctypes.c_size_t, u8p]
         _LIB = lib
         return _LIB
 
@@ -300,6 +310,85 @@ def row_post(block):
                      dig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
                      uni.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return dig, uni
+
+
+def reconstruct_packed(buf, hdr: int, levels, T: int, subdiv: int,
+                       Cs, Cs_cap, K: int, K_cap: int,
+                       st_gt: int, st_le: int):
+    """Packed-direct replay: same descent as reconstruct_states but
+    returns (T, M/4) uint8 rows in serialize's sequential 2-bit
+    OC1_4_State layout (state j in byte j>>2 at shift (j&3)*2) — 4x less
+    memory written, and the bake memcpys rows straight into the result
+    blob.  ALL-ACTIVE batches only (no prior-state merge).  Returns None
+    when the native library is unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "omm_reconstruct_packed"):
+        return None
+    levels = list(levels)
+    m = len(levels) - 1
+    M = 1 << (2 * subdiv)
+    N0 = 1 << (2 * levels[0])
+    sizes = [T * N0] + [int(Cs_cap[i]) * 4 ** (levels[i + 1] - levels[i])
+                        for i in range(m)]
+    offs = np.empty(m + 1, np.int64)
+    o = hdr
+    for i, s in enumerate(sizes):
+        offs[i] = o
+        o += s // 4
+    final_off = o
+    max_nodes = max(sizes)
+    scratch = np.empty(4 * max_nodes, np.int32)
+    out = np.empty(T * (M >> 2), np.uint8)
+    b = np.ascontiguousarray(buf, np.uint8)
+    lv = np.asarray(levels, np.int32)
+    cs = np.asarray(Cs, np.int32)
+    cc = np.asarray(Cs_cap, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.omm_reconstruct_packed(
+        _u8ptr(b), offs.ctypes.data_as(i64p), ctypes.c_int64(final_off),
+        lv.ctypes.data_as(i32p), m + 1, T, subdiv,
+        cs.ctypes.data_as(i32p), cc.ctypes.data_as(i32p),
+        min(int(K), int(K_cap)), ctypes.c_uint8(st_gt),
+        ctypes.c_uint8(st_le),
+        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(out))
+    return out.reshape(T, M >> 2)
+
+
+def row_post_packed(packed, M: int):
+    """row_post over PACKED rows: (rows, M/4) sequential-2-bit block ->
+    per-row (3-state digest, uniform value), digests byte-identical to
+    states3_digest of the unpacked rows.  Returns None when the native
+    library is unavailable."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "omm_row_post_packed"):
+        return None
+    b = np.ascontiguousarray(packed, dtype=np.uint8)
+    rows = b.shape[0]
+    dig = np.empty(rows, np.uint64)
+    uni = np.empty(rows, np.int32)
+    lib.omm_row_post_packed(
+        _u8ptr(b), rows, M,
+        dig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        uni.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return dig, uni
+
+
+def unpack_2bit_seq(packed, M: int):
+    """Sequential 2-bit unpack (inverse of reconstruct_packed rows):
+    lazy materialization of WorkItem.states.  numpy fallback when the
+    native library is unavailable."""
+    import numpy as np
+    p = np.ascontiguousarray(packed, np.uint8)
+    lib = get_lib()
+    out = np.empty(M, np.uint8)
+    if lib is not None and hasattr(lib, "omm_unpack_2bit_seq"):
+        lib.omm_unpack_2bit_seq(_u8ptr(p), M, _u8ptr(out))
+        return out
+    idx = np.arange(M)
+    return ((p[idx >> 2] >> ((idx & 3) << 1)) & 3).astype(np.uint8)
 
 
 def xxh64(data: bytes, seed: int = 0) -> int:

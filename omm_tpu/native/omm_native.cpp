@@ -404,6 +404,10 @@ void omm_unpack_2bit_strided(const uint8_t* packed, size_t q, size_t m,
 // 256-entry LUT turns each packed side byte into 4 output states, and
 // the final level streams parent-wise (E contiguous child bytes per
 // parent) instead of materializing expanded node lists.
+// omm_reconstruct_packed below is the same walk emitting the
+// SERIALIZE-READY sequential 2-bit OC1 rows instead (4x less memory
+// written; the bake consumes them without ever materializing the
+// unpacked 4^N-byte arrays).
 //
 // buf: payload bytes; side stream i starts at side_off[i] (2-bit packed,
 // value 0..2 maps to side -1/0/+1); the finals stream (2-bit states)
@@ -557,6 +561,264 @@ void omm_reconstruct_states(
         }
     }
     #undef SIDE
+}
+
+// Packed-direct replay: identical descent to omm_reconstruct_states but
+// the output is each row's SEQUENTIAL 2-bit pack (state j in byte j>>2
+// at shift (j&3)*2 — exactly serialize's OC1_4_State layout,
+// bake_cpu_impl.cpp:1802-1819), so the bake can memcpy rows straight
+// into the result blob and never materialize the 4^N-byte arrays.
+// Restricted by the caller to the all-active case (no prior-state
+// merge).  All span boundaries are byte-aligned: every level's span is
+// a power of 4 and node offsets are span-multiples.
+void omm_reconstruct_packed(
+    const uint8_t* buf, const int64_t* side_off, int64_t final_off,
+    const int32_t* levels, int32_t nlevels, int32_t T, int32_t subdiv,
+    const int32_t* Cs, const int32_t* Cs_cap, int32_t K,
+    uint8_t st_gt, uint8_t st_le,
+    int32_t* scratch, int64_t max_nodes, uint8_t* out) {
+    const int m = nlevels - 1;
+    const int64_t M = (int64_t)1 << (2 * subdiv);
+    const int64_t N0 = (int64_t)1 << (2 * levels[0]);
+    const uint8_t smap[3] = {st_le, 0, st_gt};  // side -1/0/+1
+    // repeat a 2-bit state across a byte (4 states/byte)
+    const uint8_t sfill[3] = {(uint8_t)(st_le * 0x55u), 0,
+                              (uint8_t)(st_gt * 0x55u)};
+
+    // side byte (4 x 2-bit raw sides) -> packed byte of 4 mapped states
+    uint8_t plut[256];
+    for (int b = 0; b < 256; ++b) {
+        uint8_t v = 0;
+        for (int k = 0; k < 4; ++k)
+            v |= (uint8_t)(smap[(b >> (2 * k)) & 3] << (2 * k));
+        plut[b] = v;
+    }
+
+    #define SIDE(i, j) \
+        ((int)((buf[side_off[i] + ((j) >> 2)] >> (((j) & 3) * 2)) & 3) - 1)
+
+    const int64_t span0 = M / N0;          // power of 4
+    const int64_t total0 = (int64_t)T * N0;
+    const uint8_t* s0 = buf + side_off[0];
+    int32_t* cur_t = scratch;
+    int32_t* cur_n = scratch + max_nodes;
+    int32_t* nxt_t = scratch + 2 * max_nodes;
+    int32_t* nxt_n = scratch + 3 * max_nodes;
+    int64_t cnt = 0;
+    if (span0 == 1) {
+        // levels[0] == subdiv: out IS the side stream mapped bytewise
+        int64_t nb = total0 >> 2;
+        for (int64_t q = 0; q < nb; ++q) {
+            uint8_t b = s0[q];
+            out[q] = plut[b];
+            uint8_t z = (uint8_t)(b & ~(b >> 1) & 0x55);
+            while (z) {
+                int k = __builtin_ctz(z) >> 1;
+                z = (uint8_t)(z & (z - 1));
+                int64_t j = 4 * q + k;
+                cur_t[cnt] = (int32_t)(j / N0);
+                cur_n[cnt] = (int32_t)(j % N0);
+                ++cnt;
+            }
+        }
+        for (int64_t j = 4 * nb; j < total0; ++j) {
+            int s = SIDE(0, j);
+            out[j >> 2] = (uint8_t)(
+                (out[j >> 2] & ~(3u << ((j & 3) * 2)))
+                | ((uint32_t)smap[s + 1] << ((j & 3) * 2)));
+            if (s == 0) {
+                cur_t[cnt] = (int32_t)(j / N0);
+                cur_n[cnt] = (int32_t)(j % N0);
+                ++cnt;
+            }
+        }
+    } else {
+        // span0 >= 4: each node is span0/4 contiguous packed bytes
+        const int64_t sb = span0 >> 2;
+        for (int64_t j = 0; j < total0; ++j) {
+            int s = SIDE(0, j);
+            memset(out + j * sb, sfill[s + 1], (size_t)sb);
+            if (s != 0) continue;
+            cur_t[cnt] = (int32_t)(j / N0);
+            cur_n[cnt] = (int32_t)(j % N0);
+            ++cnt;
+        }
+    }
+
+    int64_t prev_cnt = cnt;
+    for (int i = 1; i <= m; ++i) {
+        const int E = 1 << (2 * (levels[i] - levels[i - 1]));  // >= 4
+        int64_t Ci = Cs[i - 1] < Cs_cap[i - 1] ? Cs[i - 1] : Cs_cap[i - 1];
+        if (Ci > prev_cnt) Ci = prev_cnt;
+        const int64_t li_n = (int64_t)1 << (2 * levels[i]);
+        const int64_t span = M / li_n;     // power of 4
+        const uint8_t* si = buf + side_off[i];
+        if (i < m) {
+            const int64_t sb = span >> 2;  // span >= 16 mid-descent
+            int64_t w = 0;
+            for (int64_t p = 0; p < Ci; ++p) {
+                const int64_t pt = cur_t[p];
+                const int64_t pn0 = (int64_t)cur_n[p] * E;
+                const uint8_t* sp = si + ((p * (int64_t)E) >> 2);
+                // byte offset = node_index * span / 4 (span >= 16 is a
+                // power of 4, so the product is always byte-aligned —
+                // divide AFTER multiplying)
+                uint8_t* op = out + (((pt * li_n + pn0) * span) >> 2);
+                for (int eb = 0; eb < E >> 2; ++eb) {
+                    uint8_t b = sp[eb];
+                    for (int k = 0; k < 4; ++k)
+                        memset(op + (4 * eb + k) * sb,
+                               sfill[(b >> (2 * k)) & 3], (size_t)sb);
+                    uint8_t z = (uint8_t)(b & ~(b >> 1) & 0x55);
+                    while (z) {
+                        int k = __builtin_ctz(z) >> 1;
+                        z = (uint8_t)(z & (z - 1));
+                        nxt_t[w] = (int32_t)pt;
+                        nxt_n[w] = (int32_t)(pn0 + 4 * eb + k);
+                        ++w;
+                    }
+                }
+            }
+            prev_cnt = w;
+            int32_t* tmp;
+            tmp = cur_t; cur_t = nxt_t; nxt_t = tmp;
+            tmp = cur_n; cur_n = nxt_n; nxt_n = tmp;
+        } else {
+            // final level (span == 1): E children = E/4 packed bytes per
+            // parent via plut, then survivor finals RMW'd in scan order
+            const uint8_t* fin = buf + final_off;
+            int64_t fc = 0;
+            for (int64_t p = 0; p < Ci; ++p) {
+                const int64_t base =
+                    (int64_t)cur_t[p] * M + (int64_t)cur_n[p] * E;
+                const uint8_t* sp = si + ((p * (int64_t)E) >> 2);
+                uint8_t* op = out + (base >> 2);
+                for (int eb = 0; eb < E >> 2; ++eb) {
+                    uint8_t b = sp[eb];
+                    uint8_t v = plut[b];
+                    uint8_t z = (uint8_t)(b & ~(b >> 1) & 0x55);
+                    while (z) {
+                        int k = __builtin_ctz(z) >> 1;
+                        z = (uint8_t)(z & (z - 1));
+                        if (fc >= K) continue;
+                        uint8_t st = (uint8_t)(
+                            (fin[fc >> 2] >> ((fc & 3) * 2)) & 3);
+                        ++fc;
+                        v = (uint8_t)((v & ~(3u << (2 * k)))
+                                      | ((uint32_t)st << (2 * k)));
+                    }
+                    op[eb] = v;
+                }
+            }
+        }
+    }
+    #undef SIDE
+}
+
+// Per-row exact-dedup digest + uniform value from PACKED rows: XXH64
+// over the UNPACKED 3-state byte sequence (identical to
+// omm_states3_xxh64 of the materialized array) computed by expanding
+// each packed byte into 4 remapped bytes through a LUT into a 32-byte
+// stripe buffer — reads M/4 bytes per row instead of M.
+void omm_row_post_packed(const uint8_t* packed, int64_t rows, int64_t M,
+                         uint64_t* dig, int32_t* uni) {
+    // packed byte -> 4 unpacked 3-state bytes (UT==2 reads as UO==3)
+    uint32_t xlut[256];
+    for (int b = 0; b < 256; ++b) {
+        uint32_t v = 0;
+        for (int k = 0; k < 4; ++k) {
+            uint8_t s = (uint8_t)((b >> (2 * k)) & 3);
+            s = (uint8_t)(s | ((s >> 1) & 1));
+            v |= (uint32_t)s << (8 * k);
+        }
+        xlut[b] = v;
+    }
+    const int64_t Q = (M + 3) >> 2;
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* p = packed + r * Q;
+        // uniform check on the packed row (pattern = s * 0x55)
+        uint8_t first = (uint8_t)(p[0] & 3);
+        uint8_t pat = (uint8_t)(first * 0x55u);
+        int uniform = 1;
+        for (int64_t q = 0; q < Q; ++q)
+            if (p[q] != pat) { uniform = 0; break; }
+        uni[r] = uniform ? (int32_t)first : -1;
+        // streaming XXH64 over the expanded 3-state bytes
+        uint64_t h;
+        if (M >= 32) {
+            uint64_t v1 = 0 + P1 + P2, v2 = 0 + P2, v3 = 0,
+                     v4 = 0 - P1;
+            int64_t nstripes = M / 32;
+            for (int64_t s = 0; s < nstripes; ++s) {
+                uint32_t e[8];
+                const uint8_t* pb = p + 8 * s;
+                for (int k = 0; k < 8; ++k) e[k] = xlut[pb[k]];
+                uint64_t l1, l2, l3, l4;
+                memcpy(&l1, &e[0], 8);
+                memcpy(&l2, &e[2], 8);
+                memcpy(&l3, &e[4], 8);
+                memcpy(&l4, &e[6], 8);
+                v1 = rotl64(v1 + l1 * P2, 31) * P1;
+                v2 = rotl64(v2 + l2 * P2, 31) * P1;
+                v3 = rotl64(v3 + l3 * P2, 31) * P1;
+                v4 = rotl64(v4 + l4 * P2, 31) * P1;
+            }
+            h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12)
+                + rotl64(v4, 18);
+            h = (h ^ (rotl64(v1 * P2, 31) * P1)) * P1 + P4;
+            h = (h ^ (rotl64(v2 * P2, 31) * P1)) * P1 + P4;
+            h = (h ^ (rotl64(v3 * P2, 31) * P1)) * P1 + P4;
+            h = (h ^ (rotl64(v4 * P2, 31) * P1)) * P1 + P4;
+        } else {
+            h = P5;
+        }
+        h += (uint64_t)M;
+        // tail: M % 32 expanded bytes (M is a power of 4, so the tail is
+        // 0, 4 or 16 bytes -> whole 8-byte words then a possible 4-byte)
+        int64_t done = (M / 32) * 32;
+        int64_t rem = M - done;
+        const uint8_t* pt = p + (done >> 2);
+        uint32_t e[4];
+        for (int k = 0; k < (int)(rem >> 2); ++k) e[k] = xlut[pt[k]];
+        int64_t rb = 0;
+        while (rem - rb >= 8) {
+            uint64_t l;
+            memcpy(&l, (const uint8_t*)e + rb, 8);
+            h ^= rotl64(l * P2, 31) * P1;
+            h = rotl64(h, 27) * P1 + P4;
+            rb += 8;
+        }
+        if (rem - rb >= 4) {
+            uint32_t l;
+            memcpy(&l, (const uint8_t*)e + rb, 4);
+            h ^= (uint64_t)l * P1;
+            h = rotl64(h, 23) * P2 + P3;
+            rb += 4;
+        }
+        // (single bytes impossible: M is a power of 4)
+        h ^= h >> 33;
+        h *= P2;
+        h ^= h >> 29;
+        h *= P3;
+        h ^= h >> 32;
+        dig[r] = h;
+    }
+}
+
+// Sequential 2-bit unpack (inverse of the packed replay rows /
+// serialize's OC1_4_State layout): lazy materialization of
+// WorkItem.states.
+void omm_unpack_2bit_seq(const uint8_t* packed, size_t m, uint8_t* out) {
+    size_t nb = m >> 2;
+    for (size_t q = 0; q < nb; ++q) {
+        uint8_t b = packed[q];
+        out[4 * q] = (uint8_t)(b & 3);
+        out[4 * q + 1] = (uint8_t)((b >> 2) & 3);
+        out[4 * q + 2] = (uint8_t)((b >> 4) & 3);
+        out[4 * q + 3] = (uint8_t)((b >> 6) & 3);
+    }
+    for (size_t j = 4 * nb; j < m; ++j)
+        out[j] = (uint8_t)((packed[j >> 2] >> ((j & 3) * 2)) & 3);
 }
 
 // Fused per-row post pass over a (rows, M) state block fresh out of

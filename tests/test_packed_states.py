@@ -1,0 +1,141 @@
+"""Packed-direct replay path: the device engine returns serialize-ready
+sequential 2-bit rows (kernels/twophase.PackedStates) and the bake
+consumes them without materializing the unpacked arrays.
+
+Reference semantics covered: the blob bytes must equal the per-item
+OC1_4_State pack of the classified states (bake_cpu_impl.cpp:1802-1819)
+and the exact-dedup digest must equal the 3-state XXH64 of the unpacked
+array (bake_cpu_impl.cpp:1031-1066).
+"""
+import numpy as np
+import pytest
+
+import omm_tpu as omm
+from omm_tpu import engine, native
+from omm_tpu.bake import WorkItem
+from omm_tpu.kernels import twophase as tp
+from omm_tpu.types import Format, get_num_micro_triangles
+
+from fixtures import standard_circle
+
+
+SUBDIV = 6
+
+
+def _cfg():
+    return engine.ResampleConfig(
+        addr_mode=omm.TextureAddressMode.Clamp,
+        filter=omm.TextureFilterMode.Linear, alpha_cutoff=0.5,
+        border_alpha=0.0, fmt=omm.Format.OC1_4_State,
+        promotion=omm.UnknownStatePromotion.Nearest,
+        cutoff_gt=omm.OpacityState.Opaque,
+        cutoff_le=omm.OpacityState.Transparent)
+
+
+def _tris(n, seed=3):
+    rng = np.random.RandomState(seed)
+    return [np.sort(rng.rand(3, 2).astype(np.float32) * 0.8 + 0.1, axis=0)
+            for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def tex():
+    return omm.Texture([standard_circle(256, 256)], omm.TextureFormat.FP32)
+
+
+def test_packed_out_matches_oracle_and_digest(tex):
+    cfg = _cfg()
+    tris = _tris(16)
+    M = get_num_micro_triangles(SUBDIV)
+    batch = [[(t, None) for t in tris]]
+    tp.classify_work_items_batches(tex, cfg, batch, SUBDIV)  # warm caps
+    posts = []
+    outs = tp.classify_work_items_batches(
+        tex, cfg, batch, SUBDIV, post_out=posts, packed_out=True)[0]
+    assert any(isinstance(s, tp.PackedStates) for s in outs), \
+        "speculative packed path never ran"
+    for k, s in enumerate(outs):
+        arr = s.unpack() if isinstance(s, tp.PackedStates) else s
+        want = engine.resample_fine_item(tex, cfg, tris[k], SUBDIV,
+                                         np.full(M, 3, np.uint8))
+        assert (arr == want).all(), f"tri {k}"
+        if isinstance(s, tp.PackedStates):
+            dig, uni = posts[0][k]
+            assert dig == native.states3_digest(arr)
+            u = native.all_uniform_u8(arr)
+            if u is not None:
+                assert uni == u
+
+
+def test_workitem_lazy_materialization(tex):
+    cfg = _cfg()
+    tris = _tris(4, seed=11)
+    M = get_num_micro_triangles(SUBDIV)
+    batch = [[(t, None) for t in tris]]
+    tp.classify_work_items_batches(tex, cfg, batch, SUBDIV)
+    posts = []
+    outs = tp.classify_work_items_batches(
+        tex, cfg, batch, SUBDIV, post_out=posts, packed_out=True)[0]
+    s = next(x for x in outs if isinstance(x, tp.PackedStates))
+    it = WorkItem(subdivision_level=SUBDIV, vm_format=Format.OC1_4_State,
+                  uv_tri=tris[0], primitive_indices=[0])
+    it.set_packed_states(s, (1, -1))
+    assert it.packed2() is s and it.post == (1, -1)
+    arr = it.states                      # materializes (frozen)
+    assert arr.shape == (M,) and not arr.flags.writeable
+    assert (arr == s.unpack()).all()
+    assert it.packed2() is s             # still valid: no reassignment
+    it.states = arr.copy()               # reassignment invalidates both
+    assert it.packed2() is None and it.post is None
+
+
+def test_bake_packed_blob_equals_numpy(tex):
+    tris = _tris(24, seed=7)
+    tc = np.concatenate(tris).astype(np.float32)
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=tc,
+        index_buffer=np.arange(3 * len(tris), dtype=np.uint32),
+        index_count=3 * len(tris), max_subdivision_level=SUBDIV)
+    rn = omm.bake(desc)
+    omm.bake(desc, backend="pallas")     # cold caps: sync path
+    rp = omm.bake(desc, backend="pallas")  # warm caps: packed path
+    assert bytes(rn.array_data) == bytes(rp.array_data)
+    assert rn.desc_array == rp.desc_array
+    assert (rn.index_buffer == rp.index_buffer).all()
+    assert rn.desc_array_histogram == rp.desc_array_histogram
+    assert rn.index_histogram == rp.index_histogram
+
+
+def test_native_packed_replay_parity():
+    """reconstruct_packed rows unpack to reconstruct_states bytes and
+    row_post_packed digests equal row_post over the unpacked block, for
+    several descent shapes."""
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    for (T, subdiv, levels, Cs, Cs_cap, K, K_cap, gt, le) in [
+            (8, 4, [2, 4], [300, 900], [512, 1024], 700, 1024, 0, 1),
+            (16, 6, [2, 4, 6], [500, 3000], [512, 4096], 3000, 4096, 0, 1),
+            (3, 2, [1, 2], [10], [16], 12, 64, 2, 1)]:
+        m = len(levels) - 1
+        N0 = 4 ** levels[0]
+        sizes = [T * N0] + [Cs_cap[i] * 4 ** (levels[i + 1] - levels[i])
+                            for i in range(m)]
+        total = sum(s // 4 for s in sizes) + K_cap // 4
+        hdr = 4 * (m + 2 + 1)
+        vals = rng.choice([0, 1, 2], size=4 * total,
+                          p=[0.44, 0.12, 0.44]).astype(np.uint8)
+        packed = (vals[0::4] | (vals[1::4] << 2) | (vals[2::4] << 4)
+                  | (vals[3::4] << 6))
+        buf = np.concatenate([np.zeros(hdr, np.uint8), packed])
+        M = 4 ** subdiv
+        rec = native.reconstruct_states(buf, hdr, levels, T, subdiv, Cs,
+                                        Cs_cap, K, K_cap, gt, le, None)
+        pk = native.reconstruct_packed(buf, hdr, levels, T, subdiv, Cs,
+                                       Cs_cap, K, K_cap, gt, le)
+        unp = np.stack([native.unpack_2bit_seq(pk[t], M)
+                        for t in range(T)])
+        assert (unp == rec).all()
+        dp = native.row_post_packed(pk, M)
+        dr = native.row_post(rec)
+        assert (dp[0] == dr[0]).all() and (dp[1] == dr[1]).all()
