@@ -234,20 +234,27 @@ def _spot_wrapped(tex, uv_tris, cfg_base):
     lg = tp._group_level(tex, wtris, SUBDIV)
     if not tp._fast_path_mask(tex, cfg, np.stack(wtris), SUBDIV, lg).all():
         return None, False
+    packed = os.environ.get("OMM_BENCH_PACKED", "1") != "0"
 
     def run():
-        return tp.classify_work_items_batches(
-            tex, cfg, [[(t, None) for t in wtris]], SUBDIV)[0]
+        # two pipelined sub-batches: a single batch is one bare
+        # dispatch+fetch with nothing to overlap the link tail
+        outs = tp.classify_work_items_batches(
+            tex, cfg, [[(t, None) for t in wtris[:32]],
+                       [(t, None) for t in wtris[32:]]], SUBDIV,
+            packed_out=packed)
+        return [st for b in outs for st in b]
 
     got = run()  # compile + caps
     got = run()
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         got = run()
         times.append(time.perf_counter() - t0)
     parity = all(
-        (got[k] == engine.resample_fine_item(
+        ((got[k].unpack() if isinstance(got[k], tp.PackedStates)
+          else got[k]) == engine.resample_fine_item(
             tex, cfg, wtris[k], SUBDIV, np.full(M, 3, np.uint8))).all()
         for k in range(8))
     return len(wtris) * M / min(times), parity
@@ -280,7 +287,7 @@ def _spot_large_mesh(tex, uv_tris, cfg):
         got = run()
         got = run()
         times = []
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.perf_counter()
             got = run()
             times.append(time.perf_counter() - t0)
@@ -687,7 +694,7 @@ def main():
         _omm.bake(desc, backend="pallas")
         _omm.bake(desc, backend="pallas")
         e2e_reps = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             _omm.bake(desc, backend="pallas")
             e2e_reps.append(time.perf_counter() - t0)
