@@ -1142,17 +1142,28 @@ def classify_items(desc: BakeInputDesc, opts: Options,
         sub_env = os.environ.get("OMM_BAKE_SUBBATCH", "0")
         schedule = [int(s) for s in sub_env.split(",") if int(s or 0) > 0]
         from .kernels.twophase import PackedStates
-        for level, idxs in by_level.items():
+        # ONE pipelined call across ALL levels (largest level first so
+        # the non-overlapped fetch/replay tail is the smallest work):
+        # every level's chains enqueue before any fetch drains — the
+        # reference's per-level indirect dispatches share one command
+        # stream the same way (bake_gpu_impl.cpp:992-996)
+        chunks: list = []
+        levels_per_chunk: list[int] = []
+        for level in sorted(by_level, reverse=True):
             per_item = get_num_micro_triangles(level)
-            chunks = split_tail_light(
-                idxs, schedule or
+            cs = split_tail_light(
+                by_level[level], schedule or
                 [max(1, MAX_UTRI_PER_BATCH // per_item)])
+            chunks.extend(cs)
+            levels_per_chunk.extend([level] * len(cs))
+        if chunks:
             batches = [[(items[i].uv_tri,
                          None if getattr(items[i], "_fresh", False)
                          else items[i].states) for i in c]
                        for c in chunks]
             posts: list = []
-            outs = classify_work_items_batches(tex, cfg, batches, level,
+            outs = classify_work_items_batches(tex, cfg, batches,
+                                               levels_per_chunk,
                                                post_out=posts,
                                                packed_out=True)
             for c, res, pd in zip(chunks, outs, posts):

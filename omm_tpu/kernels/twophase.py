@@ -1349,12 +1349,19 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
 TRACE: list = []
 
 
-def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
+def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
                                 post_out: list | None = None,
                                 packed_out: bool = False):
     """Classify several batches, pipelined: all speculative device chains
     are enqueued up-front so each batch's result fetch overlaps the next
     batches' device execution.  Returns a list of per-batch state lists.
+
+    subdiv: one level for every batch (int), or one level PER batch
+    (sequence) — a mixed-subdivision mesh then runs as ONE pipelined
+    call: every level's chains enqueue before any fetch drains, so the
+    fixed link tail is paid once instead of once per level (the
+    reference drives mixed levels as per-level indirect dispatches in
+    one command stream, bake_gpu_impl.cpp:992-996).
 
     post_out: optional list; receives one dict per batch mapping item
     index -> (states3 digest, uniform value) for items whose post pass
@@ -1371,6 +1378,10 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
     import time as _time
 
     from .jax_classify import classify_work_item_jax
+
+    subdivs = ([int(subdiv)] * len(batches) if np.isscalar(subdiv)
+               else [int(s) for s in subdiv])
+    assert len(subdivs) == len(batches)
 
     if os.environ.get("OMM_TP_TRACE"):
         _tb = _time.perf_counter()
@@ -1463,9 +1474,10 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
     # routing scans are cheap (fresh items scan nothing) and running
     # them up-front lets the group level, descent schedule, and
     # span-window maxima be computed ONCE over the whole call's fast
-    # set instead of once per batch — and guarantees every batch shares
-    # one jit signature (identical pads/windows), so caps/cache entries
-    # and the mega-chain always apply call-wide.
+    # set PER LEVEL instead of once per batch — and guarantees every
+    # same-level batch shares one jit signature (identical
+    # pads/windows), so caps/cache entries and the mega-chain always
+    # apply call-wide.
     routed = []  # (items, out, todo, mins)
     for items in batches:
         out = [None] * len(items)
@@ -1490,46 +1502,56 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
         routed.append((items, out, todo, mins))
         results.append(out)
 
-    all_todo_uvs = [items[i][0] for items, _, todo, _ in routed
-                    for i in todo]
-    lg = _group_level(texture, all_todo_uvs, subdiv) if all_todo_uvs \
-        else 1
-    fast_lists = []
-    fast_uvs = []
-    for (items, out, todo, mins) in routed:
+    by_level: dict[int, list[int]] = {}
+    for bi, sd in enumerate(subdivs):
+        by_level.setdefault(sd, []).append(bi)
+    lgs: dict[int, int] = {}
+    for sd, bis in by_level.items():
+        uvs = [routed[bi][0][i][0] for bi in bis
+               for i in routed[bi][2]]
+        lgs[sd] = _group_level(texture, uvs, sd) if uvs else 1
+    fast_lists = [None] * len(batches)
+    fast_uvs_lv: dict[int, list] = {sd: [] for sd in by_level}
+    for bi, ((items, out, todo, mins), sd) in enumerate(
+            zip(routed, subdivs)):
         fast = []
         if todo:
             mask = _fast_path_mask(
                 texture, cfg, np.stack([items[i][0] for i in todo]),
-                subdiv, lg)
+                sd, lgs[sd])
             for k, i in enumerate(todo):
                 if mask[k]:
                     fast.append(i)
                 else:
-                    slow.append((items, out, i))
-        fast_lists.append(fast)
-        fast_uvs.extend(items[i][0] for i in fast)
-    precomp = None
-    if fast_uvs:
-        levels = _descend_levels(texture, fast_uvs, subdiv, lg)
+                    slow.append((items, out, i, sd))
+        fast_lists[bi] = fast
+        fast_uvs_lv[sd].extend(items[i][0] for i in fast)
+    precomps: dict[int, dict | None] = {}
+    for sd, fast_uvs in fast_uvs_lv.items():
+        if not fast_uvs:
+            precomps[sd] = None
+            continue
+        lg = lgs[sd]
+        levels = _descend_levels(texture, fast_uvs, sd, lg)
         uv_all = np.stack(fast_uvs)
         HW = []
         HWl = [[] for _ in levels]
         for mip in range(texture.mip_count):
-            Hbs, Wbs = _span_windows(texture, uv_all, subdiv, mip)
+            Hbs, Wbs = _span_windows(texture, uv_all, sd, mip)
             HW.append((int(Hbs.max()), int(Wbs.max())))
             for li, lv in enumerate(levels):
                 Hls, Wls = _span_windows(texture, uv_all, lv, mip)
                 HWl[li].append((int(Hls.max()), int(Wls.max())))
-        precomp = {"lg": lg, "levels": levels, "HW": HW, "HWl": HWl}
+        precomps[sd] = {"lg": lg, "levels": levels, "HW": HW, "HWl": HWl}
     _mark("precomp")
 
     # Pass 2: build each batch's ctx and enqueue it immediately (the
     # device starts on batch 0 while later batches' ctxs build)
-    for (items, out, todo, mins), fast in zip(routed, fast_lists):
-        ctx = _BatchCtx(texture, cfg, items, subdiv, fast, out,
+    for ((items, out, todo, mins), fast, sd) in zip(routed, fast_lists,
+                                                    subdivs):
+        ctx = _BatchCtx(texture, cfg, items, sd, fast, out,
                         all_active=all(mins[i] == UO for i in fast),
-                        precomp=precomp,
+                        precomp=precomps[sd],
                         want_post=post_out is not None,
                         want_packed=packed_out) \
             if fast else None
@@ -1573,12 +1595,11 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
         _flush_chunk(cur_chunk)
     _mark("concat_enq")
 
-    M = get_num_micro_triangles(subdiv)
+    def _states_of(st, sd):
+        return np.full(get_num_micro_triangles(sd), UO, np.uint8) \
+            if st is None else st
 
-    def _states_of(st):
-        return np.full(M, UO, np.uint8) if st is None else st
-
-    def _classify_slow(uv_tri, states):
+    def _classify_slow(uv_tri, states, sd):
         """Route one non-fast-path item like bake()'s _fine does:
         classify_work_item_jax implements the linear-filter level-line
         semantics for NON-degenerate triangles only — anything else
@@ -1590,15 +1611,16 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
             if bool(geom.is_degenerate(uv_tri)):
                 from .jax_classify import classify_degenerate_device
                 return classify_degenerate_device(texture, cfg, uv_tri,
-                                                  subdiv, states)
-            return classify_work_item_jax(texture, cfg, uv_tri, subdiv,
+                                                  sd, states)
+            return classify_work_item_jax(texture, cfg, uv_tri, sd,
                                           states)
         from .. import engine
-        return engine.resample_fine_item(texture, cfg, uv_tri, subdiv,
+        return engine.resample_fine_item(texture, cfg, uv_tri, sd,
                                          states)
 
-    for items, out, i in slow:
-        out[i] = _classify_slow(items[i][0], _states_of(items[i][1]))
+    for items, out, i, sd in slow:
+        out[i] = _classify_slow(items[i][0], _states_of(items[i][1], sd),
+                                sd)
 
     nmip = texture.mip_count
 
@@ -1658,18 +1680,20 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv: int,
             # survivors kernel (fast-path preconditions already hold
             # for ctx.fast items); dense per-item path as last resort
             from .jax_classify import classify_linear_survivors
-            fit = [(ctx.items[i][0], _states_of(ctx.items[i][1]))
+            sd = ctx.subdiv
+            fit = [(ctx.items[i][0], _states_of(ctx.items[i][1], sd))
                    for i in ctx.fast]
-            pre = resolve_linear_phase1(texture, cfg, fit, subdiv)
+            pre = resolve_linear_phase1(texture, cfg, fit, sd)
             for t, i in enumerate(ctx.fast):
                 ctx.out[i] = (
                     classify_linear_survivors(texture, cfg,
-                                              ctx.items[i][0], subdiv,
+                                              ctx.items[i][0], sd,
                                               pre[t])
                     if pre is not None else
                     classify_work_item_jax(texture, cfg, ctx.items[i][0],
-                                           subdiv,
-                                           _states_of(ctx.items[i][1])))
+                                           sd,
+                                           _states_of(ctx.items[i][1],
+                                                      sd)))
             ctx.post = {}
     if post_out is not None:
         for k in range(len(batches)):

@@ -106,6 +106,30 @@ def test_bake_packed_blob_equals_numpy(tex):
     assert rn.index_histogram == rp.index_histogram
 
 
+def test_multilevel_single_call_matches_oracle(tex):
+    """One pipelined call classifying batches of DIFFERENT subdivision
+    levels (the mixed-level mesh path: every level's chains enqueue
+    before any fetch drains) is per-item identical to the oracle."""
+    cfg = _cfg()
+    tris = _tris(12, seed=23)
+    batches = [[(t, None) for t in tris[:4]],
+               [(t, None) for t in tris[4:8]],
+               [(t, None) for t in tris[8:]]]
+    levels = [6, 5, 4]
+    # warm each level's caps, then the pipelined multilevel call
+    for b, lv in zip(batches, levels):
+        tp.classify_work_items_batches(tex, cfg, [b], lv)
+    outs = tp.classify_work_items_batches(tex, cfg, batches, levels,
+                                          packed_out=True)
+    for b, lv, res in zip(batches, levels, outs):
+        M = get_num_micro_triangles(lv)
+        for (t, _), s in zip(b, res):
+            arr = s.unpack() if isinstance(s, tp.PackedStates) else s
+            want = engine.resample_fine_item(tex, cfg, t, lv,
+                                             np.full(M, 3, np.uint8))
+            assert (arr == want).all()
+
+
 def test_native_packed_replay_parity():
     """reconstruct_packed rows unpack to reconstruct_states bytes and
     row_post_packed digests equal row_post over the unpacked block, for
