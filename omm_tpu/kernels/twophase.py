@@ -760,6 +760,13 @@ def _descend_levels(texture: Texture, uv_tris, subdiv: int,
             l0 = lv
             break
     levels = list(range(l0, subdiv, 2))
+    # Optional step-1 tail (A/B knob): insert subdiv-1 so the finest
+    # level expands 4 children per parent instead of 16 — if unresolved
+    # counts roughly double per level, final-level window lookups drop
+    # ~2x for one extra (cheap) gather+compact round.
+    if (os.environ.get("OMM_TP_TAIL_STEP1", "0") == "1"
+            and levels and levels[-1] != subdiv - 1 and subdiv - 1 > l0):
+        levels.append(subdiv - 1)
     levels.append(subdiv)
     return tuple(levels)
 

@@ -102,5 +102,8 @@ if __name__ == "__main__":
     elif mode == "ab1":
         os.environ["OMM_TP_SORT_COMPACT"] = "1"
         headline()
+    elif mode == "tail1":
+        os.environ["OMM_TP_TAIL_STEP1"] = "1"
+        headline()
     else:
         e2e()
