@@ -835,9 +835,16 @@ def pack_states(states: np.ndarray, fmt: Format) -> np.ndarray:
 
 def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
                      arr_hist: np.ndarray, idx_hist: np.ndarray,
-                     order: list[int], allocator=None) -> BakeResult:
+                     order: list[int], allocator=None,
+                     spec_blob=None) -> BakeResult:
     """bake_cpu_impl.cpp:1756-1920.  Output buffers go through the
-    user allocator when one is supplied (std_allocator.h analog)."""
+    user allocator when one is supplied (std_allocator.h analog).
+
+    spec_blob: the speculative result blob (_speculative_blob_plan) —
+    used as array_data directly when the speculative layout held (every
+    non-special item still sits at its pre-classification offset with
+    an unchanged level/format), in which case rows the packed-direct
+    replay wrote in place are not copied again."""
     from .allocator import check_and_set_default
     allocator = check_and_set_default(allocator)
     bit_count = get_bit_count(desc.format)
@@ -852,7 +859,33 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
     if array_size > 0xFFFFFFFF:
         raise BakeError(Result.FAILURE, "array data > 4GB")
 
-    array_data = allocator.array(array_size, np.uint8)
+    use_spec = False
+    if spec_blob is not None and desc_count and len(spec_blob) == array_size:
+        off = 0
+        ok = True
+        for vm_index in order:
+            it = items[vm_index]
+            if it.special_index != NO_SPECIAL_INDEX:
+                continue
+            if (it.__dict__.get("_spec_offset") != off
+                    or it.vm_format != Format.OC1_4_State):
+                ok = False
+                break
+            M = get_num_micro_triangles(it.subdivision_level)
+            off += max((M * 2) >> 3, 1)
+        use_spec = ok and off == array_size
+    array_data = spec_blob if use_spec \
+        else allocator.array(array_size, np.uint8)
+    if spec_blob is not None and not use_spec:
+        # detach in-blob rows BEFORE freeing: a user allocator's free
+        # callback may release the memory, and the copy loop below (or
+        # any later consumer) still reads those PackedStates views
+        for it in items:
+            pk = it.packed2()
+            if pk is not None and pk.blob_offset is not None:
+                pk.packed = pk.packed.copy()
+                pk.blob_offset = None
+        allocator.free(spec_blob)
     desc_array: list[MicromapDesc] = []
     if desc_count != 0:
         offset = 0
@@ -872,6 +905,10 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
             bits = 1 if it.vm_format == Format.OC1_2_State else 2
             pk = it.packed2()
             if pk is not None and bits == 2 and len(pk.packed) == stride:
+                if use_spec and pk.blob_offset == offset:
+                    # the replay already wrote this row in place
+                    offset += stride
+                    continue
                 # device engine already produced the blob bytes
                 # (PackedStates rows ARE the OC1_4_State layout)
                 array_data[offset:offset + stride] = pk.packed
@@ -880,6 +917,11 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
             # collect, then pack the whole blob in ONE native call;
             # packed length always equals the stride (M is a power of 4)
             st = np.ascontiguousarray(it.states, dtype=np.uint8)
+            if use_spec:
+                # the replay may have direct-written this region before
+                # the item's states changed; the packers OR into their
+                # destination, so clear it first
+                array_data[offset:offset + stride] = 0
             pack_plan.append((st, bits, offset, stride))
             offset += stride
         if not native.pack_states_batch(
@@ -946,6 +988,38 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
 # Top-level bake
 # ---------------------------------------------------------------------------
 
+def _speculative_blob_plan(desc: BakeInputDesc, opts: Options,
+                           items: list[WorkItem], allocator):
+    """Speculative serialize layout, computed BEFORE classification:
+    the morton sort keys depend only on each item's UV centroid and
+    subdivision level (micromap_spatial_sort; bake_cpu_impl.cpp:
+    1707-1754), so the final blob's per-item offsets are known up front
+    whenever no item later gets a special index, merges, or changes
+    level/format.  The packed-direct replay then writes rows straight
+    into the final result blob (zero serialize-stage copies);
+    serialize_result validates the speculation and falls back to the
+    copy path when classification outcomes changed the layout.
+
+    Returns the allocated blob (items gain `_spec_offset`) or None when
+    the descriptor can't speculate (non-OC1_4 formats)."""
+    if desc.format != Format.OC1_4_State or not items:
+        return None
+    if any(it.vm_format != Format.OC1_4_State or it.has_special_index()
+           for it in items):
+        return None
+    order = micromap_spatial_sort(items)
+    off = 0
+    for vm_index in order:
+        it = items[vm_index]
+        it.__dict__["_spec_offset"] = off
+        M = get_num_micro_triangles(it.subdivision_level)
+        off += max((M * 2) >> 3, 1)
+    if off == 0 or off > 0xFFFFFFFF:
+        return None
+    from .allocator import check_and_set_default
+    return check_and_set_default(allocator).array(off, np.uint8)
+
+
 def bake(desc: BakeInputDesc, backend: str = "numpy",
          logger=None, allocator=None, mesh=None) -> BakeResult:
     """Full CPU-parity bake (BakeImpl, bake_cpu_impl.cpp:1923-1985).
@@ -972,18 +1046,24 @@ def bake(desc: BakeInputDesc, backend: str = "numpy",
 
     items = setup_work_items(desc, opts, log)
     validate_workload_size(desc, opts, items, log)
+    # the packed-direct device replay can write rows straight into the
+    # final result blob when the serialize layout is known up front
+    spec_blob = (_speculative_blob_plan(desc, opts, items, allocator)
+                 if backend in ("pallas", "auto") else None)
     mark("setup")
 
-    classify_items(desc, opts, items, backend=backend, mesh=mesh)
+    classify_items(desc, opts, items, backend=backend, mesh=mesh,
+                   spec_blob=spec_blob)
     mark("classify")
-    res = finalize_items(desc, opts, items, allocator=allocator)
+    res = finalize_items(desc, opts, items, allocator=allocator,
+                         spec_blob=spec_blob)
     mark("finalize")
     return res
 
 
 def classify_items(desc: BakeInputDesc, opts: Options,
                    items: list[WorkItem], backend: str = "numpy",
-                   mesh=None, sel=None) -> None:
+                   mesh=None, sel=None, spec_blob=None) -> None:
     """The classification half of bake() (coarse + fine/device passes),
     mutating `items` in place.  `sel` optionally restricts classification
     to a subset of items (bool mask over `items`) — the exact bake farm
@@ -1162,10 +1242,21 @@ def classify_items(desc: BakeInputDesc, opts: Options,
                          else items[i].states) for i in c]
                        for c in chunks]
             posts: list = []
+            sink = None
+            if spec_blob is not None:
+                # speculative-serialize sink: each batch item's final
+                # blob offset (rows land in place; see
+                # _speculative_blob_plan)
+                dsts = [np.asarray(
+                    [items[i].__dict__.get("_spec_offset", -1)
+                     for i in c], np.int64) if lvl >= 1 else None
+                    for c, lvl in zip(chunks, levels_per_chunk)]
+                sink = (spec_blob, dsts)
             outs = classify_work_items_batches(tex, cfg, batches,
                                                levels_per_chunk,
                                                post_out=posts,
-                                               packed_out=True)
+                                               packed_out=True,
+                                               packed_sink=sink)
             for c, res, pd in zip(chunks, outs, posts):
                 for bi, (i, st) in enumerate(zip(c, res)):
                     if isinstance(st, PackedStates):
@@ -1232,7 +1323,8 @@ def classify_items(desc: BakeInputDesc, opts: Options,
 
 
 def finalize_items(desc: BakeInputDesc, opts: Options,
-                   items: list[WorkItem], allocator=None) -> BakeResult:
+                   items: list[WorkItem], allocator=None,
+                   spec_blob=None) -> BakeResult:
     """The global tail of bake() — promotion, dedup (exact + near-dup),
     compression, histograms, spatial sort, serialization.  These stages
     couple across ALL work items (dedup maps, the compress budget sort),
@@ -1259,6 +1351,6 @@ def finalize_items(desc: BakeInputDesc, opts: Options,
     order = micromap_spatial_sort(items)
     mark("  hist+morton")
     res = serialize_result(desc, items, arr_hist, idx_hist, order,
-                           allocator=allocator)
+                           allocator=allocator, spec_blob=spec_blob)
     mark("  serialize")
     return res

@@ -281,7 +281,18 @@ def _sides_for(ids, tvec, level, uv_flat, planes_cls, mips, pads,
         x0, y0 = _window_origin(tri6, bu, bv, bd, w, h, fz)
         x0, y0 = _wrap_origin(x0, y0, periods[mi] if periods else None)
         cls = planes_cls[mi]
-        s = cls[y0 - 1 + pad, x0 - 1 + pad]
+        yy = y0 - 1 + pad
+        xx = x0 - 1 + pad
+        if _FLAT_GATHER:
+            # A/B knob: one linear gather instead of XLA's 2-D gather;
+            # explicit per-axis clips reproduce the 2-D form's
+            # out-of-range clamp semantics exactly
+            H2, W2 = cls.shape
+            yy = jnp.clip(yy, 0, H2 - 1)
+            xx = jnp.clip(xx, 0, W2 - 1)
+            s = cls.reshape(-1)[yy * jnp.int32(W2) + xx]
+        else:
+            s = cls[yy, xx]
         if side is None:
             side = s
         else:
@@ -352,6 +363,10 @@ def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
 #: sort preserves scan order; lanes beyond the valid count hold arbitrary
 #: in-range node ids that every consumer masks by Ci/K).
 _SORT_COMPACT = os.environ.get("OMM_TP_SORT_COMPACT", "1") != "0"
+# class-plane lookups as one linear gather (A/B: 2-D XLA gathers were
+# 2.1+1.4 ms/sub-batch at levels 9/8 — 18 ns/elem vs the ~8 ns/elem
+# marginal gather floor)
+_FLAT_GATHER = os.environ.get("OMM_TP_FLAT_GATHER", "0") == "1"
 
 
 def _compact_sort(mask, payload, cap):
@@ -834,11 +849,15 @@ class PackedStates:
     (M,) uint8 array lazily for consumers that need bytes (LSH, merge,
     stats, debug)."""
 
-    __slots__ = ("packed", "M")
+    __slots__ = ("packed", "M", "blob_offset")
 
-    def __init__(self, packed: np.ndarray, M: int):
+    def __init__(self, packed: np.ndarray, M: int, blob_offset=None):
         self.packed = packed
         self.M = M
+        # byte offset in the speculative result blob when the replay
+        # wrote this row in place (serialize skips the copy after
+        # validating the speculative layout); None otherwise
+        self.blob_offset = blob_offset
 
     def unpack(self) -> np.ndarray:
         from .. import native
@@ -859,7 +878,7 @@ class _BatchCtx:
 
     def __init__(self, texture, cfg, items, subdiv, fast, out,
                  all_active=None, precomp=None, want_post=True,
-                 want_packed=False):
+                 want_packed=False, sink=None):
         self.texture = texture
         self.cfg = cfg
         self.items = items
@@ -875,6 +894,12 @@ class _BatchCtx:
         # serialize-ready 2-bit rows; ~8x less replay time than the
         # unpacked (T, M) materialization).  All-active batches only.
         self.want_packed = want_packed
+        # sink = (blob, dst): speculative-serialize destination — dst[i]
+        # is batch item i's byte offset in `blob` (the final result
+        # blob, morton-order layout computed before classification) or
+        # -1; the replay writes rows in place so serialize never copies
+        # them.  Only consulted on the want_packed all-active path.
+        self.sink = sink
         self.M = get_num_micro_triangles(subdiv)
         # precomp: the caller's one vectorized pass over ITS WHOLE fast
         # set ({lg, levels, HW, HWl}); window maxima over a superset are
@@ -1033,6 +1058,25 @@ class _BatchCtx:
 
         from .. import native
         if self.want_packed and self.all_active:
+            if self.sink is not None and self.subdiv >= 1:
+                blob, dst = self.sink
+                rb = np.asarray([dst[i] for i in self.fast], np.int64)
+                if rb.size and (rb >= 0).all() and native.reconstruct_packed(
+                        buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K,
+                        K_cap, int(self.cfg.cutoff_gt),
+                        int(self.cfg.cutoff_le), row_base=rb, out=blob):
+                    Q = M >> 2
+                    post = (native.row_post_packed(blob, M, row_base=rb)
+                            if self.want_post else None)
+                    self.post = {}
+                    for t, i in enumerate(self.fast):
+                        o = int(rb[t])
+                        self.out[i] = PackedStates(blob[o:o + Q], M,
+                                                   blob_offset=o)
+                        if post is not None:
+                            self.post[i] = (int(post[0][t]),
+                                            int(post[1][t]))
+                    return
             pk = native.reconstruct_packed(
                 buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K, K_cap,
                 int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le))
@@ -1358,7 +1402,8 @@ TRACE: list = []
 
 def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
                                 post_out: list | None = None,
-                                packed_out: bool = False):
+                                packed_out: bool = False,
+                                packed_sink=None):
     """Classify several batches, pipelined: all speculative device chains
     are enqueued up-front so each batch's result fetch overlaps the next
     batches' device execution.  Returns a list of per-batch state lists.
@@ -1380,7 +1425,14 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
     PackedStates (serialize-ready sequential 2-bit rows — the replay
     writes 4x less memory and the bake never materializes the unpacked
     arrays).  Items on slow/fallback paths still return (M,) uint8
-    arrays — callers must handle both forms."""
+    arrays — callers must handle both forms.
+
+    packed_sink: optional (blob, dsts) speculative-serialize sink;
+    dsts[bi][i] is batch bi item i's byte offset in `blob` (the final
+    result blob, morton-order layout) or -1, dsts[bi] may be None.  The
+    packed replay writes rows in place at those offsets (PackedStates
+    gain `blob_offset`) so the bake's serialize stage can skip its row
+    copies after validating the layout held."""
     import os
     import time as _time
 
@@ -1554,13 +1606,17 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
 
     # Pass 2: build each batch's ctx and enqueue it immediately (the
     # device starts on batch 0 while later batches' ctxs build)
-    for ((items, out, todo, mins), fast, sd) in zip(routed, fast_lists,
-                                                    subdivs):
+    for bi, ((items, out, todo, mins), fast, sd) in enumerate(
+            zip(routed, fast_lists, subdivs)):
+        sink = None
+        if (packed_sink is not None and packed_out
+                and packed_sink[1][bi] is not None):
+            sink = (packed_sink[0], packed_sink[1][bi])
         ctx = _BatchCtx(texture, cfg, items, sd, fast, out,
                         all_active=all(mins[i] == UO for i in fast),
                         precomp=precomps[sd],
                         want_post=post_out is not None,
-                        want_packed=packed_out) \
+                        want_packed=packed_out, sink=sink) \
             if fast else None
         _mark(f"ctx{len(ctxs)}")
         ctxs.append(ctx)

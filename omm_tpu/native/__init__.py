@@ -99,10 +99,12 @@ def get_lib():
         lib.omm_reconstruct_packed.argtypes = [
             u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
-            ctypes.c_uint8, ctypes.c_uint8, i32p, ctypes.c_int64, u8p]
+            ctypes.c_uint8, ctypes.c_uint8, i32p, ctypes.c_int64, u8p,
+            i64p]
         lib.omm_row_post_packed.restype = None
         lib.omm_row_post_packed.argtypes = [u8p, ctypes.c_int64,
-                                            ctypes.c_int64, u64p, i32p]
+                                            ctypes.c_int64, u64p, i32p,
+                                            i64p]
         lib.omm_unpack_2bit_seq.restype = None
         lib.omm_unpack_2bit_seq.argtypes = [u8p, ctypes.c_size_t, u8p]
         _LIB = lib
@@ -314,13 +316,19 @@ def row_post(block):
 
 def reconstruct_packed(buf, hdr: int, levels, T: int, subdiv: int,
                        Cs, Cs_cap, K: int, K_cap: int,
-                       st_gt: int, st_le: int):
+                       st_gt: int, st_le: int,
+                       row_base=None, out=None):
     """Packed-direct replay: same descent as reconstruct_states but
     returns (T, M/4) uint8 rows in serialize's sequential 2-bit
     OC1_4_State layout (state j in byte j>>2 at shift (j&3)*2) — 4x less
     memory written, and the bake memcpys rows straight into the result
     blob.  ALL-ACTIVE batches only (no prior-state merge).  Returns None
-    when the native library is unavailable."""
+    when the native library is unavailable.
+
+    row_base + out (both or neither): the speculative-serialize sink —
+    row t is written at byte offset row_base[t] of `out` (the final
+    result blob), so serialize never copies the rows again.  Requires
+    subdiv >= 1 (whole-byte rows).  Returns True on success."""
     import numpy as np
     lib = get_lib()
     if lib is None or not hasattr(lib, "omm_reconstruct_packed"):
@@ -339,24 +347,33 @@ def reconstruct_packed(buf, hdr: int, levels, T: int, subdiv: int,
     final_off = o
     max_nodes = max(sizes)
     scratch = np.empty(4 * max_nodes, np.int32)
-    out = np.empty(T * (M >> 2), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if out is None:
+        sink = np.empty(T * (M >> 2), np.uint8)
+        rbp = None
+    else:
+        if subdiv < 1 or not (out.flags["C_CONTIGUOUS"]
+                              and out.dtype == np.uint8):
+            return None
+        sink = out
+        rb = np.ascontiguousarray(row_base, np.int64)
+        rbp = rb.ctypes.data_as(i64p)
     b = np.ascontiguousarray(buf, np.uint8)
     lv = np.asarray(levels, np.int32)
     cs = np.asarray(Cs, np.int32)
     cc = np.asarray(Cs_cap, np.int32)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    i64p = ctypes.POINTER(ctypes.c_int64)
     lib.omm_reconstruct_packed(
         _u8ptr(b), offs.ctypes.data_as(i64p), ctypes.c_int64(final_off),
         lv.ctypes.data_as(i32p), m + 1, T, subdiv,
         cs.ctypes.data_as(i32p), cc.ctypes.data_as(i32p),
         min(int(K), int(K_cap)), ctypes.c_uint8(st_gt),
         ctypes.c_uint8(st_le),
-        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(out))
-    return out.reshape(T, M >> 2)
+        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(sink), rbp)
+    return True if out is not None else sink.reshape(T, M >> 2)
 
 
-def row_post_packed(packed, M: int):
+def row_post_packed(packed, M: int, row_base=None):
     """row_post over PACKED rows: (rows, M/4) sequential-2-bit block ->
     per-row (3-state digest, uniform value), digests byte-identical to
     states3_digest of the unpacked rows.  Returns None when the native
@@ -366,13 +383,21 @@ def row_post_packed(packed, M: int):
     if lib is None or not hasattr(lib, "omm_row_post_packed"):
         return None
     b = np.ascontiguousarray(packed, dtype=np.uint8)
-    rows = b.shape[0]
+    if row_base is not None:
+        # rows scattered inside a blob (the speculative-serialize
+        # layout): row r starts at byte row_base[r] of `packed`
+        rb = np.ascontiguousarray(row_base, np.int64)
+        rows = rb.shape[0]
+        rbp = rb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    else:
+        rows = b.shape[0]
+        rbp = None
     dig = np.empty(rows, np.uint64)
     uni = np.empty(rows, np.int32)
     lib.omm_row_post_packed(
         _u8ptr(b), rows, M,
         dig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        uni.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        uni.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), rbp)
     return dig, uni
 
 

@@ -571,12 +571,18 @@ void omm_reconstruct_states(
 // Restricted by the caller to the all-active case (no prior-state
 // merge).  All span boundaries are byte-aligned: every level's span is
 // a power of 4 and node offsets are span-multiples.
+// row_base (optional, may be NULL): per-row byte offset of row t in
+// `out` — the speculative-serialize path hands the FINAL result blob
+// plus each item's morton-order offset so rows are written in place
+// and the bake's serialize stage never copies them again.  NULL keeps
+// the contiguous layout (row t at t*(M/4)).  Requires M >= 4 when set.
 void omm_reconstruct_packed(
     const uint8_t* buf, const int64_t* side_off, int64_t final_off,
     const int32_t* levels, int32_t nlevels, int32_t T, int32_t subdiv,
     const int32_t* Cs, const int32_t* Cs_cap, int32_t K,
     uint8_t st_gt, uint8_t st_le,
-    int32_t* scratch, int64_t max_nodes, uint8_t* out) {
+    int32_t* scratch, int64_t max_nodes, uint8_t* out,
+    const int64_t* row_base) {
     const int m = nlevels - 1;
     const int64_t M = (int64_t)1 << (2 * subdiv);
     const int64_t N0 = (int64_t)1 << (2 * levels[0]);
@@ -604,8 +610,9 @@ void omm_reconstruct_packed(
     int32_t* cur_n = scratch + max_nodes;
     int32_t* nxt_t = scratch + 2 * max_nodes;
     int32_t* nxt_n = scratch + 3 * max_nodes;
+    #define RB(t) (row_base ? row_base[(t)] : (int64_t)(t) * (M >> 2))
     int64_t cnt = 0;
-    if (span0 == 1) {
+    if (span0 == 1 && !row_base) {
         // levels[0] == subdiv: out IS the side stream mapped bytewise
         int64_t nb = total0 >> 2;
         for (int64_t q = 0; q < nb; ++q) {
@@ -632,16 +639,40 @@ void omm_reconstruct_packed(
                 ++cnt;
             }
         }
+    } else if (span0 == 1) {
+        // per-row bases: levels[0] == subdiv and M >= 4, so each row
+        // is exactly N0/4 whole bytes of the side stream
+        const int64_t nbr = N0 >> 2;
+        for (int64_t t = 0; t < T; ++t) {
+            const uint8_t* sp = s0 + t * nbr;
+            uint8_t* op = out + row_base[t];
+            for (int64_t q = 0; q < nbr; ++q) {
+                uint8_t b = sp[q];
+                op[q] = plut[b];
+                uint8_t z = (uint8_t)(b & ~(b >> 1) & 0x55);
+                while (z) {
+                    int k = __builtin_ctz(z) >> 1;
+                    z = (uint8_t)(z & (z - 1));
+                    cur_t[cnt] = (int32_t)t;
+                    cur_n[cnt] = (int32_t)(4 * q + k);
+                    ++cnt;
+                }
+            }
+        }
     } else {
         // span0 >= 4: each node is span0/4 contiguous packed bytes
         const int64_t sb = span0 >> 2;
-        for (int64_t j = 0; j < total0; ++j) {
-            int s = SIDE(0, j);
-            memset(out + j * sb, sfill[s + 1], (size_t)sb);
-            if (s != 0) continue;
-            cur_t[cnt] = (int32_t)(j / N0);
-            cur_n[cnt] = (int32_t)(j % N0);
-            ++cnt;
+        for (int64_t t = 0; t < T; ++t) {
+            uint8_t* ob = out + RB(t);
+            const int64_t jt = t * N0;
+            for (int64_t n = 0; n < N0; ++n) {
+                int s = SIDE(0, jt + n);
+                memset(ob + n * sb, sfill[s + 1], (size_t)sb);
+                if (s != 0) continue;
+                cur_t[cnt] = (int32_t)t;
+                cur_n[cnt] = (int32_t)n;
+                ++cnt;
+            }
         }
     }
 
@@ -663,7 +694,7 @@ void omm_reconstruct_packed(
                 // byte offset = node_index * span / 4 (span >= 16 is a
                 // power of 4, so the product is always byte-aligned —
                 // divide AFTER multiplying)
-                uint8_t* op = out + (((pt * li_n + pn0) * span) >> 2);
+                uint8_t* op = out + RB(pt) + ((pn0 * span) >> 2);
                 for (int eb = 0; eb < E >> 2; ++eb) {
                     uint8_t b = sp[eb];
                     for (int k = 0; k < 4; ++k)
@@ -689,10 +720,9 @@ void omm_reconstruct_packed(
             const uint8_t* fin = buf + final_off;
             int64_t fc = 0;
             for (int64_t p = 0; p < Ci; ++p) {
-                const int64_t base =
-                    (int64_t)cur_t[p] * M + (int64_t)cur_n[p] * E;
                 const uint8_t* sp = si + ((p * (int64_t)E) >> 2);
-                uint8_t* op = out + (base >> 2);
+                uint8_t* op = out + RB(cur_t[p])
+                    + (((int64_t)cur_n[p] * E) >> 2);
                 for (int eb = 0; eb < E >> 2; ++eb) {
                     uint8_t b = sp[eb];
                     uint8_t v = plut[b];
@@ -713,6 +743,7 @@ void omm_reconstruct_packed(
         }
     }
     #undef SIDE
+    #undef RB
 }
 
 // Per-row exact-dedup digest + uniform value from PACKED rows: XXH64
@@ -720,8 +751,11 @@ void omm_reconstruct_packed(
 // omm_states3_xxh64 of the materialized array) computed by expanding
 // each packed byte into 4 remapped bytes through a LUT into a 32-byte
 // stripe buffer — reads M/4 bytes per row instead of M.
+// row_base (optional, may be NULL): per-row byte offset of row r in
+// `packed` (the speculative-serialize blob layout); NULL = contiguous.
 void omm_row_post_packed(const uint8_t* packed, int64_t rows, int64_t M,
-                         uint64_t* dig, int32_t* uni) {
+                         uint64_t* dig, int32_t* uni,
+                         const int64_t* row_base) {
     // packed byte -> 4 unpacked 3-state bytes (UT==2 reads as UO==3)
     uint32_t xlut[256];
     for (int b = 0; b < 256; ++b) {
@@ -735,7 +769,7 @@ void omm_row_post_packed(const uint8_t* packed, int64_t rows, int64_t M,
     }
     const int64_t Q = (M + 3) >> 2;
     for (int64_t r = 0; r < rows; ++r) {
-        const uint8_t* p = packed + r * Q;
+        const uint8_t* p = packed + (row_base ? row_base[r] : r * Q);
         // uniform check on the packed row (pattern = s * 0x55)
         uint8_t first = (uint8_t)(p[0] & 3);
         uint8_t pat = (uint8_t)(first * 0x55u);

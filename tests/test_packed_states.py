@@ -163,3 +163,125 @@ def test_native_packed_replay_parity():
         dp = native.row_post_packed(pk, M)
         dr = native.row_post(rec)
         assert (dp[0] == dr[0]).all() and (dp[1] == dr[1]).all()
+
+def test_native_packed_replay_row_base_parity():
+    """reconstruct_packed with a row_base sink writes byte-identical
+    rows at the given offsets (the speculative-serialize layout), and
+    row_post_packed over the scattered rows matches the contiguous
+    form."""
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(1)
+    for (T, subdiv, levels, Cs, Cs_cap, K, K_cap, gt, le) in [
+            (8, 4, [2, 4], [300, 900], [512, 1024], 700, 1024, 0, 1),
+            (5, 3, [3], [], [], 0, 64, 0, 1),       # levels[0] == subdiv
+            (16, 6, [2, 4, 6], [500, 3000], [512, 4096], 3000, 4096,
+             0, 1)]:
+        m = len(levels) - 1
+        N0 = 4 ** levels[0]
+        sizes = [T * N0] + [Cs_cap[i] * 4 ** (levels[i + 1] - levels[i])
+                            for i in range(m)]
+        total = sum(s // 4 for s in sizes) + max(K_cap // 4, 1)
+        hdr = 4 * (m + 2 + 1)
+        vals = rng.choice([0, 1, 2], size=4 * total,
+                          p=[0.44, 0.12, 0.44]).astype(np.uint8)
+        packed = (vals[0::4] | (vals[1::4] << 2) | (vals[2::4] << 4)
+                  | (vals[3::4] << 6))
+        buf = np.concatenate([np.zeros(hdr, np.uint8), packed])
+        M = 4 ** subdiv
+        Q = M >> 2
+        pk = native.reconstruct_packed(buf, hdr, levels, T, subdiv, Cs,
+                                       Cs_cap, K, K_cap, gt, le)
+        # scattered, permuted row offsets with gaps
+        perm = rng.permutation(T)
+        rb = np.asarray([int(perm[t]) * (Q + 8) + 4 for t in range(T)],
+                        np.int64)
+        blob = np.zeros(T * (Q + 8) + 16, np.uint8)
+        ok = native.reconstruct_packed(buf, hdr, levels, T, subdiv, Cs,
+                                       Cs_cap, K, K_cap, gt, le,
+                                       row_base=rb, out=blob)
+        assert ok is True
+        for t in range(T):
+            assert (blob[rb[t]:rb[t] + Q] == pk[t]).all(), f"row {t}"
+        dp = native.row_post_packed(pk, M)
+        ds = native.row_post_packed(blob, M, row_base=rb)
+        assert (dp[0] == ds[0]).all() and (dp[1] == ds[1]).all()
+
+
+def test_bake_speculative_serialize_hit(tex):
+    """Unique mixed triangles: the speculative layout holds, the replay
+    writes rows straight into the final blob (items carry in-blob
+    PackedStates), and the result is byte-identical to the oracle."""
+    import omm_tpu.bake
+    import sys as _sys
+    B = _sys.modules["omm_tpu.bake"]  # omm_tpu.bake names the function
+    from omm_tpu.log import Logger
+    # every triangle straddles the circle's alpha contour (r=0.4 around
+    # (0.5,0.5)): one vertex inside, two outside -> mixed states, so no
+    # item gets a special index; per-k radii/widths make the shapes
+    # non-congruent so exact dedup can't merge any (congruent rotations
+    # of a binary-alpha contour DO produce byte-identical states)
+    tris = []
+    for k in range(12):
+        a = 2 * np.pi * k / 12 + 0.13
+        ri = 0.14 + 0.008 * k
+        ro = 0.52 + 0.006 * k
+        w = 0.12 + 0.011 * k
+        inner = (0.5 + ri * np.cos(a), 0.5 + ri * np.sin(a))
+        o1 = (0.5 + ro * np.cos(a - w), 0.5 + ro * np.sin(a - w))
+        o2 = (0.5 + ro * np.cos(a + w), 0.5 + ro * np.sin(a + w))
+        tris.append(np.asarray([inner, o1, o2], np.float32))
+    tc = np.concatenate(tris).astype(np.float32)
+    # DisableSpecialIndices + DisableDuplicateDetection pin the layout:
+    # no promotion or merge can move an item, so the speculation MUST
+    # hold (nearly-congruent contour triangles otherwise dedup at
+    # coarse levels, a legitimate miss)
+    flags = (omm.BakeFlags.DisableSpecialIndices
+             | omm.BakeFlags.DisableDuplicateDetection)
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=tc,
+        index_buffer=np.arange(3 * len(tris), dtype=np.uint32),
+        index_count=3 * len(tris), max_subdivision_level=SUBDIV,
+        bake_flags=flags)
+    omm.bake(desc, backend="pallas")     # cold caps: sync path
+    opts = B.Options.from_flags(desc.bake_flags)
+    items = B.setup_work_items(desc, opts, Logger())
+    spec = B._speculative_blob_plan(desc, opts, items, None)
+    assert spec is not None
+    B.classify_items(desc, opts, items, backend="pallas", spec_blob=spec)
+    inblob = [it for it in items if it.packed2() is not None
+              and it.packed2().blob_offset is not None]
+    assert inblob, "speculative sink never engaged"
+    res = B.finalize_items(desc, opts, items, spec_blob=spec)
+    assert np.shares_memory(res.array_data, spec), \
+        "validated speculation should reuse the blob"
+    rn = omm.bake(desc)
+    assert bytes(np.asarray(rn.array_data)) == bytes(
+        np.asarray(res.array_data))
+    assert (rn.index_buffer == res.index_buffer).all()
+    assert rn.desc_array == res.desc_array
+
+
+def test_bake_speculative_serialize_miss_falls_back(tex):
+    """Uniform + duplicate triangles promote/merge, invalidating the
+    speculative layout: serialize must fall back to the copy path and
+    still produce oracle-identical bytes."""
+    tc = np.array([[0.92, 0.92], [0.94, 0.92], [0.92, 0.94],  # uniform T
+                   [0.50, 0.50], [0.52, 0.50], [0.50, 0.52],  # uniform O
+                   [0.30, 0.30], [0.60, 0.30], [0.30, 0.60],  # mixed
+                   [0.30, 0.30], [0.60, 0.30], [0.30, 0.60],  # duplicate
+                   [0.20, 0.55], [0.55, 0.20], [0.58, 0.58]], # mixed
+                  np.float32)
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=tc,
+        index_buffer=np.arange(15, dtype=np.uint32), index_count=15,
+        max_subdivision_level=SUBDIV)
+    rn = omm.bake(desc)
+    omm.bake(desc, backend="pallas")
+    rp = omm.bake(desc, backend="pallas")
+    assert bytes(np.asarray(rn.array_data)) == bytes(
+        np.asarray(rp.array_data))
+    assert (rn.index_buffer == rp.index_buffer).all()
+    assert rn.desc_array == rp.desc_array
+    # the miss really happened: specials/dedup must exist in this bake
+    assert any(i < 0 for i in np.asarray(rn.index_buffer))

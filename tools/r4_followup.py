@@ -105,5 +105,8 @@ if __name__ == "__main__":
     elif mode == "tail1":
         os.environ["OMM_TP_TAIL_STEP1"] = "1"
         headline()
+    elif mode == "flat1":
+        os.environ["OMM_TP_FLAT_GATHER"] = "1"
+        headline()
     else:
         e2e()
