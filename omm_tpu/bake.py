@@ -877,13 +877,17 @@ def serialize_result(desc: BakeInputDesc, items: list[WorkItem],
     array_data = spec_blob if use_spec \
         else allocator.array(array_size, np.uint8)
     if spec_blob is not None and not use_spec:
-        # detach in-blob rows BEFORE freeing: a user allocator's free
-        # callback may release the memory, and the copy loop below (or
-        # any later consumer) still reads those PackedStates views
+        # a user allocator's free callback may release the memory while
+        # the copy loop below (or any later consumer) still reads the
+        # in-blob PackedStates views — detach them first.  The default
+        # free is a no-op and numpy views keep the base buffer alive,
+        # so the common miss (any promotion/merge) costs no extra copy.
+        detach = allocator._free is not None
         for it in items:
             pk = it.packed2()
             if pk is not None and pk.blob_offset is not None:
-                pk.packed = pk.packed.copy()
+                if detach:
+                    pk.packed = pk.packed.copy()
                 pk.blob_offset = None
         allocator.free(spec_blob)
     desc_array: list[MicromapDesc] = []
