@@ -363,6 +363,26 @@ def _fast_path_mask(texture: Texture, cfg, uv_arr: np.ndarray,
 #: sort preserves scan order; lanes beyond the valid count hold arbitrary
 #: in-range node ids that every consumer masks by Ci/K).
 _SORT_COMPACT = os.environ.get("OMM_TP_SORT_COMPACT", "1") != "0"
+#: Skip the FINAL level's window test when it is a step-1 expansion
+#: (levels[-1] - levels[-2] == 1): children of an unresolved step-1
+#: parent share most of its window, so the test resolves only ~18% of
+#: its candidates (measured, driver workload) yet costs the single
+#: biggest class-plane gather (K_cap lookups) plus a K_cap compact
+#: sort.  All children go straight to the exact kernel instead; results
+#: are bit-identical (the window resolve and the exact kernel agree on
+#: one-sided windows by the conservative-classification contract), and
+#: the +K survivors stay inside the same static cap buckets on
+#: contour-shaped workloads.  All-active batches only (the replay's
+#: finals stream maps 1:1 to children then).
+_SKIP_FINAL = os.environ.get("OMM_TP_SKIP_FINAL", "1") != "0"
+
+
+def _skip_final_p(levels, all_active: bool) -> bool:
+    """True when the final-level window test is skipped (shared device/
+    host-replay predicate — both sides MUST agree on the payload
+    layout)."""
+    return (_SKIP_FINAL and bool(all_active) and len(levels) >= 2
+            and levels[-1] - levels[-2] == 1)
 # class-plane lookups as one linear gather (A/B: 2-D XLA gathers were
 # 2.1+1.4 ms/sub-batch at levels 9/8 — 18 ns/elem vs the ~8 ns/elem
 # marginal gather floor)
@@ -452,6 +472,22 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
         jj = jnp.arange(E, dtype=jnp.int32)
         node = jnp.repeat(par * E, E) + jnp.tile(jj, cap)
         valid = jnp.repeat(pvalid, E)
+        if i == m and _skip_final_p(levels, all_active):
+            # step-1 tail: no window test, no survivor compaction — the
+            # expanded children (a prefix, since `par` is compacted) ARE
+            # the exact-kernel survivors, already in scan order
+            K = jnp.minimum(Ci, jnp.int32(cap)) * E
+            if cap * E >= K_cap:
+                ids = jax.lax.slice(node, (0,), (K_cap,))
+            else:
+                ids = jnp.concatenate(
+                    [node, jnp.zeros((K_cap - cap * E,), jnp.int32)])
+            kvalid = jnp.arange(K_cap, dtype=jnp.int32) < jnp.minimum(
+                K, jnp.int32(K_cap))
+            flag = jnp.maximum(flag, jnp.where(
+                Ci * E > K_cap, jnp.int32(1), jnp.int32(0)))
+            cvalid = valid
+            break
         with jax.named_scope(f"omm.resolve_l{li}"):
             side_i = _sides_for((node & (4 ** li - 1)).astype(jnp.uint32),
                                 node >> (2 * li), li,
@@ -471,18 +507,19 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
                                  jnp.minimum(node & (M - 1), M - 1)]
                         & (side_i == 0))
 
-    # compact survivors to K_cap (the final-level flat id IS t*M + m)
-    if _SORT_COMPACT:
-        ids, K = _compact_sort(surv, node, K_cap)
-    else:
-        poss = jnp.cumsum(surv.astype(jnp.int32)) - 1
-        K = (poss[-1] + 1).astype(jnp.int32)
-        tgt_s = jnp.where(surv & (poss < K_cap), poss, K_cap)
-        ids = jnp.zeros((K_cap,), jnp.int32).at[tgt_s].set(node,
-                                                           mode="drop")
-    kvalid = jnp.arange(K_cap, dtype=jnp.int32) < jnp.minimum(K, K_cap)
-    flag = jnp.maximum(flag, jnp.where(K > K_cap, jnp.int32(1),
-                                       jnp.int32(0)))
+    if not _skip_final_p(levels, all_active):
+        # compact survivors to K_cap (the final-level flat id IS t*M + m)
+        if _SORT_COMPACT:
+            ids, K = _compact_sort(surv, node, K_cap)
+        else:
+            poss = jnp.cumsum(surv.astype(jnp.int32)) - 1
+            K = (poss[-1] + 1).astype(jnp.int32)
+            tgt_s = jnp.where(surv & (poss < K_cap), poss, K_cap)
+            ids = jnp.zeros((K_cap,), jnp.int32).at[tgt_s].set(node,
+                                                               mode="drop")
+        kvalid = jnp.arange(K_cap, dtype=jnp.int32) < jnp.minimum(K, K_cap)
+        flag = jnp.maximum(flag, jnp.where(K > K_cap, jnp.int32(1),
+                                           jnp.int32(0)))
 
     # ---- per-mip tile sort + group padding -> slot assignment ----
     # (labeled for jax.profiler like the reference's per-pass markers)
@@ -643,10 +680,13 @@ def _stageD(sides, nodes, ids, kvalid, mip_counts,
 
     # level-0 base; later levels overwrite whole node rows (their parent
     # side is 0, and inactive/survivor members are refined below or
-    # ignored by the host writeback)
+    # ignored by the host writeback).  When the final level's window
+    # test is skipped (_skip_final_p), `sides` has no final-level entry:
+    # every final-level candidate is an exact-kernel survivor and the
+    # ids scatter below covers them all.
     base = jnp.broadcast_to(map_side(sides[0]).reshape(T * N0, 1),
                             (T * N0, M // N0)).reshape(T * M)
-    for i in range(1, m + 1):
+    for i in range(1, len(sides)):
         li = levels[i]
         node, valid = nodes[i - 1]
         span = M // (4 ** li)
@@ -712,7 +752,10 @@ def _stageD_spec(sides, mip_counts, meta, *, fmt, promotion,
     final = get_state_from_coverage(jnp, fmt, promotion, cutoff_gt,
                                     cutoff_le, above, below)
 
-    m = len(sides) - 1
+    # meta layout is [C_1..C_m, K, flag, per-mip padM]: m comes from the
+    # meta length, NOT len(sides) — a skipped final level (_skip_final_p)
+    # ships one fewer side stream but the same meta
+    m = meta.shape[0] - 2 - len(nblk_caps)
     flag = meta[m + 1]
     for mi, cap in enumerate(nblk_caps):
         flag = jnp.maximum(flag, jnp.where(meta[m + 2 + mi] > cap * B,
@@ -1055,6 +1098,7 @@ class _BatchCtx:
         m = len(levels) - 1
         N0 = 4 ** levels[0]
         hdr = 4 * (m + 2 + len(self.mips))
+        skip = _skip_final_p(levels, self.all_active)
 
         from .. import native
         if self.want_packed and self.all_active:
@@ -1064,7 +1108,8 @@ class _BatchCtx:
                 if rb.size and (rb >= 0).all() and native.reconstruct_packed(
                         buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K,
                         K_cap, int(self.cfg.cutoff_gt),
-                        int(self.cfg.cutoff_le), row_base=rb, out=blob):
+                        int(self.cfg.cutoff_le), row_base=rb, out=blob,
+                        skip_final=skip):
                     Q = M >> 2
                     post = (native.row_post_packed(blob, M, row_base=rb)
                             if self.want_post else None)
@@ -1079,7 +1124,8 @@ class _BatchCtx:
                     return
             pk = native.reconstruct_packed(
                 buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K, K_cap,
-                int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le))
+                int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le),
+                skip_final=skip)
             if pk is not None:
                 post = (native.row_post_packed(pk, M)
                         if self.want_post else None)
@@ -1092,7 +1138,7 @@ class _BatchCtx:
         rec = native.reconstruct_states(
             buf, hdr, levels, T, self.subdiv, Cs, Cs_cap, K, K_cap,
             int(self.cfg.cutoff_gt), int(self.cfg.cutoff_le),
-            None if self.all_active else self.active)
+            None if self.all_active else self.active, skip_final=skip)
         if rec is not None:
             # fused post pass while rec is cache-warm: per-row exact-dedup
             # digest + uniform value for rows returned as-is (rows merged
@@ -1112,7 +1158,8 @@ class _BatchCtx:
             return
 
         sizes = [T * N0] + [
-            Cs_cap[i] * 4 ** (levels[i + 1] - levels[i]) for i in range(m)]
+            Cs_cap[i] * 4 ** (levels[i + 1] - levels[i])
+            for i in range(m - 1 if skip else m)]
         sides = []
         o = hdr
         for s in sizes:
@@ -1143,9 +1190,12 @@ class _BatchCtx:
             E = 4 ** (li - levels[i - 1])
             Ci = min(int(Cs[i - 1]), Cs_cap[i - 1])
             cand = np.flatnonzero(unres)[:Ci]   # scan order
+            Ci = cand.shape[0]
             node_t = np.repeat(node_t[cand], E)
             node_n = (np.repeat(node_n[cand] * E, E)
                       + np.tile(np.arange(E, dtype=np.int64), Ci))
+            if skip and i == m:
+                break  # no final side stream: every child is a survivor
             side_i = sides[i][:Ci * E]
             span = M // (4 ** li)
             rows = map_side(side_i)
@@ -1158,11 +1208,15 @@ class _BatchCtx:
                 unres = side_i == 0
 
         # exact-kernel survivors: scan order over the final-level stream
-        surv = sides[m][:node_t.shape[0]] == 0
-        if not self.all_active:
-            surv &= self.active[node_t, node_n]
-        sids = (node_t * M + node_n)[surv]
-        base[sids] = finals[:K][: sids.shape[0]]
+        if skip:
+            sids = node_t * M + node_n
+        else:
+            surv = sides[m][:node_t.shape[0]] == 0
+            if not self.all_active:
+                surv &= self.active[node_t, node_n]
+            sids = (node_t * M + node_n)[surv]
+        n = min(int(K), sids.shape[0])
+        base[sids[:n]] = finals[:n]
 
         base = base.reshape(T, M)
         for t, i in enumerate(self.fast):

@@ -94,13 +94,13 @@ def get_lib():
             u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
             ctypes.c_uint8, ctypes.c_uint8, u8p, i32p, ctypes.c_int64,
-            u8p]
+            u8p, ctypes.c_int32]
         lib.omm_reconstruct_packed.restype = None
         lib.omm_reconstruct_packed.argtypes = [
             u8p, i64p, ctypes.c_int64, i32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
             ctypes.c_uint8, ctypes.c_uint8, i32p, ctypes.c_int64, u8p,
-            i64p]
+            i64p, ctypes.c_int32]
         lib.omm_row_post_packed.restype = None
         lib.omm_row_post_packed.argtypes = [u8p, ctypes.c_int64,
                                             ctypes.c_int64, u64p, i32p,
@@ -244,9 +244,30 @@ def hamming_u8(a, b) -> int:
     return int(np.count_nonzero(aa != bb))
 
 
+def _payload_offsets(hdr, levels, T, Cs_cap, skip_final):
+    """Side-stream offsets + finals offset of the compressed payload.
+    With skip_final the final level ships NO side stream (its children
+    all go to the exact kernel — twophase._skip_final_p); offs still has
+    m+1 entries (the last one is never read by the C++ then)."""
+    import numpy as np
+    m = len(levels) - 1
+    N0 = 1 << (2 * levels[0])
+    sizes = [T * N0] + [int(Cs_cap[i]) * 4 ** (levels[i + 1] - levels[i])
+                        for i in range(m - 1 if skip_final else m)]
+    offs = np.empty(m + 1, np.int64)
+    o = hdr
+    for i, s in enumerate(sizes):
+        offs[i] = o
+        o += s // 4
+    if skip_final:
+        offs[m] = o  # placeholder; no final-level side stream
+    return offs, o, max(sizes)
+
+
 def reconstruct_states(buf, hdr: int, levels, T: int, subdiv: int,
                        Cs, Cs_cap, K: int, K_cap: int,
-                       st_gt: int, st_le: int, active):
+                       st_gt: int, st_le: int, active,
+                       skip_final: bool = False):
     """Replay the two-phase descent from a compressed payload into a
     (T, M) uint8 state array (the C++ fast path of
     twophase._BatchCtx.finish_compact).  Returns None when the native
@@ -258,16 +279,8 @@ def reconstruct_states(buf, hdr: int, levels, T: int, subdiv: int,
     levels = list(levels)
     m = len(levels) - 1
     M = 1 << (2 * subdiv)
-    N0 = 1 << (2 * levels[0])
-    sizes = [T * N0] + [int(Cs_cap[i]) * 4 ** (levels[i + 1] - levels[i])
-                        for i in range(m)]
-    offs = np.empty(m + 1, np.int64)
-    o = hdr
-    for i, s in enumerate(sizes):
-        offs[i] = o
-        o += s // 4
-    final_off = o
-    max_nodes = max(sizes)
+    offs, final_off, max_nodes = _payload_offsets(hdr, levels, T, Cs_cap,
+                                                  skip_final)
     # 4 * max_nodes: two ping-pong (node_t, node_n) candidate lists
     scratch = np.empty(4 * max_nodes, np.int32)
     out = np.empty(T * M, np.uint8)
@@ -288,7 +301,8 @@ def reconstruct_states(buf, hdr: int, levels, T: int, subdiv: int,
         ctypes.c_uint8(st_le),
         _u8ptr(act) if act is not None else
         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)),
-        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(out))
+        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(out),
+        ctypes.c_int32(1 if skip_final else 0))
     return out.reshape(T, M)
 
 
@@ -317,7 +331,7 @@ def row_post(block):
 def reconstruct_packed(buf, hdr: int, levels, T: int, subdiv: int,
                        Cs, Cs_cap, K: int, K_cap: int,
                        st_gt: int, st_le: int,
-                       row_base=None, out=None):
+                       row_base=None, out=None, skip_final: bool = False):
     """Packed-direct replay: same descent as reconstruct_states but
     returns (T, M/4) uint8 rows in serialize's sequential 2-bit
     OC1_4_State layout (state j in byte j>>2 at shift (j&3)*2) — 4x less
@@ -336,16 +350,8 @@ def reconstruct_packed(buf, hdr: int, levels, T: int, subdiv: int,
     levels = list(levels)
     m = len(levels) - 1
     M = 1 << (2 * subdiv)
-    N0 = 1 << (2 * levels[0])
-    sizes = [T * N0] + [int(Cs_cap[i]) * 4 ** (levels[i + 1] - levels[i])
-                        for i in range(m)]
-    offs = np.empty(m + 1, np.int64)
-    o = hdr
-    for i, s in enumerate(sizes):
-        offs[i] = o
-        o += s // 4
-    final_off = o
-    max_nodes = max(sizes)
+    offs, final_off, max_nodes = _payload_offsets(hdr, levels, T, Cs_cap,
+                                                  skip_final)
     scratch = np.empty(4 * max_nodes, np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -369,7 +375,8 @@ def reconstruct_packed(buf, hdr: int, levels, T: int, subdiv: int,
         cs.ctypes.data_as(i32p), cc.ctypes.data_as(i32p),
         min(int(K), int(K_cap)), ctypes.c_uint8(st_gt),
         ctypes.c_uint8(st_le),
-        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(sink), rbp)
+        scratch.ctypes.data_as(i32p), max_nodes, _u8ptr(sink), rbp,
+        ctypes.c_int32(1 if skip_final else 0))
     return True if out is not None else sink.reshape(T, M >> 2)
 
 

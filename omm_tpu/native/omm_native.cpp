@@ -414,12 +414,17 @@ void omm_unpack_2bit_strided(const uint8_t* packed, size_t q, size_t m,
 // starts at final_off.  active: T*M 0/1 mask or NULL (all active).
 // scratch: caller-allocated int32[4 * max_nodes] — two ping-pong
 // (node_t, node_n) candidate lists.
+// skip_final (twophase._skip_final_p): the final level ships NO side
+// stream — every child of an unresolved last-mid-level parent is an
+// exact-kernel survivor, and the finals stream maps 1:1 to the children
+// in scan order (all-active batches only, so `active` is NULL then).
 void omm_reconstruct_states(
     const uint8_t* buf, const int64_t* side_off, int64_t final_off,
     const int32_t* levels, int32_t nlevels, int32_t T, int32_t subdiv,
     const int32_t* Cs, const int32_t* Cs_cap, int32_t K,
     uint8_t st_gt, uint8_t st_le, const uint8_t* active,
-    int32_t* scratch, int64_t max_nodes, uint8_t* out) {
+    int32_t* scratch, int64_t max_nodes, uint8_t* out,
+    int32_t skip_final) {
     const int m = nlevels - 1;
     const int64_t M = (int64_t)1 << (2 * subdiv);
     const int64_t N0 = (int64_t)1 << (2 * levels[0]);
@@ -531,6 +536,33 @@ void omm_reconstruct_states(
             int32_t* tmp;
             tmp = cur_t; cur_t = nxt_t; nxt_t = tmp;
             tmp = cur_n; cur_n = nxt_n; nxt_n = tmp;
+        } else if (skip_final) {
+            // no final side stream: the finals (2-bit states) expand
+            // 1:1 over each parent's E children (fc stays 4-aligned —
+            // E is a multiple of 4)
+            const uint8_t* fin = buf + final_off;
+            uint32_t idlut[256];  // byte -> 4 raw 2-bit states
+            for (int b = 0; b < 256; ++b) {
+                uint32_t v = 0;
+                for (int k = 0; k < 4; ++k)
+                    v |= (uint32_t)((b >> (2 * k)) & 3) << (8 * k);
+                idlut[b] = v;
+            }
+            int64_t fc = 0;
+            for (int64_t p = 0; p < Ci; ++p) {
+                uint8_t* op = out
+                    + (int64_t)cur_t[p] * M + (int64_t)cur_n[p] * E;
+                for (int eb = 0; eb < E >> 2; ++eb, fc += 4) {
+                    if (fc + 4 <= (int64_t)K) {
+                        memcpy(op + 4 * eb, &idlut[fin[fc >> 2]], 4);
+                    } else {
+                        for (int k = 0; k < 4 && fc + k < (int64_t)K; ++k)
+                            op[4 * eb + k] = (uint8_t)(
+                                (fin[(fc + k) >> 2]
+                                 >> (((fc + k) & 3) * 2)) & 3);
+                    }
+                }
+            }
         } else {
             // final level (span == 1): E contiguous out bytes per parent
             // via the LUT, then the finals stream scattered over the
@@ -582,7 +614,7 @@ void omm_reconstruct_packed(
     const int32_t* Cs, const int32_t* Cs_cap, int32_t K,
     uint8_t st_gt, uint8_t st_le,
     int32_t* scratch, int64_t max_nodes, uint8_t* out,
-    const int64_t* row_base) {
+    const int64_t* row_base, int32_t skip_final) {
     const int m = nlevels - 1;
     const int64_t M = (int64_t)1 << (2 * subdiv);
     const int64_t N0 = (int64_t)1 << (2 * levels[0]);
@@ -714,6 +746,21 @@ void omm_reconstruct_packed(
             int32_t* tmp;
             tmp = cur_t; cur_t = nxt_t; nxt_t = tmp;
             tmp = cur_n; cur_n = nxt_n; nxt_n = tmp;
+        } else if (skip_final) {
+            // no final side stream and the finals ARE already the packed
+            // 2-bit states of each parent's E children in scan order
+            // (fc advances E, a multiple of 4, per parent — always byte
+            // aligned): the final level is a pure memcpy scatter
+            const uint8_t* fin = buf + final_off;
+            int64_t fc = 0;
+            for (int64_t p = 0; p < Ci; ++p, fc += E) {
+                uint8_t* op = out + RB(cur_t[p])
+                    + (((int64_t)cur_n[p] * E) >> 2);
+                int64_t avail = ((int64_t)K - fc) >> 2;
+                int64_t nb = E >> 2;
+                if (avail < nb) nb = avail < 0 ? 0 : avail;
+                memcpy(op, fin + (fc >> 2), (size_t)nb);
+            }
         } else {
             // final level (span == 1): E children = E/4 packed bytes per
             // parent via plut, then survivor finals RMW'd in scan order
