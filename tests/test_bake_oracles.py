@@ -400,6 +400,46 @@ def test_degen_dyn_lvl_10(circle1024):
                  total_unknown_transparent=87, total_unknown_opaque=90)
 
 
+@pytest.mark.slow
+def test_level12_non_degenerate(circle1024):
+    """A REAL (non-line) triangle at the reference's subdivision ceiling,
+    level 12 = 16.7M µtris (omm.h:436-440; the reference CS path bakes it,
+    bake_gpu_impl.cpp:253-267).  The degenerate dyn-scale tests above hit
+    level 12 only on line triangles; this pins the full 2-D classify at
+    the ceiling.  Stats are numpy-oracle-generated pins (same discipline
+    as the raster goldens), sanity-bounded here: the unknown band must be
+    a thin contour (~0.05% of µtris on this circle/triangle geometry) and
+    every µtri accounted for."""
+    tc = np.array([[0.05, 0.1], [0.1, 0.8], [0.75, 0.7]], np.float32)
+    s = bake_stats(circle1024, 0.5, 12, tex_coords=tc, indices=[0, 1, 2])
+    M = omm.get_num_micro_triangles(12)
+    got = (s.total_opaque, s.total_transparent,
+           s.total_unknown_transparent, s.total_unknown_opaque)
+    assert got == (3005036, 13763679, 4405, 4096)
+    assert sum(got) == M
+    assert (got[2] + got[3]) < M // 1000  # unknowns = thin contour band
+
+
+@pytest.mark.slow
+def test_level12_non_degenerate_backend_parity(circle1024):
+    """Level-12 full-result byte equality between the numpy oracle backend
+    and the device (pallas/twophase) backend — the bit-exactness contract
+    at the subdivision ceiling."""
+    tc = np.array([[0.05, 0.1], [0.1, 0.8], [0.75, 0.7]], np.float32)
+    tex = omm.Texture([circle1024], omm.TextureFormat.FP32)
+    desc = omm.BakeInputDesc(
+        texture=tex, tex_coords=tc,
+        index_buffer=np.arange(3, dtype=np.uint32), index_count=3,
+        alpha_cutoff=0.5, max_subdivision_level=12,
+        dynamic_subdivision_scale=0.0)
+    a = omm.bake(desc, backend="numpy")
+    b = omm.bake(desc, backend="pallas")
+    assert (a.array_data == b.array_data).all()
+    assert a.desc_array == b.desc_array
+    assert (a.index_buffer == b.index_buffer).all()
+    assert a.desc_array_histogram == b.desc_array_histogram
+
+
 def test_degen_point_transparent(circle1024):
     tc = np.array([[0.2, 0.437582970]] * 3, dtype=np.float32)
     expect_stats(bake_stats(circle1024, 0.5, 12, tex_coords=tc,

@@ -88,3 +88,14 @@ def test_vegetation_scene_pallas_backend(monkeypatch):
     b = baker.bake(desc, backend="pallas")
     assert np.array_equal(a.array_data, b.array_data)
     assert np.array_equal(a.index_buffer, b.index_buffer)
+
+
+@pytest.mark.slow
+def test_readback_and_debug_example(tmp_path):
+    """The integration-guide companion example (guide sections 5.2, 9.1,
+    14) must stay runnable: histogram readback -> driver-build usage
+    counts, alpha-blend workflow, and the full debug cookbook."""
+    from readback_and_debug import main as example_main
+    res, files, messages = example_main(str(tmp_path))
+    assert len(files) == 2 and all(os.path.exists(p) for p in files)
+    assert len(res.desc_array) > 0
