@@ -539,7 +539,8 @@ class Pipeline:
                     # the dense all-micro-tri path when the window
                     # preconditions fail.
                     from ..kernels.jax_classify import (
-                        classify_linear_survivors, classify_work_item_jax)
+                        classify_linear_survivors_batch,
+                        classify_work_item_jax)
                     from ..kernels.twophase import resolve_linear_phase1
                     by_level: dict = {}
                     for idx in eligible:
@@ -550,15 +551,23 @@ class Pipeline:
                             tex, rcfg,
                             [(items[i].uv_tri, items[i].states)
                              for i in idxs], lvl)
-                        for k, i in enumerate(idxs):
-                            it = items[i]
-                            it.states = (
-                                classify_linear_survivors(
-                                    tex, rcfg, it.uv_tri, lvl, pre[k])
-                                if pre is not None else
-                                classify_work_item_jax(
-                                    tex, rcfg, it.uv_tri, lvl, it.states))
-                            done[i] = True
+                        if pre is not None:
+                            # one compacted contour stream for the whole
+                            # level group — dispatch count scales with
+                            # contour size, not primitive count
+                            res = classify_linear_survivors_batch(
+                                tex, rcfg,
+                                [(items[i].uv_tri, pre[k])
+                                 for k, i in enumerate(idxs)], lvl)
+                            for i, st in zip(idxs, res):
+                                items[i].states = st
+                                done[i] = True
+                        else:
+                            for i in idxs:
+                                it = items[i]
+                                it.states = classify_work_item_jax(
+                                    tex, rcfg, it.uv_tri, lvl, it.states)
+                                done[i] = True
                 else:
                     from ..kernels.twophase import \
                         classify_work_items_batches

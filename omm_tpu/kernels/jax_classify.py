@@ -459,28 +459,52 @@ def _classify_linear(planes, muvs, ccw, fz, *, addr_mode, alpha_cutoff,
     return above, below
 
 
-def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
-                              subdiv: int, states: np.ndarray) -> np.ndarray:
-    """Device fine-pass for linear-filter work items, processing ONLY the
-    micro-triangles still UnknownOpaque (e.g. the contour survivors left
-    by kernels/twophase.resolve_linear_phase1, or a resumed partial
-    bake).  Compacted on host, padded to power-of-two buckets to bound
-    the jit cache, classified on device, scattered back.  Bit-exact with
-    engine.resample_fine_item (linear branch) — same kernels, same op
-    order, as classify_work_item_jax."""
-    sel = np.flatnonzero(states == UO)
-    if sel.size == 0:
-        return states
-    if sel.size >= states.shape[0] \
-            and bool(geom.winding_stable(uv_tri, subdiv)):
-        # nothing resolved yet: the dense path's (M-block, window) jit
-        # signatures are already warm in any mixed workload.  (Winding-
-        # unstable slivers must NOT bounce back — classify_work_item_jax
-        # routes them here.)
-        return classify_work_item_jax(texture, cfg, uv_tri, subdiv, states)
+def classify_linear_survivors_batch(texture: Texture, cfg, work,
+                                    subdiv: int) -> list:
+    """Batched device fine-pass for linear-filter work items, processing
+    ONLY the micro-triangles still UnknownOpaque (e.g. the contour
+    survivors left by kernels/twophase.resolve_linear_phase1, or a
+    resumed partial bake).  work: list of (uv_tri, states); returns the
+    new state list.
 
-    muvs_all = bird.micro_triangle_uvs(uv_tri, sel.astype(np.uint32),
-                                       subdiv)  # (S, 3, 2) fp32
+    The survivors of ALL items are compacted into ONE stream and
+    classified in BLOCK-sized dispatches that are ALL enqueued before
+    any result fetch, so device dispatch count (and the fixed ~26.5 ms
+    tunnel dispatch+fetch cycle) scales with total contour size, not
+    with item count — the per-item form paid one cycle per work item,
+    which is what made the round-5 ComputeOnly capture (3.9M µtri/s)
+    link-bound rather than compute-bound.  Bit-exact with the per-item
+    form and with engine.resample_fine_item (linear branch): every
+    per-micro-triangle value in _classify_linear is independent of its
+    block's composition (windows are conservative static bounds whose
+    extra texels are masked out of the coverage sums)."""
+    from .levelline import get_state_from_coverage as gsc
+
+    outs = []
+    seg_muvs = []   # per contributing item: (S_i, 3, 2) survivor corners
+    seg_owner = []  # per contributing item: (index into outs, sel)
+    for i, (uv_tri, states) in enumerate(work):
+        sel = np.flatnonzero(states == UO)
+        if sel.size == 0:
+            outs.append(states)
+            continue
+        if sel.size >= states.shape[0] \
+                and bool(geom.winding_stable(uv_tri, subdiv)):
+            # nothing resolved yet: the dense path's (M-block, window)
+            # jit signatures are already warm in any mixed workload.
+            # (Winding-unstable slivers must NOT bounce back —
+            # classify_work_item_jax routes them here.)
+            outs.append(classify_work_item_jax(texture, cfg, uv_tri,
+                                               subdiv, states))
+            continue
+        outs.append(states.copy())
+        seg_muvs.append(bird.micro_triangle_uvs(
+            uv_tri, sel.astype(np.uint32), subdiv))
+        seg_owner.append((i, sel))
+    if not seg_muvs:
+        return outs
+
+    muvs_all = np.concatenate(seg_muvs)  # (S_total, 3, 2) fp32
     planes = _dev_planes(texture)
     mip_meta = tuple(
         (texture.info[m].size, texture.info[m].size_log2,
@@ -489,11 +513,13 @@ def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
           float(texture.info[m].rcp_size[1])))
         for m in range(texture.mip_count))
 
-    out = states.copy()
-    from .levelline import get_state_from_coverage as gsc
-    for lo in range(0, sel.size, BLOCK):
-        block = sel[lo:lo + BLOCK]
+    # dispatch every block before fetching any result (async enqueue:
+    # block k's device execute overlaps block k+1's host prep, and the
+    # fetch loop below drains an already-computed stream)
+    devs = []
+    for lo in range(0, muvs_all.shape[0], BLOCK):
         muvs = muvs_all[lo:lo + BLOCK]
+        n = muvs.shape[0]
 
         # static window bounds (seed/kernel -0.5 offset footprint),
         # pow2-bucketed like classify_work_item_jax's
@@ -506,16 +532,16 @@ def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
             H = int(np.max(np.ceil(q[..., 1].max(axis=-1))
                            - np.floor(q[..., 1].min(axis=-1))))
             win.append((max(_bucket_pow2(W), 2), max(_bucket_pow2(H), 2)))
-        Sp = _bucket_pow2(len(block))
+        Sp = _bucket_pow2(n)
         # per-micro-triangle float64 winding — the oracle's exact op
         # order (engine.resample_fine_item: is_ccw(micro_uvs)); the
         # macro triangle's winding can disagree on fp32-thin slivers
         ccw = geom.is_ccw(muvs)
-        if Sp > len(block):  # pad with row 0 (valid geometry, dropped)
-            padrows = np.broadcast_to(muvs[:1], (Sp - len(block), 3, 2))
+        if Sp > n:  # pad with row 0 (valid geometry, dropped)
+            padrows = np.broadcast_to(muvs[:1], (Sp - n, 3, 2))
             muvs = np.concatenate([muvs, padrows])
             ccw = np.concatenate([ccw, np.broadcast_to(ccw[:1],
-                                                       (Sp - len(block),))])
+                                                       (Sp - n,))])
 
         above, below = _classify_linear(
             planes, jnp.asarray(muvs, jnp.float32), jnp.asarray(ccw),
@@ -524,12 +550,29 @@ def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
             border_alpha=float(cfg.border_alpha), mip_meta=mip_meta,
             win_wh=tuple(win), fmt=cfg.fmt, promotion=cfg.promotion,
             cutoff_gt=cfg.cutoff_gt, cutoff_le=cfg.cutoff_le)
-        above = np.asarray(above)[:len(block)]
-        below = np.asarray(below)[:len(block)]
-        final = gsc(np, cfg.fmt, cfg.promotion, cfg.cutoff_gt,
-                    cfg.cutoff_le, above, below)
-        out[block] = np.asarray(final, dtype=np.uint8)
-    return out
+        devs.append((above, below, n))
+
+    finals = []
+    for above, below, n in devs:
+        a = np.asarray(above)[:n]
+        b = np.asarray(below)[:n]
+        finals.append(np.asarray(
+            gsc(np, cfg.fmt, cfg.promotion, cfg.cutoff_gt, cfg.cutoff_le,
+                a, b), dtype=np.uint8))
+    flat = np.concatenate(finals)
+    o = 0
+    for i, sel in seg_owner:
+        outs[i][sel] = flat[o:o + sel.size]
+        o += sel.size
+    return outs
+
+
+def classify_linear_survivors(texture: Texture, cfg, uv_tri: np.ndarray,
+                              subdiv: int, states: np.ndarray) -> np.ndarray:
+    """Single-item wrapper over classify_linear_survivors_batch (the
+    historical entry point; batch-of-one shares its jit signatures)."""
+    return classify_linear_survivors_batch(
+        texture, cfg, [(uv_tri, states)], subdiv)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -1794,23 +1794,26 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
             ok = _run_batch_sync(ctx)
         if not ok:
             # Pallas/capacity fallback: flat window resolve + XLA
-            # survivors kernel (fast-path preconditions already hold
-            # for ctx.fast items); dense per-item path as last resort
-            from .jax_classify import classify_linear_survivors
+            # survivors kernel over ONE compacted contour stream for the
+            # whole batch (fast-path preconditions already hold for
+            # ctx.fast items); dense per-item path as last resort
+            from .jax_classify import classify_linear_survivors_batch
             sd = ctx.subdiv
             fit = [(ctx.items[i][0], _states_of(ctx.items[i][1], sd))
                    for i in ctx.fast]
             pre = resolve_linear_phase1(texture, cfg, fit, sd)
-            for t, i in enumerate(ctx.fast):
-                ctx.out[i] = (
-                    classify_linear_survivors(texture, cfg,
-                                              ctx.items[i][0], sd,
-                                              pre[t])
-                    if pre is not None else
-                    classify_work_item_jax(texture, cfg, ctx.items[i][0],
-                                           sd,
-                                           _states_of(ctx.items[i][1],
-                                                      sd)))
+            if pre is not None:
+                res = classify_linear_survivors_batch(
+                    texture, cfg,
+                    [(ctx.items[i][0], pre[t])
+                     for t, i in enumerate(ctx.fast)], sd)
+                for i, st in zip(ctx.fast, res):
+                    ctx.out[i] = st
+            else:
+                for i in ctx.fast:
+                    ctx.out[i] = classify_work_item_jax(
+                        texture, cfg, ctx.items[i][0], sd,
+                        _states_of(ctx.items[i][1], sd))
             ctx.post = {}
     if post_out is not None:
         for k in range(len(batches)):

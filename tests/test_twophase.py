@@ -759,6 +759,46 @@ def test_linear_survivors_partial_states():
     assert (got == want).all()
 
 
+def test_linear_survivors_batch_parity():
+    """classify_linear_survivors_batch compacts every item's survivors
+    into one dispatch stream; output must be byte-identical to the
+    per-item form (and the oracle) across the routing zoo: phase-1
+    pre-resolved contours, an all-UnknownOpaque item (dense route), a
+    zero-survivor item (passthrough), and a random partial resume."""
+    from omm_tpu.kernels.jax_classify import (
+        classify_linear_survivors, classify_linear_survivors_batch)
+    from omm_tpu.kernels.twophase import resolve_linear_phase1
+
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(4)
+    want = [engine.resample_fine_item(tex, cfg, t, subdiv,
+                                      np.full(M, 3, np.uint8))
+            for t in tris]
+
+    pre = resolve_linear_phase1(
+        tex, cfg, [(t, np.full(M, 3, np.uint8)) for t in tris[:2]], subdiv)
+    assert pre is not None
+    rng = np.random.RandomState(7)
+    partial = want[3].copy()
+    partial[rng.rand(M) < 0.3] = 3
+    work = [(tris[0], pre[0]),                       # contour survivors
+            (tris[1], pre[1]),                       # contour survivors
+            (tris[2], np.full(M, 3, np.uint8)),      # all-UO: dense route
+            (tris[3], want[3].copy()),               # zero survivors
+            (tris[3], partial)]                      # partial resume
+    got = classify_linear_survivors_batch(tex, cfg, work, subdiv)
+    exp = want[:4] + [want[3]]
+    for g, w in zip(got, exp):
+        assert (g == w).all()
+    # batch-of-one == the historical per-item entry point
+    one = classify_linear_survivors(tex, cfg, tris[0], subdiv,
+                                    pre[0].copy())
+    assert (one == want[0]).all()
+
+
 def test_linear_phase1_preconditions_reject():
     """Geometry whose micro-tri window exceeds a tile fails the
     preconditions -> None (callers fall back to the dense path).  (Wrap
