@@ -1866,6 +1866,37 @@ def _linear_sides(cls_planes, uv_flat, fz, *, subdiv, mips, pads,
     return side.reshape(T, M)
 
 
+@partial(jax.jit, static_argnames=("subdiv", "mips", "pads",
+                                   "periods"))
+def _linear_sides_packed(cls_planes, uv_flat, fz, *, subdiv, mips, pads,
+                         periods=None):
+    """_linear_sides with the (T, M) int8 side map packed 4-per-byte on
+    device before the fetch: side ∈ {-1, 0, +1} → 2-bit code side+1.
+    The dense side map is the ComputeOnly engine's D2H payload (16 MB at
+    64 tris × subdiv 9) and the tunnel moves ~46 MB/s, so the fetch
+    dominated phase-1 (measured 615 ms full-fetch vs 252 ms compute-
+    only); packing cuts the wire bytes 4×.  Requires M % 4 == 0
+    (subdiv ≥ 1 — callers keep subdiv-0 on the unpacked form)."""
+    side = _linear_sides.__wrapped__(cls_planes, uv_flat, fz,
+                                     subdiv=subdiv, mips=mips, pads=pads,
+                                     periods=periods)
+    T, M = side.shape
+    code = (side + jnp.int8(1)).astype(jnp.uint8).reshape(T, M // 4, 4)
+    return (code[..., 0] | (code[..., 1] << 2) | (code[..., 2] << 4)
+            | (code[..., 3] << 6))
+
+
+def _unpack_sides(packed: np.ndarray, M: int) -> np.ndarray:
+    """Host inverse of _linear_sides_packed's 2-bit codes → int8 sides."""
+    T = packed.shape[0]
+    codes = np.empty((T, M), np.uint8)
+    codes[:, 0::4] = packed & 3
+    codes[:, 1::4] = (packed >> 2) & 3
+    codes[:, 2::4] = (packed >> 4) & 3
+    codes[:, 3::4] = (packed >> 6) & 3
+    return codes.astype(np.int8) - np.int8(1)
+
+
 def resolve_linear_phase1(texture: Texture, cfg, items, subdiv: int):
     """Phase-1 window resolve for linear-filter work items, WITHOUT the
     hierarchical descent or the Pallas exact kernel: micro-triangles
@@ -1902,9 +1933,16 @@ def resolve_linear_phase1(texture: Texture, cfg, items, subdiv: int):
                                       ba, period))
 
     uv_flat = uv_arr.reshape(len(items), 6).astype(np.float32)
-    side = np.asarray(_linear_sides(
-        tuple(cls_planes), jnp.asarray(uv_flat), _fz0(), subdiv=subdiv,
-        mips=tuple(mips), pads=tuple(pads), periods=tuple(periods)))
+    if subdiv >= 1:
+        side = _unpack_sides(np.asarray(_linear_sides_packed(
+            tuple(cls_planes), jnp.asarray(uv_flat), _fz0(),
+            subdiv=subdiv, mips=tuple(mips), pads=tuple(pads),
+            periods=tuple(periods))), get_num_micro_triangles(subdiv))
+    else:
+        side = np.asarray(_linear_sides(
+            tuple(cls_planes), jnp.asarray(uv_flat), _fz0(),
+            subdiv=subdiv, mips=tuple(mips), pads=tuple(pads),
+            periods=tuple(periods)))
 
     st_gt = np.uint8(int(cfg.cutoff_gt))
     st_le = np.uint8(int(cfg.cutoff_le))
