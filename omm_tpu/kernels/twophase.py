@@ -1994,6 +1994,22 @@ def _nearest_sides(cls_planes, uv_flat, *, subdiv, mips, pads,
     return side
 
 
+@partial(jax.jit, static_argnames=("subdiv", "mips", "pads",
+                                   "periods"))
+def _nearest_sides_packed(cls_planes, uv_flat, *, subdiv, mips, pads,
+                          periods=None):
+    """_nearest_sides with the (T, M) int8 map packed 4-per-byte on
+    device before the fetch (same D2H rationale as
+    _linear_sides_packed; requires subdiv ≥ 1)."""
+    side = _nearest_sides.__wrapped__(cls_planes, uv_flat, subdiv=subdiv,
+                                      mips=mips, pads=pads,
+                                      periods=periods)
+    T, M = side.shape
+    code = (side + jnp.int8(1)).astype(jnp.uint8).reshape(T, M // 4, 4)
+    return (code[..., 0] | (code[..., 1] << 2) | (code[..., 2] << 4)
+            | (code[..., 3] << 6))
+
+
 def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
     """Phase-1 window resolve for nearest-filter work items: resolved
     micro-triangles get their final state; survivors stay UnknownOpaque
@@ -2057,9 +2073,15 @@ def resolve_nearest_phase1(texture: Texture, cfg, items, subdiv: int):
                                                     0.0)), period))
 
     uv_flat = np.stack([it[0].reshape(6) for it in items]).astype(np.float32)
-    side = np.asarray(_nearest_sides(
-        tuple(cls_planes), jnp.asarray(uv_flat), subdiv=subdiv,
-        mips=tuple(mips), pads=tuple(pads), periods=tuple(periods)))
+    if subdiv >= 1:
+        side = _unpack_sides(np.asarray(_nearest_sides_packed(
+            tuple(cls_planes), jnp.asarray(uv_flat), subdiv=subdiv,
+            mips=tuple(mips), pads=tuple(pads),
+            periods=tuple(periods))), get_num_micro_triangles(subdiv))
+    else:
+        side = np.asarray(_nearest_sides(
+            tuple(cls_planes), jnp.asarray(uv_flat), subdiv=subdiv,
+            mips=tuple(mips), pads=tuple(pads), periods=tuple(periods)))
 
     st_gt = np.uint8(int(cfg.cutoff_gt))
     st_le = np.uint8(int(cfg.cutoff_le))
