@@ -759,6 +759,58 @@ def test_linear_survivors_partial_states():
     assert (got == want).all()
 
 
+def test_packed_sides_roundtrip():
+    """The phase-1 side maps cross the tunnel packed 4-per-byte
+    (_linear_sides_packed / _nearest_sides_packed); _unpack_sides must
+    invert the device packing bit-exactly over the full {-1, 0, +1}
+    domain, and the packed linear resolve must equal the unpacked form
+    on a real workload."""
+    from omm_tpu.kernels import twophase as tp
+
+    rng = np.random.RandomState(3)
+    side = rng.randint(-1, 2, size=(5, 256)).astype(np.int8)
+    code = (side + 1).astype(np.uint8).reshape(5, 64, 4)
+    packed = (code[..., 0] | (code[..., 1] << 2) | (code[..., 2] << 4)
+              | (code[..., 3] << 6))
+    assert (tp._unpack_sides(packed, 256) == side).all()
+
+    # packed vs unpacked device resolve on a real item set
+    tex = omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 4
+    items = [(t, None) for t in _tris(3)]
+    got = tp.resolve_linear_phase1(tex, cfg, items, subdiv)
+    assert got is not None
+    # reproduce via the unpacked jit directly
+    uv_arr = np.stack([t for t, _ in items])
+    mips, pads, cls_planes, periods = [], [], [], []
+    for mip in range(tex.mip_count):
+        Hbs, Wbs = tp._span_windows(tex, uv_arr, subdiv, mip)
+        Hb, Wb = int(Hbs.max()), int(Wbs.max())
+        TSA = tp.TILE + max(Hb + 2, Wb + 2)
+        period = tp._period_for(tex, cfg.addr_mode, mip)
+        periods.append(period)
+        mips.append(tex.size(mip))
+        pads.append(TSA)
+        cls_planes.append(tp._cls_cached(
+            tex, mip, cfg.addr_mode, TSA, TSA, Hb, Wb,
+            float(cfg.alpha_cutoff), tp.PHASE1_MARGIN,
+            float(getattr(cfg, "border_alpha", 0.0)), period))
+    import jax.numpy as jnp
+    side_ref = np.asarray(tp._linear_sides(
+        tuple(cls_planes), jnp.asarray(uv_arr.reshape(3, 6)), tp._fz0(),
+        subdiv=subdiv, mips=tuple(mips), pads=tuple(pads),
+        periods=tuple(periods)))
+    M = omm.get_num_micro_triangles(subdiv)
+    st_gt = np.uint8(int(cfg.cutoff_gt))
+    st_le = np.uint8(int(cfg.cutoff_le))
+    for t in range(3):
+        want = np.full(M, 3, np.uint8)
+        want[side_ref[t] == 1] = st_gt
+        want[side_ref[t] == -1] = st_le
+        assert (got[t] == want).all()
+
+
 def test_linear_survivors_batch_parity():
     """classify_linear_survivors_batch compacts every item's survivors
     into one dispatch stream; output must be byte-identical to the
