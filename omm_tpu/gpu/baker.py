@@ -531,58 +531,33 @@ class Pipeline:
                     if (not bool(geom.is_degenerate(items[idx].uv_tri))
                         and rcfg.filter == TextureFilterMode.Linear
                         and not rcfg.disable_level_line)]
-                if compute_only:
-                    # Pure-XLA engine, no custom rasterizer: a flat
-                    # window pre-pass resolves the interior (twophase
-                    # stage B alone), then only the contour survivors
-                    # run the exact XLA-gather kernel.  Falls back to
-                    # the dense all-micro-tri path when the window
-                    # preconditions fail.
-                    from ..kernels.jax_classify import (
-                        classify_linear_survivors_batch,
-                        classify_work_item_jax)
-                    from ..kernels.twophase import resolve_linear_phase1
-                    by_level: dict = {}
-                    for idx in eligible:
-                        by_level.setdefault(
-                            items[idx].subdivision_level, []).append(idx)
-                    for lvl, idxs in by_level.items():
-                        pre = resolve_linear_phase1(
-                            tex, rcfg,
-                            [(items[i].uv_tri, items[i].states)
-                             for i in idxs], lvl)
-                        if pre is not None:
-                            # one compacted contour stream for the whole
-                            # level group — dispatch count scales with
-                            # contour size, not primitive count
-                            res = classify_linear_survivors_batch(
-                                tex, rcfg,
-                                [(items[i].uv_tri, pre[k])
-                                 for k, i in enumerate(idxs)], lvl)
-                            for i, st in zip(idxs, res):
-                                items[i].states = st
-                                done[i] = True
-                        else:
-                            for i in idxs:
-                                it = items[i]
-                                it.states = classify_work_item_jax(
-                                    tex, rcfg, it.uv_tri, lvl, it.states)
-                                done[i] = True
-                else:
-                    from ..kernels.twophase import \
-                        classify_work_items_batches
-                    by_level: dict = {}
-                    for idx in eligible:
-                        by_level.setdefault(
-                            items[idx].subdivision_level, []).append(idx)
-                    for lvl, idxs in by_level.items():
-                        res = classify_work_items_batches(
-                            tex, rcfg,
-                            [[(items[i].uv_tri, items[i].states)
-                              for i in idxs]], lvl)[0]
-                        for i, st in zip(idxs, res):
-                            items[i].states = st
-                            done[i] = True
+                # Both engines run the SAME two-phase hierarchical
+                # pipeline (descent, tile sort, compressed payload);
+                # they differ only in the exact-stage kernel — the
+                # reference's engines likewise share setup/finalize and
+                # differ in the rasterization pass
+                # (bake_gpu_impl.cpp:253-267):
+                #  - default: the Mosaic (Pallas) tile-streamed kernel
+                #    (the production VS/GS/PS rasterizer analog);
+                #  - ComputeOnly: the identical kernel body through
+                #    pure XLA ops (pallas_classify._run_v3_xla) — the
+                #    portable "no custom rasterizer" compute path.
+                # Bit-exact with each other and the numpy oracle by
+                # construction (shared kernel body + shared pipeline).
+                from ..kernels.twophase import classify_work_items_batches
+                engine_kw = {"exact_engine": "xla"} if compute_only else {}
+                by_level: dict = {}
+                for idx in eligible:
+                    by_level.setdefault(
+                        items[idx].subdivision_level, []).append(idx)
+                for lvl, idxs in by_level.items():
+                    res = classify_work_items_batches(
+                        tex, rcfg,
+                        [[(items[i].uv_tri, items[i].states)
+                          for i in idxs]], lvl, **engine_kw)[0]
+                    for i, st in zip(idxs, res):
+                        items[i].states = st
+                        done[i] = True
             for i in sel:
                 if not done[i]:
                     items[i].states = engine.resample_fine_item(

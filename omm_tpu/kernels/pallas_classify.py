@@ -260,12 +260,15 @@ def _kernel_v3(tidx_ref, tile_ref, ids_ref, uv6T_ref, ccw_ref, fz_ref,
     geom_rows = derive_slot_geometry(
         ids_ref[0], uv6T_ref[...], ccw_ref[...], bt, fz, subdiv=subdiv,
         pad=pad, ntx=ntx, size=size, period=period)
-    _kernel_body(tile_ref[0], geom_rows, above_ref, below_ref,
-                 H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
-                 size=size, rcp=rcp, alpha_cutoff=alpha_cutoff, fz=fz)
+    a, b = _kernel_body(tile_ref[0], geom_rows,
+                        H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
+                        size=size, rcp=rcp, alpha_cutoff=alpha_cutoff,
+                        fz=fz)
+    above_ref[0] = a
+    below_ref[0] = b
 
 
-def _kernel_body(region, geom_rows, above_ref, below_ref, *,
+def _kernel_body(region, geom_rows, *,
                  H, W, He, We, RHe, RWe, size, rcp, alpha_cutoff,
                  fz=None):
     HW = H * W
@@ -374,8 +377,7 @@ def _kernel_body(region, geom_rows, above_ref, below_ref, *,
     above = above + jnp.where(seed_above, one_i, zero_i)
     below = below + jnp.where(~seed_above, one_i, zero_i)
 
-    above_ref[0] = jnp.where(val, above, zero_i)
-    below_ref[0] = jnp.where(val, below, zero_i)
+    return jnp.where(val, above, zero_i), jnp.where(val, below, zero_i)
 
 
 @partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
@@ -428,6 +430,62 @@ def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
         **extra,
     )(tidx, tilesE, ids_r, uv6T, ccw1T, fzv)
     return a.reshape(nblk, B), b.reshape(nblk, B)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
+                                   "rcp", "alpha_cutoff", "nblk", "subdiv",
+                                   "pad", "ntx", "period"))
+def _run_v3_xla(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He,
+                We, TSA, size, rcp, alpha_cutoff, nblk, subdiv, pad, ntx,
+                period=None):
+    """Pure-XLA execution of the SAME kernel body as `_run_v3` — the
+    ComputeOnly engine's exact stage (reference role: the compute-shader
+    rasterizer, bake_gpu_impl.cpp:253-267, vs the HW-raster path).
+
+    The Mosaic grid becomes a chunked `lax.scan` whose step vmaps
+    `_kernel_body` over CB tile blocks: the one-hot column/table selects
+    batch into (CB, ...) `dot_general`s — still exact-0/1 operands at
+    HIGHEST precision, so gather semantics stay bit-exact on the MXU —
+    while the scan bounds live intermediates to CB blocks (a full vmap
+    over ~1-2k blocks would materialize ~0.4 GB of column selects).
+    Bit-exactness with the Mosaic engine is by construction: both run
+    the identical `_kernel_body` jaxpr; callers must pass the runtime
+    fence token `fzv` (XLA may contract fp32 mul+add; Mosaic does not,
+    which is why the Pallas path may pass None)."""
+    if fzv is None:
+        fzv = jnp.zeros((1, 1), jnp.int32)
+    fz = fzv[0, 0]
+    CB = min(32, nblk)
+    nch = -(-nblk // CB)
+    padb = nch * CB - nblk
+    if padb:
+        tidx_p = jnp.concatenate(
+            [tidx, jnp.zeros((padb,), tidx.dtype)])
+        ids_p = jnp.concatenate(
+            [ids_r, jnp.full((padb, 1, B), -1, jnp.int32)])
+    else:
+        tidx_p, ids_p = tidx, ids_r
+
+    def one_block(bt, ids_blk):
+        region = tilesE[bt]
+        geom_rows = derive_slot_geometry(
+            ids_blk, uv6T, ccw1T, bt, fz, subdiv=subdiv, pad=pad,
+            ntx=ntx, size=size, period=period)
+        return _kernel_body(region, geom_rows, H=H, W=W, He=He, We=We,
+                            RHe=TSA, RWe=TSA, size=size, rcp=rcp,
+                            alpha_cutoff=alpha_cutoff, fz=fz)
+
+    def step(carry, x):
+        bts, idsb = x
+        return carry, jax.vmap(one_block)(bts, idsb)
+
+    _, (a, b) = jax.lax.scan(
+        step, None, (tidx_p.reshape(nch, CB),
+                     ids_p.reshape(nch, CB, 1, B)))
+    a = a.reshape(nch * CB, B)
+    b = b.reshape(nch * CB, B)
+    return (jax.lax.slice(a, (0, 0), (nblk, B)),
+            jax.lax.slice(b, (0, 0), (nblk, B)))
 
 
 def _halo_tiles(planeP, TS, TSA):

@@ -580,14 +580,16 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
 
 @partial(jax.jit, static_argnames=("subdiv", "K_cap", "nblk", "w", "h",
                                    "pad", "ntx", "H", "W", "rcp",
-                                   "alpha_cutoff", "period"))
+                                   "alpha_cutoff", "period", "exact"))
 def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
                 K_cap, nblk, w, h, pad, ntx, H, W, rcp, alpha_cutoff,
-                period=None):
+                period=None, exact="pallas"):
     """Build the (nblk, 1, B) slot id stream on device and run the exact
-    Pallas kernel (which derives each slot's geometry in-kernel from the
+    kernel (which derives each slot's geometry in-kernel from the
     id + the tiny per-item UV table); returns (above, below) int32
-    (K_cap,) in survivor order."""
+    (K_cap,) in survivor order.  exact: "pallas" = the Mosaic kernel
+    (default engine), "xla" = the same kernel body through pure XLA
+    (`pk._run_v3_xla`, the ComputeOnly engine / Mosaic-free fallback)."""
     padM = nblk * B
     ok = kvalid & (slot < padM)
     tgt = jnp.where(ok, slot, padM)  # OOB drops
@@ -615,9 +617,14 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
         first_ids >= 0,
         ((fy0 + pad) // TILE) * ntx + (fx0 + pad) // TILE, 0)
 
-    a_b, b_b = pk._run_v3(
+    # The XLA engine always takes the runtime fence token: its body runs
+    # through XLA (which may contract fp32 mul+add); Mosaic's codegen is
+    # verified non-contracting so the Pallas engine skips it on chips.
+    run = pk._run_v3 if exact == "pallas" else pk._run_v3_xla
+    a_b, b_b = run(
         tilesE, block_tile, ids_slot, uv6T, ccw1T,
-        fz.reshape(1, 1) if pk.kernel_fence() else None,
+        fz.reshape(1, 1) if (exact != "pallas" or pk.kernel_fence())
+        else None,
         H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
         size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk,
         subdiv=subdiv, pad=pad, ntx=ntx, period=period)
@@ -921,9 +928,12 @@ class _BatchCtx:
 
     def __init__(self, texture, cfg, items, subdiv, fast, out,
                  all_active=None, precomp=None, want_post=True,
-                 want_packed=False, sink=None):
+                 want_packed=False, sink=None, exact="pallas"):
         self.texture = texture
         self.cfg = cfg
+        # exact-stage engine: "pallas" (Mosaic kernel, default) or "xla"
+        # (same kernel body through pure XLA — the ComputeOnly engine)
+        self.exact = exact
         self.items = items
         self.subdiv = subdiv
         self.fast = fast
@@ -1073,7 +1083,7 @@ class _BatchCtx:
             nblk=nblk, w=w, h=h, pad=self.pads[mip], ntx=self.ntxs[mip],
             H=self.HWu[mip][0], W=self.HWu[mip][1], rcp=self.rcps[mip],
             alpha_cutoff=float(self.cfg.alpha_cutoff),
-            period=self.periods[mip])
+            period=self.periods[mip], exact=self.exact)
 
     def finish(self, packed):
         for t, i in enumerate(self.fast):
@@ -1303,11 +1313,11 @@ def _run_batch_sync(ctx: _BatchCtx):
                                    "mips", "pads", "ntxs", "all_active",
                                    "nblks", "HWs", "rcps", "alpha_cutoff",
                                    "fmt", "promotion", "cutoff_gt",
-                                   "cutoff_le", "periods"))
+                                   "cutoff_le", "periods", "exact"))
 def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
                 levels, caps, K_cap, mips, pads, ntxs, all_active, nblks,
                 HWs, rcps, alpha_cutoff, fmt, promotion, cutoff_gt,
-                cutoff_le, periods=None):
+                cutoff_le, periods=None, exact="pallas"):
     """The whole speculative batch (descent A+B, per-mip C, compact D) as
     ONE jit dispatch: on a tunnel-attached chip every dispatch pays
     host-link latency, so the chain must cross the link once, not
@@ -1327,7 +1337,7 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
             slots[mip][1], fz, subdiv=subdiv, K_cap=K_cap, nblk=nblks[mip],
             w=w, h=h, pad=pads[mip], ntx=ntxs[mip], H=HWs[mip][0],
             W=HWs[mip][1], rcp=rcps[mip], alpha_cutoff=alpha_cutoff,
-            period=periods[mip] if periods else None))
+            period=periods[mip] if periods else None, exact=exact))
     return _stageD_spec(sides, tuple(mip_counts), meta, fmt=fmt,
                         promotion=promotion, cutoff_gt=cutoff_gt,
                         cutoff_le=cutoff_le, nblk_caps=nblks)
@@ -1337,11 +1347,11 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
                                    "K_cap", "mips", "pads", "ntxs",
                                    "nblks", "HWs", "rcps", "alpha_cutoff",
                                    "fmt", "promotion", "cutoff_gt",
-                                   "cutoff_le", "periods"))
+                                   "cutoff_le", "periods", "exact"))
 def _spec_chain_multi(cls_levels, tilesEs, uv7s, fz, *, NB, subdiv, levels,
                       caps, K_cap, mips, pads, ntxs, nblks, HWs, rcps,
                       alpha_cutoff, fmt, promotion, cutoff_gt, cutoff_le,
-                      periods=None):
+                      periods=None, exact="pallas"):
     """NB identical-signature speculative chains as ONE dispatch returning
     ONE flat payload: on the tunnel-attached chip every stream operation
     (H2D, Execute, D2H) pays a fixed link cost, so a 4-sub-batch rep goes
@@ -1357,7 +1367,8 @@ def _spec_chain_multi(cls_levels, tilesEs, uv7s, fz, *, NB, subdiv, levels,
             levels=levels, caps=caps, K_cap=K_cap, mips=mips, pads=pads,
             ntxs=ntxs, all_active=True, nblks=nblks, HWs=HWs, rcps=rcps,
             alpha_cutoff=alpha_cutoff, fmt=fmt, promotion=promotion,
-            cutoff_gt=cutoff_gt, cutoff_le=cutoff_le, periods=periods))
+            cutoff_gt=cutoff_gt, cutoff_le=cutoff_le, periods=periods,
+            exact=exact))
     return jnp.concatenate(outs)
 
 
@@ -1399,7 +1410,8 @@ def _try_enqueue_mega(live, nmips):
             HWs=tuple(c0.HWu), rcps=tuple(c0.rcps),
             alpha_cutoff=float(c0.cfg.alpha_cutoff), fmt=c0.cfg.fmt,
             promotion=c0.cfg.promotion, cutoff_gt=c0.cfg.cutoff_gt,
-            cutoff_le=c0.cfg.cutoff_le, periods=tuple(c0.periods))
+            cutoff_le=c0.cfg.cutoff_le, periods=tuple(c0.periods),
+            exact=c0.exact)
         dev.copy_to_host_async()
     except fb.KERNEL_FALLBACK_ERRORS as e:
         fb.record("twophase.mega_chain", e)
@@ -1438,7 +1450,8 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
             HWs=tuple(ctx.HWu), rcps=tuple(ctx.rcps),
             alpha_cutoff=float(ctx.cfg.alpha_cutoff), fmt=ctx.cfg.fmt,
             promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
-            cutoff_le=ctx.cfg.cutoff_le, periods=tuple(ctx.periods))
+            cutoff_le=ctx.cfg.cutoff_le, periods=tuple(ctx.periods),
+            exact=ctx.exact)
         return (dev, tuple(Cs), K_cap)
     except fb.KERNEL_FALLBACK_ERRORS as e:
         # toolchain gap (Mosaic lowering / backend compile): recorded +
@@ -1457,7 +1470,8 @@ TRACE: list = []
 def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
                                 post_out: list | None = None,
                                 packed_out: bool = False,
-                                packed_sink=None):
+                                packed_sink=None,
+                                exact_engine: str | None = None):
     """Classify several batches, pipelined: all speculative device chains
     are enqueued up-front so each batch's result fetch overlaps the next
     batches' device execution.  Returns a list of per-batch state lists.
@@ -1495,6 +1509,12 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
     subdivs = ([int(subdiv)] * len(batches) if np.isscalar(subdiv)
                else [int(s) for s in subdiv])
     assert len(subdivs) == len(batches)
+
+    # Exact-stage engine selection ("pallas" default / "xla" = the
+    # ComputeOnly engine: same pipeline, kernel body through pure XLA).
+    # OMM_TP_EXACT overrides for A/B sweeps.
+    exact = exact_engine or os.environ.get("OMM_TP_EXACT", "pallas")
+    assert exact in ("pallas", "xla"), exact
 
     if os.environ.get("OMM_TP_TRACE"):
         _tb = _time.perf_counter()
@@ -1670,7 +1690,8 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
                         all_active=all(mins[i] == UO for i in fast),
                         precomp=precomps[sd],
                         want_post=post_out is not None,
-                        want_packed=packed_out, sink=sink) \
+                        want_packed=packed_out, sink=sink,
+                        exact=exact) \
             if fast else None
         _mark(f"ctx{len(ctxs)}")
         ctxs.append(ctx)

@@ -1079,3 +1079,71 @@ def test_concurrent_batch_calls_thread_safe(monkeypatch):
             want = engine.resample_fine_item(tex, cfg, t, subdiv,
                                              np.full(M, 3, np.uint8))
             assert (st == want).all()
+
+
+def test_xla_exact_engine_parity_small():
+    """The ComputeOnly exact stage (`exact_engine="xla"`:
+    pallas_classify._run_v3_xla, the kernel body through pure XLA —
+    reference role bake_gpu_impl.cpp:253-267 compute path) rides the
+    full two-phase pipeline and must (a) never touch the Mosaic kernel
+    and (b) match the per-item oracle byte for byte."""
+    from omm_tpu.kernels import pallas_classify as pk
+    from omm_tpu.kernels import twophase as tp
+
+    orig = pk._run_v3
+    def boom(*a, **k):
+        raise AssertionError("Mosaic kernel invoked on the xla engine")
+    pk._run_v3 = boom
+    try:
+        tex = omm.Texture([standard_circle(48, 48)],
+                          omm.TextureFormat.FP32)
+        cfg = _cfg()
+        subdiv = 4
+        M = omm.get_num_micro_triangles(subdiv)
+        tris = _tris(3, seed=11)
+        items = [(t, None) for t in tris]
+        got = tp.classify_work_items_batches(
+            tex, cfg, [items], subdiv, exact_engine="xla")[0]
+        for t, st in zip(tris, got):
+            want = engine.resample_fine_item(
+                tex, cfg, t, subdiv, np.full(M, 3, np.uint8))
+            assert (st == want).all(), (st != want).sum()
+    finally:
+        pk._run_v3 = orig
+
+
+@pytest.mark.slow
+def test_xla_exact_engine_parity_modes(monkeypatch):
+    """xla-vs-pallas engine equality on the shapes that stress the exact
+    stage: multi-repeat Wrap UVs (period planes), a multi-mip chain
+    (early-unknown-exit count accumulation), and a 2-state format —
+    plus byte equality against the default engine's output."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    mips = [sine_fp32(64, 64)]
+    while mips[-1].shape[0] >= 32:
+        m = mips[-1]
+        mips.append((m[0::2, 0::2] + m[1::2, 0::2] + m[0::2, 1::2]
+                     + m[1::2, 1::2]) * np.float32(0.25))
+    cases = [
+        (omm.Texture([sine_fp32(64, 64)], omm.TextureFormat.FP32),
+         _cfg(addr_mode=omm.TextureAddressMode.Wrap),
+         [np.array([[0.1, -0.2], [0.2, 1.1], [1.3, 0.7]], np.float32)]),
+        (omm.Texture(mips, omm.TextureFormat.FP32), _cfg(), _tris(3)),
+        (omm.Texture([standard_circle(64, 64)], omm.TextureFormat.FP32),
+         _cfg(fmt=omm.Format.OC1_2_State), _tris(2, seed=5)),
+    ]
+    subdiv = 5
+    M = omm.get_num_micro_triangles(subdiv)
+    for tex, cfg, tris in cases:
+        items = lambda: [(t, None) for t in tris]
+        got_x = tp.classify_work_items_batches(
+            tex, cfg, [items()], subdiv, exact_engine="xla")[0]
+        got_p = tp.classify_work_items_batches(
+            tex, cfg, [items()], subdiv, exact_engine="pallas")[0]
+        for t, sx, sp in zip(tris, got_x, got_p):
+            want = engine.resample_fine_item(
+                tex, cfg, t, subdiv, np.full(M, 3, np.uint8))
+            assert (sx == want).all(), (sx != want).sum()
+            assert (sp == want).all(), (sp != want).sum()
