@@ -129,6 +129,23 @@ def classify_work_item_pallas(texture: Texture, cfg, uv_tri: np.ndarray,
 TILE = int(os.environ.get("OMM_PALLAS_TILE", "64"))
 
 
+def bf16x3_safe(plane) -> bool:
+    """True when every plane value admits the exact 3-term bf16 split
+    used by `_kernel_body`'s column select: finite and either zero or
+    2^-110 <= |x| < 2^127.  Below 2^-110 the third term's bits fall
+    under bf16's denormal floor (2^-133) and the reconstruction rounds
+    (verified by direct fuzz over random fp32 bit patterns); at the top,
+    RN to bf16 can overflow to inf.  Real alpha planes (UNORM8, [0,1]
+    fp32 content) are always safe; the scan runs once per cached padded
+    plane and unsafe planes keep the fp32-HIGHEST matmul."""
+    a = np.abs(np.asarray(plane))
+    lo = np.float32(2.0 ** -110)
+    hi = np.float32(2.0 ** 127)
+    with np.errstate(invalid="ignore"):
+        ok = np.isfinite(a) & ((a == 0) | ((a >= lo) & (a < hi)))
+    return bool(ok.all())
+
+
 def bary_cols(index, level: int):
     """index2bary (bird.h:73-118) in column form: returns (u, v, d) fp32
     so the corners are (u,v), (u+d,v), (u,v+d) — same fp ops as
@@ -254,7 +271,8 @@ def derive_slot_geometry(ids, uv6T, ccw1T, bt, fz, *, subdiv, pad, ntx,
 
 def _kernel_v3(tidx_ref, tile_ref, ids_ref, uv6T_ref, ccw_ref, fz_ref,
                above_ref, below_ref, *, H, W, He, We, TSA,
-               size, rcp, alpha_cutoff, subdiv, pad, ntx, period=None):
+               size, rcp, alpha_cutoff, subdiv, pad, ntx, period=None,
+               bf16x3=False):
     fz = fz_ref[0, 0]
     bt = tidx_ref[pl.program_id(0)]
     geom_rows = derive_slot_geometry(
@@ -263,14 +281,14 @@ def _kernel_v3(tidx_ref, tile_ref, ids_ref, uv6T_ref, ccw_ref, fz_ref,
     a, b = _kernel_body(tile_ref[0], geom_rows,
                         H=H, W=W, He=He, We=We, RHe=TSA, RWe=TSA,
                         size=size, rcp=rcp, alpha_cutoff=alpha_cutoff,
-                        fz=fz)
+                        fz=fz, bf16x3=bf16x3)
     above_ref[0] = a
     below_ref[0] = b
 
 
 def _kernel_body(region, geom_rows, *,
                  H, W, He, We, RHe, RWe, size, rcp, alpha_cutoff,
-                 fz=None):
+                 fz=None, bf16x3=False):
     HW = H * W
     Ke = He * We
     cutoff = jnp.float32(alpha_cutoff)
@@ -280,17 +298,42 @@ def _kernel_body(region, geom_rows, *,
     (muv_rows, qn_rows, x0, y0, x1, y1, ox, oy, sdy, sdx,
      val) = geom_rows
 
-    # Column select at We*B lanes in ONE matmul: lane group dx holds
+    # Column select at We*B lanes: lane group dx holds
     # C6[y, dx*B + i] = region[y, ox_i + dx].  The one-hot operand is
-    # exact 0/1, so the fp32 HIGHEST-precision contraction adds zeros and
-    # one exact value — bit-exact gather semantics on the MXU.
+    # exact 0/1, so the contraction adds zeros and one exact value —
+    # bit-exact gather semantics on the MXU.  When the plane admits it
+    # (bf16x3, see bf16x3_safe), instead of one fp32 HIGHEST dot
+    # (6 bf16 MXU passes) split the region operand into THREE bf16
+    # terms that reconstruct every admissible fp32 exactly (hi = RN(x)
+    # leaves |x-hi| <= ulp_bf16(x)/2, so each residual is exact fp32 by
+    # Sterbenz and the three 8-bit mantissa windows cover fp32's 24
+    # bits) and run one DEFAULT bf16 pass per term: each product is
+    # bf16 * {0,1} -> exact, and (hi + lo) + lo2 re-sums to x exactly
+    # (each partial spans < 24 mantissa bits).  Halves the kernel's MXU
+    # work; bit-exactness covered by the engine parity suites on every
+    # backend plus the direct split fuzz in test_twophase.
     xio6 = jax.lax.broadcasted_iota(jnp.int32, (RWe, We * B), 0)
     ox6 = jnp.concatenate([ox + dx for dx in range(We)], axis=1)
-    colhot = (xio6 == ox6).astype(jnp.float32)
-    C6 = jax.lax.dot_general(
-        region, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # (RHe, We*B)
+    if bf16x3:
+        colhot = (xio6 == ox6).astype(jnp.bfloat16)
+        r_hi = region.astype(jnp.bfloat16)
+        r1 = region - r_hi.astype(jnp.float32)
+        r_lo = r1.astype(jnp.bfloat16)
+        r_lo2 = (r1 - r_lo.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def _sel(rb):
+            return jax.lax.dot_general(
+                rb, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        C6 = (_sel(r_hi) + _sel(r_lo)) + _sel(r_lo2)  # (RHe, We*B)
+    else:
+        colhot = (xio6 == ox6).astype(jnp.float32)
+        C6 = jax.lax.dot_general(
+            region, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (RHe, We*B)
 
     # Row select, one wide pass per dy: m[dy][dx*B + i] = C6[oy_i+dy, ..].
     yio6 = jax.lax.broadcasted_iota(jnp.int32, (RHe, We * B), 0)
@@ -382,10 +425,10 @@ def _kernel_body(region, geom_rows, *,
 
 @partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
                                    "rcp", "alpha_cutoff", "nblk", "subdiv",
-                                   "pad", "ntx", "period"))
+                                   "pad", "ntx", "period", "bf16x3"))
 def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
             TSA, size, rcp, alpha_cutoff, nblk, subdiv, pad, ntx,
-            period=None):
+            period=None, bf16x3=False):
     """ids_r: (nblk, 1, B) int32 survivor ids (-1 = empty slot); uv6T:
     (6, T) fp32 per-item UV columns; ccw1T: (1, T) fp32 0/1 winding.  The
     kernel derives each slot's geometry from its id (bird curve + one-hot
@@ -393,7 +436,7 @@ def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
     instead of 22 (scatters were the stage-C bottleneck on chip)."""
     kern = partial(_kernel_v3, H=H, W=W, He=He, We=We, TSA=TSA, size=size,
                    rcp=rcp, alpha_cutoff=alpha_cutoff, subdiv=subdiv,
-                   pad=pad, ntx=ntx, period=period)
+                   pad=pad, ntx=ntx, period=period, bf16x3=bf16x3)
     if fzv is None:  # constant fallback: fence inert under interpret
         fzv = jnp.zeros((1, 1), jnp.int32)
     T = uv6T.shape[1]
@@ -434,10 +477,10 @@ def _run_v3(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He, We,
 
 @partial(jax.jit, static_argnames=("H", "W", "He", "We", "TSA", "size",
                                    "rcp", "alpha_cutoff", "nblk", "subdiv",
-                                   "pad", "ntx", "period"))
+                                   "pad", "ntx", "period", "bf16x3"))
 def _run_v3_xla(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He,
                 We, TSA, size, rcp, alpha_cutoff, nblk, subdiv, pad, ntx,
-                period=None):
+                period=None, bf16x3=False):
     """Pure-XLA execution of the SAME kernel body as `_run_v3` — the
     ComputeOnly engine's exact stage (reference role: the compute-shader
     rasterizer, bake_gpu_impl.cpp:253-267, vs the HW-raster path).
@@ -473,7 +516,8 @@ def _run_v3_xla(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He,
             ntx=ntx, size=size, period=period)
         return _kernel_body(region, geom_rows, H=H, W=W, He=He, We=We,
                             RHe=TSA, RWe=TSA, size=size, rcp=rcp,
-                            alpha_cutoff=alpha_cutoff, fz=fz)
+                            alpha_cutoff=alpha_cutoff, fz=fz,
+                            bf16x3=bf16x3)
 
     def step(carry, x):
         bts, idsb = x
@@ -548,9 +592,10 @@ def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
                 return None
 
         info = texture.info[mip]
-        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad,
-                                             cfg.addr_mode,
-                                             float(cfg.border_alpha)))
+        planeH = mx.padded_plane(texture, mip, pad, cfg.addr_mode,
+                                 float(cfg.border_alpha))
+        bf16ok = bf16x3_safe(planeH)
+        planeP = jnp.asarray(planeH)
         tilesE, nty, ntx = _halo_tiles(planeP, TILE, TSA)
 
         x0p = pc["x0"] + pad
@@ -593,7 +638,7 @@ def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
             kw=dict(H=H, W=W, He=He, We=We, TSA=TSA, size=(w, h),
                     rcp=(float(info.rcp_size[0]), float(info.rcp_size[1])),
                     alpha_cutoff=float(cfg.alpha_cutoff), nblk=nblk,
-                    subdiv=subdiv, pad=pad, ntx=ntx),
+                    subdiv=subdiv, pad=pad, ntx=ntx, bf16x3=bf16ok),
             sel=sel, valid=valid, M=M))
     return jobs
 

@@ -131,10 +131,12 @@ def _planes_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
            period)
     c = _tex_cache(texture)
     if key not in c:
-        planeP = jnp.asarray(mx.padded_plane(texture, mip, pad, addr_mode,
-                                             border_alpha, period=period))
+        planeH = mx.padded_plane(texture, mip, pad, addr_mode,
+                                 border_alpha, period=period)
+        bf16ok = pk.bf16x3_safe(planeH)
+        planeP = jnp.asarray(planeH)
         tilesE, nty, ntx = pk._halo_tiles(planeP, TILE, TSA)
-        c[key] = (planeP, tilesE, nty, ntx)
+        c[key] = (planeP, tilesE, nty, ntx, bf16ok)
     return c[key]
 
 
@@ -194,8 +196,8 @@ def _cls_cached(texture: Texture, mip: int, addr_mode, pad: int, TSA: int,
            float(border_alpha), period)
     c = _tex_cache(texture)
     if key not in c:
-        planeP, _, _, _ = _planes_cached(texture, mip, addr_mode, pad, TSA,
-                                         border_alpha, period)
+        planeP, _, _, _, _ = _planes_cached(texture, mip, addr_mode, pad,
+                                            TSA, border_alpha, period)
         c[key] = _class_plane_jit(planeP, Hb=Hb, Wb=Wb, cutoff=cutoff,
                                   margin=margin)
     return c[key]
@@ -580,10 +582,11 @@ def _stageAB(cls_levels, uv_flat, active, fz, *, subdiv, levels, caps,
 
 @partial(jax.jit, static_argnames=("subdiv", "K_cap", "nblk", "w", "h",
                                    "pad", "ntx", "H", "W", "rcp",
-                                   "alpha_cutoff", "period", "exact"))
+                                   "alpha_cutoff", "period", "exact",
+                                   "bf16x3"))
 def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
                 K_cap, nblk, w, h, pad, ntx, H, W, rcp, alpha_cutoff,
-                period=None, exact="pallas"):
+                period=None, exact="pallas", bf16x3=False):
     """Build the (nblk, 1, B) slot id stream on device and run the exact
     kernel (which derives each slot's geometry in-kernel from the
     id + the tiny per-item UV table); returns (above, below) int32
@@ -627,7 +630,7 @@ def _stageC_mip(tilesE, uv_flat, ccw, ids, kvalid, slot, tile, fz, *, subdiv,
         else None,
         H=H, W=W, He=H + 2, We=W + 2, TSA=TILE + max(H + 2, W + 2),
         size=(w, h), rcp=rcp, alpha_cutoff=alpha_cutoff, nblk=nblk,
-        subdiv=subdiv, pad=pad, ntx=ntx, period=period)
+        subdiv=subdiv, pad=pad, ntx=ntx, period=period, bf16x3=bf16x3)
     # One packed slot->survivor permutation gather instead of two: counts
     # are bounded by the fast-path window (H, W <= TILE-2 texels, <= 8
     # increments per texel + 1 seed), so (a << 16) | b is lossless and
@@ -986,6 +989,7 @@ class _BatchCtx:
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
         self.tilesEs, self.rcps = [], []
         self.periods = []
+        self.bf16oks = []  # per mip: bf16x3 exact-split admissible
         self.cls_lv = [[] for _ in self.levels]
         for mip in range(texture.mip_count):
             if precomp is not None:
@@ -998,9 +1002,9 @@ class _BatchCtx:
             ba = float(getattr(cfg, "border_alpha", 0.0))
             period = _period_for(texture, cfg.addr_mode, mip)
             self.periods.append(period)
-            _, tilesE, nty, ntx = _planes_cached(texture, mip,
-                                                 cfg.addr_mode, pad, TSA, ba,
-                                                 period)
+            _, tilesE, nty, ntx, bf16ok = _planes_cached(
+                texture, mip, cfg.addr_mode, pad, TSA, ba, period)
+            self.bf16oks.append(bf16ok)
             self.mips.append(texture.size(mip))
             self.pads.append(pad)
             self.HWu.append((Hb, Wb))
@@ -1083,7 +1087,8 @@ class _BatchCtx:
             nblk=nblk, w=w, h=h, pad=self.pads[mip], ntx=self.ntxs[mip],
             H=self.HWu[mip][0], W=self.HWu[mip][1], rcp=self.rcps[mip],
             alpha_cutoff=float(self.cfg.alpha_cutoff),
-            period=self.periods[mip], exact=self.exact)
+            period=self.periods[mip], exact=self.exact,
+            bf16x3=self.bf16oks[mip])
 
     def finish(self, packed):
         for t, i in enumerate(self.fast):
@@ -1313,11 +1318,12 @@ def _run_batch_sync(ctx: _BatchCtx):
                                    "mips", "pads", "ntxs", "all_active",
                                    "nblks", "HWs", "rcps", "alpha_cutoff",
                                    "fmt", "promotion", "cutoff_gt",
-                                   "cutoff_le", "periods", "exact"))
+                                   "cutoff_le", "periods", "exact",
+                                   "bf16x3s"))
 def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
                 levels, caps, K_cap, mips, pads, ntxs, all_active, nblks,
                 HWs, rcps, alpha_cutoff, fmt, promotion, cutoff_gt,
-                cutoff_le, periods=None, exact="pallas"):
+                cutoff_le, periods=None, exact="pallas", bf16x3s=None):
     """The whole speculative batch (descent A+B, per-mip C, compact D) as
     ONE jit dispatch: on a tunnel-attached chip every dispatch pays
     host-link latency, so the chain must cross the link once, not
@@ -1337,7 +1343,8 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
             slots[mip][1], fz, subdiv=subdiv, K_cap=K_cap, nblk=nblks[mip],
             w=w, h=h, pad=pads[mip], ntx=ntxs[mip], H=HWs[mip][0],
             W=HWs[mip][1], rcp=rcps[mip], alpha_cutoff=alpha_cutoff,
-            period=periods[mip] if periods else None, exact=exact))
+            period=periods[mip] if periods else None, exact=exact,
+            bf16x3=bf16x3s[mip] if bf16x3s else False))
     return _stageD_spec(sides, tuple(mip_counts), meta, fmt=fmt,
                         promotion=promotion, cutoff_gt=cutoff_gt,
                         cutoff_le=cutoff_le, nblk_caps=nblks)
@@ -1347,11 +1354,12 @@ def _spec_chain(cls_levels, tilesEs, uv7, active, fz, *, subdiv,
                                    "K_cap", "mips", "pads", "ntxs",
                                    "nblks", "HWs", "rcps", "alpha_cutoff",
                                    "fmt", "promotion", "cutoff_gt",
-                                   "cutoff_le", "periods", "exact"))
+                                   "cutoff_le", "periods", "exact",
+                                   "bf16x3s"))
 def _spec_chain_multi(cls_levels, tilesEs, uv7s, fz, *, NB, subdiv, levels,
                       caps, K_cap, mips, pads, ntxs, nblks, HWs, rcps,
                       alpha_cutoff, fmt, promotion, cutoff_gt, cutoff_le,
-                      periods=None, exact="pallas"):
+                      periods=None, exact="pallas", bf16x3s=None):
     """NB identical-signature speculative chains as ONE dispatch returning
     ONE flat payload: on the tunnel-attached chip every stream operation
     (H2D, Execute, D2H) pays a fixed link cost, so a 4-sub-batch rep goes
@@ -1368,7 +1376,7 @@ def _spec_chain_multi(cls_levels, tilesEs, uv7s, fz, *, NB, subdiv, levels,
             ntxs=ntxs, all_active=True, nblks=nblks, HWs=HWs, rcps=rcps,
             alpha_cutoff=alpha_cutoff, fmt=fmt, promotion=promotion,
             cutoff_gt=cutoff_gt, cutoff_le=cutoff_le, periods=periods,
-            exact=exact))
+            exact=exact, bf16x3s=bf16x3s))
     return jnp.concatenate(outs)
 
 
@@ -1395,7 +1403,8 @@ def _try_enqueue_mega(live, nmips):
         if (c.cap_key != c0.cap_key or not c.all_active
                 or c.mips != c0.mips or c.pads != c0.pads
                 or c.ntxs != c0.ntxs or c.HWu != c0.HWu
-                or c.periods != c0.periods):
+                or c.periods != c0.periods
+                or c.bf16oks != c0.bf16oks):
             return None
     Cs, K_cap, nblks = entry
     uv7s = np.stack([np.concatenate(
@@ -1411,7 +1420,7 @@ def _try_enqueue_mega(live, nmips):
             alpha_cutoff=float(c0.cfg.alpha_cutoff), fmt=c0.cfg.fmt,
             promotion=c0.cfg.promotion, cutoff_gt=c0.cfg.cutoff_gt,
             cutoff_le=c0.cfg.cutoff_le, periods=tuple(c0.periods),
-            exact=c0.exact)
+            exact=c0.exact, bf16x3s=tuple(c0.bf16oks))
         dev.copy_to_host_async()
     except fb.KERNEL_FALLBACK_ERRORS as e:
         fb.record("twophase.mega_chain", e)
@@ -1451,7 +1460,7 @@ def _enqueue_batch_spec(ctx: _BatchCtx):
             alpha_cutoff=float(ctx.cfg.alpha_cutoff), fmt=ctx.cfg.fmt,
             promotion=ctx.cfg.promotion, cutoff_gt=ctx.cfg.cutoff_gt,
             cutoff_le=ctx.cfg.cutoff_le, periods=tuple(ctx.periods),
-            exact=ctx.exact)
+            exact=ctx.exact, bf16x3s=tuple(ctx.bf16oks))
         return (dev, tuple(Cs), K_cap)
     except fb.KERNEL_FALLBACK_ERRORS as e:
         # toolchain gap (Mosaic lowering / backend compile): recorded +

@@ -1147,3 +1147,68 @@ def test_xla_exact_engine_parity_modes(monkeypatch):
                 tex, cfg, t, subdiv, np.full(M, 3, np.uint8))
             assert (sx == want).all(), (sx != want).sum()
             assert (sp == want).all(), (sp != want).sum()
+
+
+def test_bf16x3_split_gate_and_exactness():
+    """The exact-gather bf16x3 split (pallas_classify._kernel_body column
+    select) is only admissible when bf16x3_safe passes; for every value
+    the gate admits, the 3-term reconstruction must be bit-exact.  Fuzz
+    over random fp32 bit patterns plus the boundary region."""
+    import ml_dtypes
+    from omm_tpu.kernels.pallas_classify import bf16x3_safe
+
+    bf = ml_dtypes.bfloat16
+    rng = np.random.RandomState(3)
+    bits = rng.randint(0, 2 ** 32, size=500_000,
+                       dtype=np.uint64).astype(np.uint32)
+    x = bits.view(np.float32)
+    # boundary cases around the gate's thresholds
+    extra = np.array([0.0, -0.0, 2.0 ** -110, -(2.0 ** -110),
+                      2.0 ** -109, 2.0 ** 126, -(2.0 ** 126),
+                      1.0, 1.0 - 2.0 ** -24, np.float32(1 / 255.0)],
+                     np.float32)
+    x = np.concatenate([x, extra])
+    hi = x.astype(bf)
+    with np.errstate(all="ignore"):
+        r1 = x - hi.astype(np.float32)
+        lo = r1.astype(bf)
+        lo2 = (r1 - lo.astype(np.float32)).astype(bf)
+        rec = (hi.astype(np.float32) + lo.astype(np.float32)) \
+            + lo2.astype(np.float32)
+    admitted = np.array([bf16x3_safe(np.array([v], np.float32))
+                         for v in x[-10:]])
+    # spot-check the gate on the boundary block, then the global law:
+    # gate admits => reconstruction exact
+    assert admitted.tolist() == [True, True, True, True, True, True,
+                                 True, True, True, True]
+    a = np.abs(x)
+    gate = np.isfinite(x) & ((a == 0)
+                             | ((a >= 2.0 ** -110) & (a < 2.0 ** 127)))
+    exact = rec == x
+    assert (exact | ~gate).all(), \
+        int((~exact & gate).sum())
+    # and the gate genuinely rejects something reconstructible only
+    # approximately (denormal-floor region)
+    assert not bf16x3_safe(np.array([8e-36], np.float32))
+
+
+def test_unsafe_plane_falls_back_to_highest(monkeypatch):
+    """A plane carrying sub-2^-110 magnitudes must keep the fp32-HIGHEST
+    matmul and stay oracle-exact end to end."""
+    from omm_tpu.kernels import twophase as tp
+
+    _interp_pallas(monkeypatch)
+    plane = standard_circle(48, 48)
+    plane[7, 9] = np.float32(8e-36)   # below the bf16x3 floor
+    plane[11, 3] = np.float32(-3e-38)
+    tex = omm.Texture([plane], omm.TextureFormat.FP32)
+    cfg = _cfg()
+    subdiv = 4
+    M = omm.get_num_micro_triangles(subdiv)
+    tris = _tris(2, seed=13)
+    got = tp.classify_work_items_batches(
+        tex, cfg, [[(t, None) for t in tris]], subdiv)[0]
+    for t, st in zip(tris, got):
+        want = engine.resample_fine_item(tex, cfg, t, subdiv,
+                                         np.full(M, 3, np.uint8))
+        assert (st == want).all()
