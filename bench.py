@@ -619,13 +619,13 @@ def _spot_mixed_levels(tex, uv_tris):
 
 def _spot_computeonly(tex, uv_tris):
     """The SECOND engine: GpuBakeFlags.ComputeOnly routes the GPU-baker
-    dispatch to the portable pure-XLA path (flat window pre-pass +
-    survivors-only exact XLA kernel) — the role of the reference's
-    compute-shader engine (bake_gpu_impl.cpp:255).  First on-chip number
-    for it (it shipped parity-tested only for four rounds).  64 tris at
-    subdiv 9 through the full dispatch chain; parity = full-result byte
-    equality vs the numpy backend on an 8-tri dispatch.  Returns
-    (rate, parity_ok)."""
+    dispatch to the portable Mosaic-free path — since round 5 the FULL
+    two-phase hierarchical pipeline with the exact kernel body executed
+    through pure XLA (pallas_classify._run_v3_xla) instead of the
+    Pallas call — the role of the reference's compute-shader engine
+    (bake_gpu_impl.cpp:255).  64 tris at subdiv 9 through the full
+    dispatch chain; parity = full-result byte equality vs the numpy
+    backend on an 8-tri dispatch.  Returns (rate, parity_ok)."""
     import omm_tpu as omm
     from omm_tpu import gpu
 

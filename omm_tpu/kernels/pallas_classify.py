@@ -146,6 +146,24 @@ def bf16x3_safe(plane) -> bool:
     return bool(ok.all())
 
 
+def bf16x3_policy(exact: str) -> bool:
+    """Whether an engine WANTS the bf16x3 split (bf16x3_safe still gates
+    per plane).  Measured NEGATIVE on v5e both ways (round-5 session-3
+    same-window A/Bs): Mosaic kernel 800.8M (HIGHEST) vs 764.6M (split)
+    on the 256-tri subdiv-9 headline, and pure-XLA ComputeOnly spot
+    312.2M (HIGHEST) vs 264.6M (split), all bit-exact — the TPU's
+    native fp32 matmul path beats 3 explicit bf16 passes plus the
+    fp32->bf16 conversions and two adds, on both code paths.  Default
+    OFF everywhere; the exact-split machinery stays (proven by fuzz +
+    parity tests) for re-evaluation on hardware where fp32 HIGHEST
+    really is 2x the 3-pass cost.  OMM_TP_BF16X3=1 re-enables for
+    sweeps."""
+    v = os.environ.get("OMM_TP_BF16X3")
+    if v is not None:
+        return v not in ("0", "false", "False")
+    return False
+
+
 def bary_cols(index, level: int):
     """index2bary (bird.h:73-118) in column form: returns (u, v, d) fp32
     so the corners are (u,v), (u+d,v), (u,v+d) — same fp ops as
@@ -498,7 +516,10 @@ def _run_v3_xla(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He,
     if fzv is None:
         fzv = jnp.zeros((1, 1), jnp.int32)
     fz = fzv[0, 0]
-    CB = min(32, nblk)
+    # blocks vmapped per scan step: bounds live column-select
+    # intermediates to CB * TSA * We*B fp32 while keeping the matmuls
+    # batched (OMM_XLA_CB for on-chip sweeps)
+    CB = min(int(os.environ.get("OMM_XLA_CB", "32")), nblk)
     nch = -(-nblk // CB)
     padb = nch * CB - nblk
     if padb:
@@ -594,7 +615,7 @@ def prepare_jobs_v3(texture: Texture, cfg, uv_tri: np.ndarray, subdiv: int):
         info = texture.info[mip]
         planeH = mx.padded_plane(texture, mip, pad, cfg.addr_mode,
                                  float(cfg.border_alpha))
-        bf16ok = bf16x3_safe(planeH)
+        bf16ok = bf16x3_safe(planeH) and bf16x3_policy("pallas")
         planeP = jnp.asarray(planeH)
         tilesE, nty, ntx = _halo_tiles(planeP, TILE, TSA)
 

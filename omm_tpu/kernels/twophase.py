@@ -989,7 +989,7 @@ class _BatchCtx:
         self.mips, self.pads, self.HWu, self.ntxs = [], [], [], []
         self.tilesEs, self.rcps = [], []
         self.periods = []
-        self.bf16oks = []  # per mip: bf16x3 exact-split admissible
+        self.bf16oks = []  # per mip: bf16x3 split admitted AND wanted
         self.cls_lv = [[] for _ in self.levels]
         for mip in range(texture.mip_count):
             if precomp is not None:
@@ -1004,7 +1004,8 @@ class _BatchCtx:
             self.periods.append(period)
             _, tilesE, nty, ntx, bf16ok = _planes_cached(
                 texture, mip, cfg.addr_mode, pad, TSA, ba, period)
-            self.bf16oks.append(bf16ok)
+            self.bf16oks.append(bf16ok
+                                and pk.bf16x3_policy(self.exact))
             self.mips.append(texture.size(mip))
             self.pads.append(pad)
             self.HWu.append((Hb, Wb))

@@ -235,7 +235,8 @@ def sharded_classify_batch(mesh: Mesh, texture, cfg, items, subdiv: int,
                 ntx=ctx.ntxs[mip], H=ctx.HWu[mip][0], W=ctx.HWu[mip][1],
                 rcp=ctx.rcps[mip],
                 alpha_cutoff=float(cfg.alpha_cutoff),
-                period=ctx.periods[mip]))
+                period=ctx.periods[mip],
+                bf16x3=ctx.bf16oks[mip]))
         packed = tp._stageD(
             sides, nodes, ids, kvalid, tuple(mip_counts), subdiv=subdiv,
             levels=levels, fmt=cfg.fmt, promotion=cfg.promotion,

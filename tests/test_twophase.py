@@ -1081,15 +1081,19 @@ def test_concurrent_batch_calls_thread_safe(monkeypatch):
             assert (st == want).all()
 
 
-def test_xla_exact_engine_parity_small():
+@pytest.mark.parametrize("bf16x3", ["0", "1"])
+def test_xla_exact_engine_parity_small(bf16x3, monkeypatch):
     """The ComputeOnly exact stage (`exact_engine="xla"`:
     pallas_classify._run_v3_xla, the kernel body through pure XLA —
     reference role bake_gpu_impl.cpp:253-267 compute path) rides the
     full two-phase pipeline and must (a) never touch the Mosaic kernel
-    and (b) match the per-item oracle byte for byte."""
+    and (b) match the per-item oracle byte for byte — with the exact
+    bf16x3 gather split both off (the measured v5e default) and on
+    (OMM_TP_BF16X3=1, kept for other hardware)."""
     from omm_tpu.kernels import pallas_classify as pk
     from omm_tpu.kernels import twophase as tp
 
+    monkeypatch.setenv("OMM_TP_BF16X3", bf16x3)
     orig = pk._run_v3
     def boom(*a, **k):
         raise AssertionError("Mosaic kernel invoked on the xla engine")
