@@ -341,12 +341,20 @@ def test_fuzz_gpu_dispatch(seed):
         if rng.randint(2) == 0:
             sub_levels = rng.randint(
                 0, max_level + 1, size=tri_count).astype(np.uint8)
+        # engine axis: half the cases route the jax leg through the
+        # ComputeOnly engine (full pipeline, XLA exact stage) — the
+        # numpy leg is engine-blind, so equality pins BOTH engines to
+        # the oracle across the whole descriptor space
+        compute_only = rng.randint(2) == 0
         cfg = gpu.DispatchConfigDesc(
             alpha_texture=tex,
             runtime_sampler=omm.SamplerDesc(
                 addressing_mode=omm.TextureAddressMode(rng.randint(5)),
                 filter=omm.TextureFilterMode(rng.randint(2)),
                 border_alpha=float(rng.rand())),
+            bake_flags=(gpu.GpuBakeFlags.PerformSetupAndBake
+                        | (gpu.GpuBakeFlags.ComputeOnly if compute_only
+                           else gpu.GpuBakeFlags(0))),
             tex_coords=tc, index_buffer=np.asarray(idx, np.uint32),
             index_count=len(idx), alpha_cutoff=cutoff,
             dynamic_subdivision_scale=[0.0, 2.0][rng.randint(2)],
@@ -360,7 +368,8 @@ def test_fuzz_gpu_dispatch(seed):
         ra, pa = gpu.Pipeline().dispatch(cfg, backend="numpy").execute()
         rb, pb = gpu.Pipeline().dispatch(cfg, backend="jax").execute()
         ctx = (seed, trial, cfg.runtime_sampler.addressing_mode.name,
-               cfg.runtime_sampler.filter.name, max_level)
+               cfg.runtime_sampler.filter.name, max_level,
+               "co" if compute_only else "hw")
         _assert_equal(ra, rb, ctx)
         assert pa == pb, ctx
 
