@@ -643,18 +643,30 @@ def _spot_computeonly(tex, uv_tris):
         res, _post = chain.execute()
         return res
 
-    parity = _results_equal(dispatch(uv_tris[:8], "jax"),
-                            dispatch(uv_tris[:8], "numpy"))
+    # 2x32 pipelined chains beat one 64-tri chain for this engine
+    # (round-5 session-3 chip sweep: 331.0M vs 303.2M vs 280.9M for
+    # sub-batch 32 / 64 / "48,16") — the second chain's device work
+    # hides the first chain's payload fetch
+    prev = os.environ.get("OMM_BAKE_SUBBATCH")
+    os.environ["OMM_BAKE_SUBBATCH"] = "32"
+    try:
+        parity = _results_equal(dispatch(uv_tris[:8], "jax"),
+                                dispatch(uv_tris[:8], "numpy"))
 
-    tris = uv_tris[:64]
-    M = omm.get_num_micro_triangles(SUBDIV)
-    dispatch(tris, "jax")
-    dispatch(tris, "jax")
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+        tris = uv_tris[:64]
+        M = omm.get_num_micro_triangles(SUBDIV)
         dispatch(tris, "jax")
-        times.append(time.perf_counter() - t0)
+        dispatch(tris, "jax")
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dispatch(tris, "jax")
+            times.append(time.perf_counter() - t0)
+    finally:
+        if prev is None:
+            os.environ.pop("OMM_BAKE_SUBBATCH", None)
+        else:
+            os.environ["OMM_BAKE_SUBBATCH"] = prev
     return len(tris) * M / min(times), parity
 
 

@@ -544,20 +544,47 @@ class Pipeline:
                 #    portable "no custom rasterizer" compute path.
                 # Bit-exact with each other and the numpy oracle by
                 # construction (shared kernel body + shared pipeline).
+                import os as _os
+
+                from ..bake import split_tail_light
                 from ..kernels.twophase import classify_work_items_batches
                 engine_kw = {"exact_engine": "xla"} if compute_only else {}
                 by_level: dict = {}
                 for idx in eligible:
                     by_level.setdefault(
                         items[idx].subdivision_level, []).append(idx)
-                for lvl, idxs in by_level.items():
-                    res = classify_work_items_batches(
+                # ONE pipelined call across levels, split into
+                # sub-batches like bake()'s fine pass (largest level
+                # first; chunk size bounded by the same ~12M-utri
+                # scratch budget, or pinned via OMM_BAKE_SUBBATCH to
+                # reuse a warm jit signature) so each chain's payload
+                # fetch overlaps later chunks' device execution instead
+                # of the route paying one unpipelined dispatch+fetch
+                # cycle per level (the reference likewise streams its
+                # per-level indirect dispatches through one command
+                # list, bake_gpu_impl.cpp:992-996)
+                sub_env = _os.environ.get("OMM_BAKE_SUBBATCH", "0")
+                schedule = [int(s) for s in sub_env.split(",")
+                            if int(s or 0) > 0]
+                MAX_UTRI = 3 << 22
+                chunks: list = []
+                lvls: list = []
+                for lvl in sorted(by_level, reverse=True):
+                    per_item = get_num_micro_triangles(lvl)
+                    cs = split_tail_light(
+                        by_level[lvl],
+                        schedule or [max(1, MAX_UTRI // per_item)])
+                    chunks.extend(cs)
+                    lvls.extend([lvl] * len(cs))
+                if chunks:
+                    outs = classify_work_items_batches(
                         tex, rcfg,
-                        [[(items[i].uv_tri, items[i].states)
-                          for i in idxs]], lvl, **engine_kw)[0]
-                    for i, st in zip(idxs, res):
-                        items[i].states = st
-                        done[i] = True
+                        [[(items[i].uv_tri, items[i].states) for i in c]
+                         for c in chunks], lvls, **engine_kw)
+                    for c, res in zip(chunks, outs):
+                        for i, st in zip(c, res):
+                            items[i].states = st
+                            done[i] = True
             for i in sel:
                 if not done[i]:
                     items[i].states = engine.resample_fine_item(

@@ -1823,6 +1823,14 @@ def classify_work_items_batches(texture: Texture, cfg, batches, subdiv,
             # overflow or no cached caps: the synchronous
             # capacity-discovering path takes the batch
             ok = _run_batch_sync(ctx)
+        if not ok and ctx.exact == "pallas":
+            # Mosaic toolchain gap (or persistent overflow): retry the
+            # SAME pipeline once with the exact stage through pure XLA
+            # (the ComputeOnly engine, ~0.35x the default on chip)
+            # before dropping to the flat-resolve fallback (~0.03x) —
+            # a Pallas regression then costs 3x, not 30x
+            ctx.exact = "xla"
+            ok = _run_batch_sync(ctx)
         if not ok:
             # Pallas/capacity fallback: flat window resolve + XLA
             # survivors kernel over ONE compacted contour stream for the
