@@ -518,8 +518,11 @@ def _run_v3_xla(tilesE, tidx, ids_r, uv6T, ccw1T, fzv=None, *, H, W, He,
     fz = fzv[0, 0]
     # blocks vmapped per scan step: bounds live column-select
     # intermediates to CB * TSA * We*B fp32 while keeping the matmuls
-    # batched (OMM_XLA_CB for on-chip sweeps)
-    CB = min(int(os.environ.get("OMM_XLA_CB", "32")), nblk)
+    # batched.  v5e sweep (ComputeOnly spot, same window): 64 beats
+    # 32/16 (361.1M vs 346.4/345.8M); 128 is a wash in a noisier
+    # window (342.0 vs 338.8M) for 2x the live footprint — default 64,
+    # OMM_XLA_CB overrides for sweeps.
+    CB = min(int(os.environ.get("OMM_XLA_CB", "64")), nblk)
     nch = -(-nblk // CB)
     padb = nch * CB - nblk
     if padb:
