@@ -25,8 +25,36 @@ jax.config.update("jax_platforms", platform)
 # CPU jit compiles of the big engine signatures; caching them across
 # runs cuts e.g. test_twophase from ~250 s to ~72 s.  Keys are
 # HLO-content hashes, so code changes re-compile automatically.
+#
+# The cache stores XLA:CPU AOT results compiled for THIS host's CPU
+# features, but the build host can change between rounds — XLA then
+# loads the mismatched code anyway ("This could lead to execution
+# errors such as SIGILL"; observed: a segfault inside the cache writer
+# and wrong bake results mid-suite).  Guard with a CPU fingerprint
+# file: wipe the cache when the host changed.
 if platform == "cpu" and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    import hashlib
+    import shutil
+
     _cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
+    try:
+        with open("/proc/cpuinfo") as f:
+            _flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:  # pragma: no cover - non-Linux
+        import platform as _plat
+        _flags = _plat.processor()
+    _fp = hashlib.sha256(_flags.encode()).hexdigest()[:16]
+    _fp_file = os.path.join(_cache, ".host_fingerprint")
+    try:
+        with open(_fp_file) as f:
+            _stale = f.read().strip() != _fp
+    except OSError:
+        _stale = os.path.isdir(_cache)  # cache without fingerprint
+    if _stale:
+        shutil.rmtree(_cache, ignore_errors=True)
+    os.makedirs(_cache, exist_ok=True)
+    with open(_fp_file, "w") as f:
+        f.write(_fp)
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
