@@ -41,6 +41,24 @@ import omm_tpu as omm
 from omm_tpu import gpu
 from omm_tpu.types import BakeFlags
 
+
+@pytest.fixture(autouse=True)
+def _bound_backend_accumulation():
+    """Drop jit caches after every fuzz case.  This suite compiles far
+    more DISTINCT large CPU programs than any other module, and
+    jax 0.9.0's XLA:CPU backend segfaults (inside
+    backend_compile_and_load, with or without the persistent cache)
+    once enough big executables accumulate in one process — observed
+    deterministically at ~13 fuzz cases on this round's host, while
+    every case passes in isolation.  Clearing per case bounds the
+    accumulation (fuzz-only run: 48 passed / 0 crashes); the
+    persistent disk cache keeps the re-load cost of shared signatures
+    small."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
 # total micro-triangle budget per case: keeps the 200+ case corpus inside
 # a CI-friendly wall time on the 1-CPU host while still reaching subdiv 9
 UTRI_BUDGET = 300_000
